@@ -1,0 +1,320 @@
+"""Single-chip match engines over an HBM-resident template database.
+
+Roles mirrored from the reference:
+
+- :class:`ShareEngine`     == participant's `DistanceEngine` (src/lib.rs:28-52): dot
+                              shares of rotated encoded queries against a u16 share DB.
+- :class:`MasksEngine`     == coordinator's `MasksEngine` (src/lib.rs:55-80):
+                              denominator popcounts against the plaintext masks DB.
+- :class:`PlaintextEngine` == the scalar oracle `Template::distance`
+                              (src/template.rs:43-64) industrialized: full fused
+                              min-distance search (distances + denominators + exact
+                              argmin) in one jitted chunk-scan — the non-MPC flagship
+                              path and the per-party compute shape of the MPC path.
+
+Design notes (TPU-first):
+- The DB is laid out [num_chunks, chunk, K] (K = 12,800) so a `lax.scan` streams it
+  through the MXU with bounded intermediates; XLA double-buffers the HBM reads.
+- Queries are expanded to 31 rotations on device (LHS rows), never the DB.
+- Selection is exact integer fraction comparison (ops/decode.py); f64 only on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpc_iris_tpu.constants import BITS, COLS, N_ROTATIONS, ROWS
+from mpc_iris_tpu.ops.decode import (
+    fraction_argmin,
+    fraction_min_rotations,
+    fraction_to_f64,
+    numerators,
+    running_min,
+)
+from mpc_iris_tpu.ops.dot import dot_bits_batch, dot_share_batch, shares_to_planes
+from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
+from mpc_iris_tpu.ops.rotations import expand_rotations_flat
+
+DEFAULT_CHUNK = 8192
+
+
+# --------------------------------------------------------------------- query prep
+
+
+@jax.jit
+def prepare_query_planes(patterns_packed, masks_packed):
+    """Packed query templates -> rotation-expanded matmul LHS planes.
+
+    Args:
+      patterns_packed, masks_packed: uint8 [B, 1600] packed bit planes.
+
+    Returns:
+      q_enc:  int8 [B, 31, K] with values {-1, 0, 1} (ring encoding, rotated),
+      q_mask: int8 [B, 31, K] with values {0, 1} (mask plane, rotated).
+
+    Rotating the encoded/mask grids per rotation r matches the reference, which
+    rotates the already-encoded query (src/lib.rs:33-40); rotation and encoding
+    commute since encoding is elementwise.
+    """
+    p = unpack_bits(patterns_packed).reshape(-1, ROWS, COLS)
+    m = unpack_bits(masks_packed).reshape(-1, ROWS, COLS)
+    enc = encode_grid_i8(p, m)  # [B, ROWS, COLS]
+    q_enc = expand_rotations_flat(enc).astype(jnp.int8)  # [B, 31, K]
+    q_mask = expand_rotations_flat(m.astype(jnp.int8)).astype(jnp.int8)
+    return q_enc, q_mask
+
+
+def _pad_chunks(arr: np.ndarray, chunk: int, pad_value=0):
+    """Host-side: pad leading axis to a multiple of ``chunk`` and reshape to
+    [num_chunks, chunk, ...]. Returns (reshaped, true_count)."""
+    n = arr.shape[0]
+    num_chunks = max(1, -(-n // chunk))
+    padded = num_chunks * chunk
+    if padded != n:
+        pad_width = [(0, padded - n)] + [(0, 0)] * (arr.ndim - 1)
+        arr = np.pad(arr, pad_width, constant_values=pad_value)
+    return arr.reshape(num_chunks, chunk, *arr.shape[1:]), n
+
+
+# --------------------------------------------------------------------- jitted kernels
+
+
+@jax.jit
+def _match_scan(q_enc, q_mask, db_enc, db_mask):
+    """Fused plaintext min-distance search.
+
+    q_enc/q_mask: int8 [B, 31, K]; db_enc/db_mask: int8 [C, c, K].
+    Returns (n, d, idx): int32 [B] winning numerator/denominator/DB index.
+    """
+    b = q_enc.shape[0]
+    qe = q_enc.reshape(b * N_ROTATIONS, BITS)
+    qm = q_mask.reshape(b * N_ROTATIONS, BITS)
+    chunk = db_enc.shape[1]
+
+    def step(carry, xs):
+        enc_c, mask_c, offset = xs
+        dot = dot_bits_batch(qe, enc_c).reshape(b, N_ROTATIONS, chunk)
+        den = dot_bits_batch(qm, mask_c).reshape(b, N_ROTATIONS, chunk)
+        # Plaintext path: den - dot = 2 * #unequal >= 0, exact in int32.
+        num = (den - dot) >> 1
+        n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)  # [B, c]
+        n_c, d_c, i_c = fraction_argmin(n_r, d_r, axis=-1, index_offset=offset)
+        return running_min(carry, n_c, d_c, i_c), None
+
+    init = (
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+        jnp.full(b, 2**31 - 1, jnp.int32),
+    )
+    offsets = jnp.arange(db_enc.shape[0], dtype=jnp.int32) * chunk
+    (n, d, i), _ = jax.lax.scan(step, init, (db_enc, db_mask, offsets))
+    return n, d, i
+
+
+@jax.jit
+def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
+    """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
+    b = q_enc.shape[0]
+    chunk = enc_c.shape[0]
+    dot = dot_bits_batch(q_enc.reshape(b * N_ROTATIONS, BITS), enc_c)
+    den = dot_bits_batch(q_mask.reshape(b * N_ROTATIONS, BITS), mask_c)
+    dot = dot.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1)
+    den = den.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1)
+    return (den - dot) >> 1, den
+
+
+@jax.jit
+def _share_dots_chunk(q_enc, db_lo, db_hi):
+    """Dot shares for one chunk: uint16 [B, c, 31] in wire order
+    (entry-major, rotations -15..15 innermost; reference src/main.rs:428-434)."""
+    b = q_enc.shape[0]
+    chunk = db_lo.shape[0]
+    dots = dot_share_batch(q_enc.reshape(b * N_ROTATIONS, BITS), db_lo, db_hi)
+    return dots.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1)
+
+
+@jax.jit
+def _mask_dots_chunk(q_mask, db_mask):
+    """Denominators for one chunk: uint16 [B, c, 31] in wire order."""
+    b = q_mask.shape[0]
+    chunk = db_mask.shape[0]
+    dots = dot_bits_batch(q_mask.reshape(b * N_ROTATIONS, BITS), db_mask)
+    return dots.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1).astype(jnp.uint16)
+
+
+# --------------------------------------------------------------------- results
+
+
+@dataclass
+class MatchResult:
+    """Winner of a min-distance search for one query."""
+
+    index: int
+    distance: float  # reference-exact f64 of numerator/denominator
+    numerator: int
+    denominator: int
+
+
+def _results_from_triples(n, d, i) -> list[MatchResult]:
+    n, d, i = np.asarray(n), np.asarray(d), np.asarray(i)
+    return [
+        MatchResult(int(ii), fraction_to_f64(int(nn), int(dd)), int(nn), int(dd))
+        for nn, dd, ii in zip(n, d, i)
+    ]
+
+
+# --------------------------------------------------------------------- engines
+
+
+class PlaintextEngine:
+    """Fused plaintext min-distance search over a device-resident template DB."""
+
+    def __init__(self, patterns_packed: np.ndarray, masks_packed: np.ndarray,
+                 chunk: int = DEFAULT_CHUNK, device=None):
+        """Args:
+        patterns_packed, masks_packed: uint8 [N, 1600] packed planes (host).
+        chunk: DB chunk size for the scan (entries per matmul).
+        """
+        n = patterns_packed.shape[0]
+        chunk = min(chunk, max(128, n))
+        p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
+        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+        enc = encode_grid_i8(p, m, xp=np)
+        enc_c, self.count = _pad_chunks(enc, chunk)
+        mask_c, _ = _pad_chunks(m, chunk)
+        put = functools.partial(jax.device_put, device=device)
+        self.db_enc = put(enc_c)
+        self.db_mask = put(mask_c)
+        self.chunk = chunk
+
+    def match(self, patterns_packed, masks_packed) -> list[MatchResult]:
+        """Min-distance entry per query. uint8 [B, 1600] packed query planes."""
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        n, d, i = _match_scan(q_enc, q_mask, self.db_enc, self.db_mask)
+        return _results_from_triples(n, d, i)
+
+    def match_arrays(self, q_enc, q_mask):
+        """Raw jit-to-jit entry: prepared query planes -> (n, d, idx) int32 [B]."""
+        return _match_scan(q_enc, q_mask, self.db_enc, self.db_mask)
+
+    def distances(self, patterns_packed, masks_packed) -> np.ndarray:
+        """Full f64 distance matrix [B, N] (for tests / small DBs); bit-identical to
+        the scalar oracle Template.distance per pair."""
+        from mpc_iris_tpu.ops.decode import decode_distance_batch_np
+
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        out = []
+        for c in range(self.db_enc.shape[0]):
+            num, den = _plaintext_chunk_fractions(
+                q_enc, q_mask, self.db_enc[c], self.db_mask[c]
+            )
+            num, den = np.asarray(num), np.asarray(den)
+            b = num.shape[0]
+            vals = decode_distance_batch_np(
+                # decode expects u16 "dots"; reconstruct dot = den - 2*num (exact ints)
+                (den - 2 * num).astype(np.int64) & 0xFFFF,
+                den,
+            ).reshape(b, -1)
+            out.append(vals)
+        return np.concatenate(out, axis=1)[:, : self.count]
+
+
+class ShareEngine:
+    """Participant-side engine: dot shares of queries against a u16 share DB
+    (== reference `DistanceEngine`, src/lib.rs:28-52)."""
+
+    def __init__(self, shares_u16: np.ndarray, chunk: int = DEFAULT_CHUNK, device=None):
+        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap)."""
+        n = shares_u16.shape[0]
+        chunk = min(chunk, max(128, n))
+        s = np.asarray(shares_u16, dtype=np.uint16)
+        lo = (s & 0xFF).astype(np.int16) - 128
+        hi = (s >> 8).astype(np.int16) - 128
+        lo_c, self.count = _pad_chunks(lo.astype(np.int8), chunk)
+        hi_c, _ = _pad_chunks(hi.astype(np.int8), chunk)
+        put = functools.partial(jax.device_put, device=device)
+        self.db_lo = put(lo_c)
+        self.db_hi = put(hi_c)
+        self.chunk = chunk
+
+    def num_chunks(self) -> int:
+        return self.db_lo.shape[0]
+
+    def dots_chunk(self, q_enc, chunk_index: int):
+        """uint16 [B, chunk, 31] for one DB chunk (device array, async)."""
+        return _share_dots_chunk(q_enc, self.db_lo[chunk_index], self.db_hi[chunk_index])
+
+    def dots(self, patterns_packed, masks_packed) -> np.ndarray:
+        """Full reply tensor uint16 [B, N, 31] in reference wire order."""
+        q_enc, _ = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        parts = [self.dots_chunk(q_enc, c) for c in range(self.num_chunks())]
+        return np.concatenate([np.asarray(p) for p in parts], axis=1)[:, : self.count]
+
+    def stream(self, patterns_packed, masks_packed):
+        """Yield per-chunk host uint16 [B, chunk, 31] arrays, pipelining device
+        compute with host transfer (== the participant's chunked reply stream,
+        src/main.rs:423-445). The final chunk is trimmed to the true DB size."""
+        q_enc, _ = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        nc = self.num_chunks()
+        pending = self.dots_chunk(q_enc, 0) if nc else None
+        for c in range(nc):
+            nxt = self.dots_chunk(q_enc, c + 1) if c + 1 < nc else None
+            host = np.asarray(pending)
+            start = c * self.chunk
+            end = min(self.count, start + self.chunk)
+            yield host[:, : end - start]
+            pending = nxt
+
+
+class MasksEngine:
+    """Coordinator-side denominator engine over the plaintext masks DB
+    (== reference `MasksEngine`, src/lib.rs:55-80)."""
+
+    def __init__(self, masks_packed: np.ndarray, chunk: int = DEFAULT_CHUNK, device=None):
+        """masks_packed: uint8 [N, 1600] packed mask planes (host, e.g. np.memmap)."""
+        n = masks_packed.shape[0]
+        chunk = min(chunk, max(128, n))
+        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+        mask_c, self.count = _pad_chunks(m, chunk)
+        self.db_mask = jax.device_put(mask_c, device=device)
+        self.chunk = chunk
+
+    def num_chunks(self) -> int:
+        return self.db_mask.shape[0]
+
+    def dots_chunk(self, q_mask, chunk_index: int):
+        return _mask_dots_chunk(q_mask, self.db_mask[chunk_index])
+
+    def dots(self, masks_packed) -> np.ndarray:
+        """Full denominator tensor uint16 [B, N, 31] in wire order."""
+        q = jnp.asarray(masks_packed)
+        _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        parts = [self.dots_chunk(q_mask, c) for c in range(self.num_chunks())]
+        return np.concatenate([np.asarray(p) for p in parts], axis=1)[:, : self.count]
+
+    def stream(self, masks_packed):
+        """Yield per-chunk host uint16 [B, chunk, 31] arrays (trimmed at the end)."""
+        q = jnp.asarray(masks_packed)
+        _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        nc = self.num_chunks()
+        pending = self.dots_chunk(q_mask, 0) if nc else None
+        for c in range(nc):
+            nxt = self.dots_chunk(q_mask, c + 1) if c + 1 < nc else None
+            host = np.asarray(pending)
+            start = c * self.chunk
+            end = min(self.count, start + self.chunk)
+            yield host[:, : end - start]
+            pending = nxt

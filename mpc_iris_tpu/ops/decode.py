@@ -1,0 +1,159 @@
+"""Distance decoding and f64-free minimum selection.
+
+The reference decodes per-entry distances on the coordinator (src/lib.rs:97-107):
+
+    numerator n_r = (d_r.wrapping_sub(dot_r)) / 2        (u16, exact: = #unequal)
+    distance     = min over 31 rotations of n_r / d_r    (f64; 0/0 = NaN is skipped
+                                                          by the f64::min fold)
+
+and tracks the running argmin over DB entries in f64 (src/main.rs:581-621).
+
+TPUs have no fast f64, and none is needed: n <= 32,767 and d <= 65,535, so the exact
+rational order of n1/d1 vs n2/d2 is decided by the int32 comparison
+n1*d2 < n2*d1 (products <= 32,767 * 65,535 < 2^31). Entries with d == 0 are treated as
++infinity, which reproduces the reference's NaN-skipping min fold (NaN and +inf both
+lose every `<` comparison, and an all-invalid entry keeps distance = +inf).
+
+Device selection therefore returns the *winning integer pair* (n, d) plus index; the
+reported f64 value is then computed on the host with exactly the reference's formula,
+giving bit-identical results (ties in the exact rational order are broken toward the
+lower index / earlier rotation, matching the reference's strict-less updates).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from mpc_iris_tpu.constants import N_ROTATIONS
+
+
+def numerators(dots, dens):
+    """u16 numerators from dot shares and denominators.
+
+    ``n = (d - dot) mod 2^16 >> 1`` — the wrapping subtraction of
+    reference src/lib.rs:104. Accepts any matching shapes; returns int32 (values fit
+    u16).
+    """
+    d = jnp.asarray(dens).astype(jnp.int32)
+    t = jnp.asarray(dots).astype(jnp.int32)
+    return ((d - t) & jnp.int32(0xFFFF)) >> 1
+
+
+def _frac_less(n1, d1, n2, d2):
+    """Exact: (n1/d1) < (n2/d2) with d == 0 treated as +inf."""
+    v1 = d1 > 0
+    v2 = d2 > 0
+    return (v1 & ~v2) | (v1 & v2 & (n1 * d2 < n2 * d1))
+
+
+def _frac_select(n1, d1, i1, n2, d2, i2):
+    """Select the smaller fraction; ties (and both-invalid) keep the smaller index."""
+    less = _frac_less(n1, d1, n2, d2)
+    greater = _frac_less(n2, d2, n1, d1)
+    pick1 = less | (~greater & (i1 <= i2))
+    return (
+        jnp.where(pick1, n1, n2),
+        jnp.where(pick1, d1, d2),
+        jnp.where(pick1, i1, i2),
+    )
+
+
+def fraction_min_rotations(nums, dens, axis=-1):
+    """Reduce the rotation axis: per entry, the minimal (n, d) fraction.
+
+    Args: int32 arrays [..., 31] (or ``axis`` elsewhere). Returns (n, d, r) int32
+    arrays without that axis, r being the winning rotation slot 0..30 (rotation
+    r - 15). Static 31-way tree of VPU selects.
+    """
+    nums = jnp.moveaxis(jnp.asarray(nums, dtype=jnp.int32), axis, 0)
+    dens = jnp.moveaxis(jnp.asarray(dens, dtype=jnp.int32), axis, 0)
+    k = nums.shape[0]
+    idx = [jnp.full(nums.shape[1:], i, dtype=jnp.int32) for i in range(k)]
+    items = [(nums[i], dens[i], idx[i]) for i in range(k)]
+    while len(items) > 1:
+        nxt = []
+        for j in range(0, len(items) - 1, 2):
+            nxt.append(_frac_select(*items[j], *items[j + 1]))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
+def fraction_argmin(nums, dens, axis=-1, index_offset=0):
+    """Argmin of exact fractions along ``axis`` via a variadic lax.reduce.
+
+    Args:
+      nums, dens: int32 arrays of matching shape.
+      index_offset: added to the returned indices (for chunked scans).
+
+    Returns (n, d, idx) int32 arrays with ``axis`` reduced. The comparator forms a
+    total order (fraction, then index), so the reduce is a valid monoid and XLA may
+    reassociate freely without changing the result.
+    """
+    nums = jnp.asarray(nums, dtype=jnp.int32)
+    dens = jnp.asarray(dens, dtype=jnp.int32)
+    axis = axis % nums.ndim
+    idx_shape = [1] * nums.ndim
+    idx_shape[axis] = nums.shape[axis]
+    # index_offset may be a traced scalar (chunked scans), so add it after arange.
+    idx = jnp.arange(nums.shape[axis], dtype=jnp.int32) + jnp.asarray(index_offset, jnp.int32)
+    idx = jnp.broadcast_to(idx.reshape(idx_shape), nums.shape)
+
+    def comp(acc, x):
+        return _frac_select(*acc, *x)
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(2**31 - 1))
+    return lax.reduce((nums, dens, idx), init, comp, dimensions=(axis,))
+
+
+def running_min(state, n, d, i):
+    """Fold a new (n, d, idx) candidate batch result into carried best state
+    (for lax.scan over DB chunks)."""
+    return _frac_select(*state, n, d, i)
+
+
+# ----------------------------------------------------------------- host decode (f64)
+
+
+def decode_distance(dots, dens) -> float:
+    """Reference-exact f64 decode of one entry's 31 (dot, den) pairs
+    (src/lib.rs:97-107). Host-side NumPy; used for reported values and as the oracle.
+    """
+    dots = np.asarray(dots, dtype=np.uint16).astype(np.int64)
+    dens = np.asarray(dens, dtype=np.uint16).astype(np.int64)
+    n = ((dens - dots) & 0xFFFF) >> 1
+    best = float("inf")
+    for nr, dr in zip(n.tolist(), dens.tolist()):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = float(np.float64(nr) / np.float64(dr))
+        if v < best:  # NaN compares false -> skipped, like Rust f64::min
+            best = v
+    return best
+
+
+def decode_distance_batch_np(dots, dens) -> np.ndarray:
+    """Vectorized host decode: [N, 31] u16 dots & dens -> [N] f64 distances.
+
+    Bit-identical to :func:`decode_distance` per row (correctly-rounded f64 division
+    and NaN-skipping min), but vectorized for the coordinator's bulk decode path
+    (reference src/main.rs:597-612).
+    """
+    dots = np.asarray(dots, dtype=np.uint16).astype(np.int64)
+    dens = np.asarray(dens, dtype=np.uint16).astype(np.int64)
+    n = ((dens - dots) & 0xFFFF) >> 1
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = n.astype(np.float64) / dens.astype(np.float64)
+    # NaN-skipping min per row; all-NaN rows give +inf.
+    vals = np.where(np.isnan(vals), np.inf, vals)
+    return vals.min(axis=-1)
+
+
+def fraction_to_f64(n: int, d: int) -> float:
+    """Host f64 of a winning integer pair, with the reference's 0/0 -> NaN -> +inf
+    min-fold semantics collapsed to +inf."""
+    if d == 0:
+        return float("inf")
+    return float(np.float64(int(n)) / np.float64(int(d)))

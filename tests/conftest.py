@@ -1,0 +1,23 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+Tests never touch real TPU hardware; sharding/mesh tests run on a virtual 8-device CPU
+mesh (mirroring how the driver dry-runs the multi-chip path). Must run before any jax
+import in the test process.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0FFEE)
