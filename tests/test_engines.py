@@ -1,0 +1,161 @@
+"""L2 engine tests: fused plaintext match vs the scalar oracle, participant/coordinator
+engine parity, and the N-party share-sum linearity that underpins the MPC protocol
+(the reference pins this end-to-end in test_encrypted_distances, src/lib.rs:165-193)."""
+
+import numpy as np
+import pytest
+
+from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
+from mpc_iris_tpu.models import MasksEngine, PlaintextEngine, ShareEngine
+from mpc_iris_tpu.ops.decode import decode_distance_batch_np
+from mpc_iris_tpu.ops.encode import encode_template
+from mpc_iris_tpu.types import Bits, EncodedBits, Template
+
+
+def make_db(rng, n, base_templates=None):
+    """Random templates, some derived from bases by rotation+noise so matches exist."""
+    out = []
+    for i in range(n):
+        if base_templates and i % 3 == 0:
+            base = base_templates[i % len(base_templates)]
+            t = base.rotated(int(rng.integers(-15, 16)))
+            # flip ~2% of pattern bits
+            noise = rng.random(BITS_BYTES * 8) < 0.02
+            flipped = np.unpackbits(t.pattern.data, bitorder="little") ^ noise
+            t = Template(
+                Bits(np.packbits(flipped, bitorder="little")), Bits(t.mask.data)
+            )
+            out.append(t)
+        else:
+            out.append(Template.random(rng))
+    return out
+
+
+def packed(templates):
+    pat = np.stack([t.pattern.data for t in templates])
+    msk = np.stack([t.mask.data for t in templates])
+    return pat, msk
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    queries = [Template.random(rng) for _ in range(2)]
+    db = make_db(rng, 37, queries)
+    return rng, queries, db
+
+
+class TestPlaintextEngine:
+    def test_distances_match_oracle(self, setup):
+        rng, queries, db = setup
+        eng = PlaintextEngine(*packed(db), chunk=16)  # force multi-chunk + padding
+        dists = eng.distances(*packed(queries))
+        assert dists.shape == (2, len(db))
+        for qi, q in enumerate(queries):
+            for di in (0, 3, 9, 17, 36):
+                expect = q.distance(db[di])
+                assert dists[qi, di] == expect, (qi, di)
+
+    def test_match_is_argmin_of_oracle(self, setup):
+        rng, queries, db = setup
+        eng = PlaintextEngine(*packed(db), chunk=16)
+        results = eng.match(*packed(queries))
+        for qi, q in enumerate(queries):
+            oracle = np.array([q.distance(e) for e in db])
+            r = results[qi]
+            assert r.index == int(np.argmin(oracle))
+            assert r.distance == oracle.min()
+            # reported value is the f64 of the winning integer pair
+            assert r.distance == r.numerator / r.denominator
+
+    def test_padding_never_wins(self, rng):
+        """d=0 padding entries must lose to any real entry."""
+        t = Template.random(rng)
+        db = [t]  # N=1, padded to chunk size
+        eng = PlaintextEngine(*packed(db), chunk=128)
+        r = eng.match(*packed([t]))[0]
+        assert r.index == 0 and r.distance == 0.0
+
+    def test_single_query_single_entry(self, rng):
+        a, b = Template.random(rng), Template.random(rng)
+        eng = PlaintextEngine(*packed([b]), chunk=128)
+        r = eng.match(*packed([a]))[0]
+        assert r.distance == a.distance(b)
+
+
+class TestShareMasksEngines:
+    def test_mpc_reconstruction_matches_plaintext(self, setup):
+        """N-party protocol algebra: sum of per-party dot shares == plaintext dot;
+        decode reproduces the oracle distance (src/lib.rs:165-193 equivalence)."""
+        rng, queries, db = setup
+        n_parties = 3
+        enc_db = [encode_template(t) for t in db]
+        share_mats = [
+            np.zeros((len(db), enc_db[0].data.size), dtype=np.uint16)
+            for _ in range(n_parties)
+        ]
+        for i, e in enumerate(enc_db):
+            for p, s in enumerate(e.share(n_parties, rng)):
+                share_mats[p][i] = s.data
+
+        engines = [ShareEngine(m, chunk=16) for m in share_mats]
+        masks_eng = MasksEngine(np.stack([t.mask.data for t in db]), chunk=16)
+
+        qpat, qmsk = packed(queries)
+        dots = sum(
+            e.dots(qpat, qmsk).astype(np.int64) for e in engines
+        ) & 0xFFFF  # wrapping sum of u16 shares (src/main.rs:603-608)
+        dens = masks_eng.dots(qmsk)
+        assert dots.shape == (2, len(db), N_ROTATIONS)
+        assert dens.shape == (2, len(db), N_ROTATIONS)
+
+        for qi, q in enumerate(queries):
+            dist = decode_distance_batch_np(
+                dots[qi].astype(np.uint16), dens[qi].astype(np.uint16)
+            )
+            oracle = np.array([q.distance(e) for e in db])
+            np.testing.assert_array_equal(dist, oracle)
+
+    def test_share_dots_equal_direct_dot(self, setup):
+        """Participant engine output == EncodedBits.dot of rotated query vs share."""
+        rng, queries, db = setup
+        share = np.stack([EncodedBits.random(rng).data for _ in range(5)])
+        eng = ShareEngine(share, chunk=128)
+        q = queries[0]
+        out = eng.dots(*packed([q]))[0]  # [5, 31]
+        enc_q = encode_template(q)
+        for r_idx, r in enumerate(range(-15, 16)):
+            rot = enc_q.rotated(r)
+            for e_idx in range(5):
+                assert out[e_idx, r_idx] == rot.dot(EncodedBits(share[e_idx])), (
+                    e_idx,
+                    r,
+                )
+
+    def test_masks_dots_equal_direct_dot(self, setup):
+        rng, queries, db = setup
+        eng = MasksEngine(np.stack([t.mask.data for t in db[:5]]), chunk=128)
+        q = queries[0]
+        out = eng.dots(np.stack([q.mask.data]))[0]
+        for r_idx, r in enumerate(range(-15, 16)):
+            rot = q.mask.rotated(r)
+            for e_idx in range(5):
+                assert out[e_idx, r_idx] == rot.dot(db[e_idx].mask)
+
+    def test_stream_equals_bulk(self, setup):
+        rng, queries, db = setup
+        share = np.stack([EncodedBits.random(rng).data for _ in range(21)])
+        eng = ShareEngine(share, chunk=8)
+        qpat, qmsk = packed(queries)
+        bulk = eng.dots(qpat, qmsk)
+        streamed = np.concatenate(list(eng.stream(qpat, qmsk)), axis=1)
+        assert streamed.shape == bulk.shape  # padding trimmed
+        np.testing.assert_array_equal(streamed, bulk)
+
+    def test_masks_stream_equals_bulk(self, setup):
+        rng, queries, db = setup
+        eng = MasksEngine(np.stack([t.mask.data for t in db]), chunk=8)
+        _, qmsk = packed(queries)
+        bulk = eng.dots(qmsk)
+        streamed = np.concatenate(list(eng.stream(qmsk)), axis=1)
+        np.testing.assert_array_equal(streamed, bulk)
