@@ -1,0 +1,223 @@
+"""Sharded match engines: the single-chip engines of models/engines.py distributed
+over a `jax.sharding.Mesh` with explicit `shard_map` SPMD.
+
+Data distribution (strided-by-chunk):
+
+The padded DB of G = C_local * D chunks (chunk = c entries) is laid out as a global
+array [C_local, D, c, K] whose second axis shards over the ``"db"`` mesh axis, so
+device i holds the global chunks {j*D + i}. Consequences:
+
+- global entry index of (local chunk j, device i, position p) = (j*D + i)*c + p,
+- one sharded "block step" at local chunk j computes the D *consecutive* global
+  chunks j*D .. j*D+D-1 in parallel, so protocol reply streams come out in DB order
+  (reference wire order, src/main.rs:428-434) while every device stays busy.
+
+Queries shard over ``"batch"``; the global match winner is combined with
+`fraction_allmin` over ``"db"`` (exact integer fractions over ICI).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from mpc_iris_tpu.constants import BITS, N_ROTATIONS
+from mpc_iris_tpu.models.engines import (
+    DEFAULT_CHUNK,
+    _mask_dots_chunk,
+    _match_scan,
+    _results_from_triples,
+    _share_dots_chunk,
+    prepare_query_planes,
+)
+from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
+from mpc_iris_tpu.parallel.collectives import fraction_allmin
+
+
+def _blocked(arr: np.ndarray, chunk: int, n_shards: int):
+    """Host: [N, ...] -> ([C_local, D, chunk, ...], true_count) with zero padding."""
+    n = arr.shape[0]
+    block = chunk * n_shards
+    g_blocks = max(1, -(-n // block))
+    padded = g_blocks * block
+    if padded != n:
+        pad = [(0, padded - n)] + [(0, 0)] * (arr.ndim - 1)
+        arr = np.pad(arr, pad, constant_values=0)
+    return arr.reshape(g_blocks, n_shards, chunk, *arr.shape[1:]), n
+
+
+class _ShardedBase:
+    def __init__(self, mesh, chunk: int):
+        self.mesh = mesh
+        self.n_shards = mesh.shape["db"]
+        self.chunk = chunk
+        self.db_sharding = NamedSharding(mesh, P(None, "db", None, None))
+
+    def _put_db(self, arr: np.ndarray):
+        return jax.device_put(arr, self.db_sharding)
+
+    def _query_sharding(self):
+        return NamedSharding(self.mesh, P("batch", None, None))
+
+
+class ShardedPlaintextEngine(_ShardedBase):
+    """Fused plaintext min-distance search over a DB sharded across chips."""
+
+    def __init__(self, patterns_packed, masks_packed, mesh, chunk: int = DEFAULT_CHUNK):
+        n = patterns_packed.shape[0]
+        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        super().__init__(mesh, chunk)
+        p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
+        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+        enc = encode_grid_i8(p, m, xp=np)
+        enc_b, self.count = _blocked(enc, chunk, self.n_shards)
+        mask_b, _ = _blocked(m, chunk, self.n_shards)
+        self.db_enc = self._put_db(enc_b)
+        self.db_mask = self._put_db(mask_b)
+
+        c, d = self.chunk, self.n_shards
+
+        def spmd(q_enc, q_mask, db_enc, db_mask):
+            # local: q [B_local, 31, K]; db [C_local, 1, c, K]
+            local_enc = db_enc.reshape(db_enc.shape[0], c, BITS)
+            local_mask = db_mask.reshape(db_mask.shape[0], c, BITS)
+            n_, d_, l = _match_scan(q_enc, q_mask, local_enc, local_mask)
+            # local l = j*c + p  ->  global (j*D + i)*c + p
+            i_rank = lax.axis_index("db").astype(jnp.int32)
+            g = (l // c) * (d * c) + i_rank * c + (l % c)
+            return fraction_allmin(n_, d_, g, "db")
+
+        self._match = jax.jit(
+            shard_map(
+                spmd,
+                mesh=self.mesh,
+                in_specs=(P("batch", None, None), P("batch", None, None),
+                          P(None, "db", None, None), P(None, "db", None, None)),
+                out_specs=(P("batch"), P("batch"), P("batch")),
+                check_vma=False,
+            )
+        )
+
+    def match_arrays(self, q_enc, q_mask):
+        return self._match(q_enc, q_mask, self.db_enc, self.db_mask)
+
+    def match(self, patterns_packed, masks_packed):
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        q_enc = jax.device_put(q_enc, self._query_sharding())
+        q_mask = jax.device_put(q_mask, self._query_sharding())
+        n, d, i = self.match_arrays(q_enc, q_mask)
+        return _results_from_triples(n, d, i)
+
+
+class ShardedShareEngine(_ShardedBase):
+    """Participant dot-share engine over a share DB sharded across chips."""
+
+    def __init__(self, shares_u16, mesh, chunk: int = DEFAULT_CHUNK):
+        n = shares_u16.shape[0]
+        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        super().__init__(mesh, chunk)
+        s = np.asarray(shares_u16, dtype=np.uint16)
+        lo = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
+        hi = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
+        lo_b, self.count = _blocked(lo, chunk, self.n_shards)
+        hi_b, _ = _blocked(hi, chunk, self.n_shards)
+        self.db_lo = self._put_db(lo_b)
+        self.db_hi = self._put_db(hi_b)
+
+        def spmd(q_enc, lo_j, hi_j):
+            # local: lo_j/hi_j [1, c, K] -> [B, c, 31]
+            return _share_dots_chunk(q_enc, lo_j[0], hi_j[0])
+
+        self._block = jax.jit(
+            shard_map(
+                spmd,
+                mesh=self.mesh,
+                in_specs=(P(None, None, None), P("db", None, None),
+                          P("db", None, None)),
+                out_specs=P(None, "db", None),
+                check_vma=False,
+            ),
+        )
+
+    def num_blocks(self) -> int:
+        return self.db_lo.shape[0]
+
+    def block(self, q_enc, j: int):
+        """Global chunks j*D .. j*D+D-1: uint16 [B, D*chunk, 31] in DB order."""
+        return self._block(q_enc, self.db_lo[j], self.db_hi[j])
+
+    def stream(self, patterns_packed, masks_packed):
+        """Yield host uint16 [B, <=D*chunk, 31] blocks in DB order, trimmed."""
+        q_enc, _ = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        block_entries = self.chunk * self.n_shards
+        nb = self.num_blocks()
+        pending = self.block(q_enc, 0) if nb else None
+        for j in range(nb):
+            nxt = self.block(q_enc, j + 1) if j + 1 < nb else None
+            host = np.asarray(pending)
+            start = j * block_entries
+            end = min(self.count, start + block_entries)
+            yield host[:, : end - start]
+            pending = nxt
+
+    def dots(self, patterns_packed, masks_packed) -> np.ndarray:
+        return np.concatenate(list(self.stream(patterns_packed, masks_packed)), axis=1)
+
+
+class ShardedMasksEngine(_ShardedBase):
+    """Coordinator denominator engine over a masks DB sharded across chips."""
+
+    def __init__(self, masks_packed, mesh, chunk: int = DEFAULT_CHUNK):
+        n = masks_packed.shape[0]
+        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        super().__init__(mesh, chunk)
+        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+        mask_b, self.count = _blocked(m, chunk, self.n_shards)
+        self.db_mask = self._put_db(mask_b)
+
+        def spmd(q_mask, mask_j):
+            return _mask_dots_chunk(q_mask, mask_j[0])
+
+        self._block = jax.jit(
+            shard_map(
+                spmd,
+                mesh=self.mesh,
+                in_specs=(P(None, None, None), P("db", None, None)),
+                out_specs=P(None, "db", None),
+                check_vma=False,
+            ),
+        )
+
+    def num_blocks(self) -> int:
+        return self.db_mask.shape[0]
+
+    def stream(self, masks_packed):
+        q = jnp.asarray(masks_packed)
+        _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        block_entries = self.chunk * self.n_shards
+        nb = self.num_blocks()
+        pending = self._block(q_mask, self.db_mask[0]) if nb else None
+        for j in range(nb):
+            nxt = self._block(q_mask, self.db_mask[j + 1]) if j + 1 < nb else None
+            host = np.asarray(pending)
+            start = j * block_entries
+            end = min(self.count, start + block_entries)
+            yield host[:, : end - start]
+            pending = nxt
+
+    def dots(self, masks_packed) -> np.ndarray:
+        return np.concatenate(list(self.stream(masks_packed)), axis=1)

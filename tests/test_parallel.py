@@ -1,0 +1,89 @@
+"""Sharded-engine tests on a virtual 8-device CPU mesh: sharded results must be
+identical to the single-chip engines (and therefore to the scalar oracle)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mpc_iris_tpu.models import MasksEngine, PlaintextEngine, ShareEngine
+from mpc_iris_tpu.parallel import (
+    ShardedMasksEngine,
+    ShardedPlaintextEngine,
+    ShardedShareEngine,
+    make_mesh,
+    mesh_shape_for,
+)
+from mpc_iris_tpu.types import EncodedBits, Template
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    queries = [Template.random(rng) for _ in range(2)]
+    db = [Template.random(rng) for _ in range(19)]
+    # plant a near-match so the argmin is meaningful
+    db[11] = queries[1].rotated(-4)
+    qpat = np.stack([t.pattern.data for t in queries])
+    qmsk = np.stack([t.mask.data for t in queries])
+    dpat = np.stack([t.pattern.data for t in db])
+    dmsk = np.stack([t.mask.data for t in db])
+    shares = np.stack([EncodedBits.random(rng).data for _ in range(19)])
+    return qpat, qmsk, dpat, dmsk, shares
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8) == (8, 1)
+    assert mesh_shape_for(8, batch_size=64) == (2, 4)
+    assert mesh_shape_for(4, batch_size=2) == (2, 2)
+    assert mesh_shape_for(1, batch_size=128) == (1, 1)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+
+def test_sharded_plaintext_matches_single(data):
+    qpat, qmsk, dpat, dmsk, _ = data
+    mesh = make_mesh(db=4, batch=2)
+    sharded = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=4)
+    single = PlaintextEngine(dpat, dmsk, chunk=16)
+    rs = sharded.match(qpat, qmsk)
+    r1 = single.match(qpat, qmsk)
+    for a, b in zip(rs, r1):
+        assert (a.index, a.numerator, a.denominator) == (
+            b.index,
+            b.numerator,
+            b.denominator,
+        )
+        assert a.distance == b.distance
+
+
+def test_sharded_plaintext_db_only_mesh(data):
+    qpat, qmsk, dpat, dmsk, _ = data
+    mesh = make_mesh(db=8, batch=1)
+    sharded = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=2)
+    single = PlaintextEngine(dpat, dmsk)
+    rs = sharded.match(qpat, qmsk)
+    r1 = single.match(qpat, qmsk)
+    for a, b in zip(rs, r1):
+        assert (a.index, a.distance) == (b.index, b.distance)
+
+
+def test_sharded_share_stream_order_and_values(data):
+    qpat, qmsk, _, _, shares = data
+    mesh = make_mesh(db=4, batch=2)
+    sharded = ShardedShareEngine(shares, mesh, chunk=2)
+    single = ShareEngine(shares, chunk=16)
+    out_s = sharded.dots(qpat, qmsk)
+    out_1 = single.dots(qpat, qmsk)
+    assert out_s.shape == out_1.shape
+    np.testing.assert_array_equal(out_s, out_1)
+
+
+def test_sharded_masks_matches_single(data):
+    _, qmsk, _, dmsk, _ = data
+    mesh = make_mesh(db=8, batch=1)
+    sharded = ShardedMasksEngine(dmsk, mesh, chunk=2)
+    single = MasksEngine(dmsk, chunk=16)
+    np.testing.assert_array_equal(sharded.dots(qmsk), single.dots(qmsk))
