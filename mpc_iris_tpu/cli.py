@@ -1,0 +1,411 @@
+"""Command-line interface — role parity with the reference CLI (src/main.rs:60-88):
+
+- ``generate``     random test templates to JSON (src/main.rs:186-267)
+- ``prepare``      JSON templates -> mpc.masks + mpc.share-{0..n-1} (src/main.rs:268-383)
+- ``decrypt``      shares -> templates JSON (declared-but-stubbed in the reference,
+                   src/main.rs:71,687 — implemented here)
+- ``participant``  share-holding match server (src/main.rs:384-452)
+- ``coordinator``  / ``resolver``: query orchestration + decode (src/main.rs:453-644),
+                   including coordinator-as-participant via --share (stubbed in the
+                   reference, src/main.rs:136,482 — implemented here)
+- ``benchmark``    drive a participant with random queries (src/main.rs:645-686)
+- ``match``        NEW: local plaintext uniqueness check on TPU (the fused
+                   matmul+argmin pipeline; the reference only has a scalar oracle)
+
+Binary/JSON formats are byte-compatible with the reference, so DB shares prepared by
+either implementation interoperate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import sys
+import time
+
+import numpy as np
+
+from mpc_iris_tpu.constants import BITS, BITS_BYTES, TEMPLATE_BYTES
+from mpc_iris_tpu.io.formats import (
+    open_masks,
+    open_share,
+    read_templates_json,
+    write_templates_json,
+)
+from mpc_iris_tpu.types import Bits, Template
+from mpc_iris_tpu.utils.config import device_banner, parse_si
+from mpc_iris_tpu.utils.progress import Progress
+
+
+def _parse_addr(s: str) -> tuple[str, int]:
+    host, _, port = s.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+def _batched_templates(fp, batch: int):
+    """Yield (patterns u8 [n,1600], masks u8 [n,1600]) batches from a JSON stream."""
+    pats, msks = [], []
+    for t in read_templates_json(fp):
+        pats.append(t.pattern.data)
+        msks.append(t.mask.data)
+        if len(pats) == batch:
+            yield np.stack(pats), np.stack(msks)
+            pats, msks = [], []
+    if pats:
+        yield np.stack(pats), np.stack(msks)
+
+
+# ------------------------------------------------------------------ generate
+
+
+def cmd_generate(args) -> int:
+    if os.path.exists(args.path) and not args.replace:
+        print(f"error: {args.path} exists (use --replace)", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(args.seed)
+    count = args.count
+    progress = Progress("generate", total=count, unit="templates")
+
+    def gen():
+        remaining = count
+        while remaining > 0:
+            n = min(remaining, 1000)
+            raw = rng.integers(0, 256, size=(n, TEMPLATE_BYTES), dtype=np.uint8)
+            for row in raw:
+                yield Template(Bits(row[:BITS_BYTES]), Bits(row[BITS_BYTES:]))
+            progress.update(n, n * TEMPLATE_BYTES)
+            remaining -= n
+
+    with open(args.path, "wb") as f:
+        written = write_templates_json(f, gen())
+    progress.finish()
+    print(f"wrote {written} templates to {args.path}", file=sys.stderr)
+    return 0
+
+
+# ------------------------------------------------------------------ prepare
+
+
+def cmd_prepare(args) -> int:
+    from mpc_iris_tpu.ops.encode import encode_grid_u16, unpack_bits
+
+    rng = np.random.default_rng(args.seed)
+    n_shares = args.count
+    base = args.output
+    masks_path = f"{base}.masks"
+    share_paths = [f"{base}.share-{i}" for i in range(n_shares)]
+    for p in [masks_path, *share_paths]:
+        if os.path.exists(p):
+            os.remove(p)
+
+    progress = Progress("prepare", unit="templates")
+    masks_f = open(masks_path, "ab")
+    share_fs = [open(p, "ab") for p in share_paths]
+    try:
+        with open(args.input, "rb") as f:
+            for pats, msks in _batched_templates(f, args.batch):
+                n = pats.shape[0]
+                p = unpack_bits(pats, xp=np)
+                m = unpack_bits(msks, xp=np)
+                enc = encode_grid_u16(p, m, xp=np)  # [n, 12800] u16
+                total = np.zeros_like(enc)
+                masks_f.write(msks.tobytes())
+                for i in range(n_shares - 1):
+                    r = rng.integers(0, 1 << 16, size=enc.shape, dtype=np.uint16)
+                    share_fs[i].write(r.astype("<u2").tobytes())
+                    total += r
+                last = enc - total
+                share_fs[-1].write(last.astype("<u2").tobytes())
+                progress.update(n, n * (BITS_BYTES + n_shares * 2 * BITS))
+    finally:
+        masks_f.close()
+        for f in share_fs:
+            f.close()
+    progress.finish()
+    print(
+        f"wrote {masks_path} and {n_shares} share files", file=sys.stderr
+    )
+    return 0
+
+
+# ------------------------------------------------------------------ decrypt
+
+
+def cmd_decrypt(args) -> int:
+    from mpc_iris_tpu.ops.encode import decode_encoded
+    from mpc_iris_tpu.types import EncodedBits
+
+    mats = [open_share(p) for p in args.shares]
+    n = min(m.shape[0] for m in mats)
+    if any(m.shape[0] != n for m in mats):
+        print("warning: share files differ in length; truncating", file=sys.stderr)
+    progress = Progress("decrypt", total=n, unit="templates")
+
+    def gen():
+        for start in range(0, n, args.batch):
+            end = min(n, start + args.batch)
+            total = np.zeros((end - start, BITS), dtype=np.uint16)
+            for m in mats:
+                total += np.asarray(m[start:end], dtype=np.uint16)
+            for row in total:
+                yield decode_encoded(EncodedBits(row))
+            progress.update(end - start)
+
+    with open(args.output, "wb") as f:
+        write_templates_json(f, gen())
+    progress.finish()
+    print(f"wrote {n} templates to {args.output}", file=sys.stderr)
+    return 0
+
+
+# ------------------------------------------------------------------ participant
+
+
+def _make_share_engine(share_mat, chunk):
+    import jax
+
+    from mpc_iris_tpu.models import ShareEngine
+    from mpc_iris_tpu.parallel import ShardedShareEngine, make_mesh
+
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(db=len(jax.devices()), batch=1)
+        return ShardedShareEngine(share_mat, mesh, chunk=chunk)
+    return ShareEngine(share_mat, chunk=chunk)
+
+
+def cmd_participant(args) -> int:
+    from mpc_iris_tpu.protocol import ParticipantServer
+
+    print(device_banner(), file=sys.stderr)
+    share = open_share(args.input)
+    print(
+        f"opened share {args.input}: {share.shape[0]} encrypted patterns "
+        f"({os.path.getsize(args.input)} bytes)",
+        file=sys.stderr,
+    )
+    engine = _make_share_engine(share, args.chunk)
+    host, port = _parse_addr(args.bind)
+    server = ParticipantServer(engine, host, port)
+
+    async def run():
+        await server.start()
+        print(f"listening on {server.port}", file=sys.stderr)
+        await server.serve_forever()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+# ------------------------------------------------------------------ coordinator
+
+
+def cmd_coordinator(args) -> int:
+    import jax
+
+    from mpc_iris_tpu.models import MasksEngine, ShareEngine
+    from mpc_iris_tpu.parallel import ShardedMasksEngine, make_mesh
+    from mpc_iris_tpu.protocol import Coordinator
+
+    print(device_banner(), file=sys.stderr)
+    masks = open_masks(args.masks)
+    print(f"opened masks {args.masks}: {masks.shape[0]} masks", file=sys.stderr)
+
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(db=len(jax.devices()), batch=1)
+        masks_engine = ShardedMasksEngine(masks, mesh, chunk=args.chunk)
+    else:
+        masks_engine = MasksEngine(masks, chunk=args.chunk)
+
+    local_engine = None
+    if args.share:
+        local_engine = _make_share_engine(open_share(args.share), args.chunk)
+
+    participants = [_parse_addr(a) for a in args.participants]
+    coord = Coordinator(masks_engine, participants, local_engine=local_engine)
+    rng = np.random.default_rng(args.seed)
+
+    async def run():
+        n = 0
+        while args.queries == 0 or n < args.queries:
+            query = Template.random(rng)
+            t0 = time.monotonic()
+            outcome = await coord.query(query)
+            dt = time.monotonic() - t0
+            print(
+                f"query {n}: closest entry {outcome.index} of {outcome.total} "
+                f"at distance {outcome.distance} ({dt:.3f}s, "
+                f"{outcome.total / max(dt, 1e-9):.0f} entries/s)"
+            )
+            n += 1
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+# ------------------------------------------------------------------ benchmark
+
+
+def cmd_benchmark(args) -> int:
+    rng = np.random.default_rng(args.seed)
+    host, port = _parse_addr(args.participant)
+
+    async def run():
+        for q in range(args.queries):
+            query = Template.random(rng)
+            t0 = time.monotonic()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            total = 0
+            while True:
+                data = await reader.read(1 << 20)
+                if not data:
+                    break
+                total += len(data)
+            dt = time.monotonic() - t0
+            writer.close()
+            await writer.wait_closed()
+            entries = total // 62
+            print(
+                f"query {q}: {entries} records, {total / 1e6:.1f} MB in {dt:.3f}s "
+                f"({entries / max(dt, 1e-9):.0f} entries/s, "
+                f"{total / 1e6 / max(dt, 1e-9):.1f} MB/s)"
+            )
+
+    asyncio.run(run())
+    return 0
+
+
+# ------------------------------------------------------------------ match (local)
+
+
+def cmd_match(args) -> int:
+    import jax
+
+    from mpc_iris_tpu.models import PlaintextEngine
+    from mpc_iris_tpu.parallel import ShardedPlaintextEngine, make_mesh, mesh_shape_for
+
+    print(device_banner(), file=sys.stderr)
+    pats, msks = [], []
+    with open(args.db, "rb") as f:
+        for p, m in _batched_templates(f, 4096):
+            pats.append(p)
+            msks.append(m)
+    dpat, dmsk = np.concatenate(pats), np.concatenate(msks)
+    print(f"loaded {dpat.shape[0]} templates", file=sys.stderr)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        db_ax, batch_ax = mesh_shape_for(n_dev, args.batch)
+        mesh = make_mesh(db=db_ax, batch=batch_ax)
+        engine = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=args.chunk)
+    else:
+        engine = PlaintextEngine(dpat, dmsk, chunk=args.chunk)
+
+    rng = np.random.default_rng(args.seed)
+    if args.queries_file:
+        qp, qm = [], []
+        with open(args.queries_file, "rb") as f:
+            for p, m in _batched_templates(f, 4096):
+                qp.append(p)
+                qm.append(m)
+        qpat, qmsk = np.concatenate(qp), np.concatenate(qm)
+    else:
+        # self-match smoke: rotated noisy copies of random DB entries
+        idx = rng.integers(0, dpat.shape[0], size=args.batch)
+        qpat, qmsk = dpat[idx], dmsk[idx]
+
+    t0 = time.monotonic()
+    results = engine.match(qpat, qmsk)
+    dt = time.monotonic() - t0
+    for i, r in enumerate(results):
+        print(f"query {i}: closest entry {r.index} at distance {r.distance}")
+    cmp_rate = len(results) * dpat.shape[0] / max(dt, 1e-9)
+    print(
+        f"{len(results)} queries x {dpat.shape[0]} entries in {dt:.3f}s "
+        f"({cmp_rate:.3e} full matches/s incl. 31 rotations)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+# ------------------------------------------------------------------ parser
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mpc-iris-tpu",
+        description="TPU-native privacy-preserving iris-code matching",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="generate random test data in json")
+    g.add_argument("path")
+    g.add_argument("count", nargs="?", type=parse_si, default=10**6)
+    g.add_argument("--replace", action="store_true")
+    g.add_argument("--seed", type=int, default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    g = sub.add_parser("prepare", help="prepare secret shares from json input")
+    g.add_argument("input")
+    g.add_argument("count", nargs="?", type=int, default=3)
+    g.add_argument("output", nargs="?", default="mpc")
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--batch", type=int, default=1000)
+    g.set_defaults(fn=cmd_prepare)
+
+    g = sub.add_parser("decrypt", help="combine secret shares back to json")
+    g.add_argument("shares", nargs="+")
+    g.add_argument("--output", default="decrypted.json")
+    g.add_argument("--batch", type=int, default=1000)
+    g.set_defaults(fn=cmd_decrypt)
+
+    g = sub.add_parser("participant", help="start share-holding participant server")
+    g.add_argument("input")
+    g.add_argument("bind", nargs="?", default="127.0.0.1:1234")
+    g.add_argument("--chunk", type=parse_si, default=8192)
+    g.set_defaults(fn=cmd_participant)
+
+    for name in ("coordinator", "resolver"):
+        g = sub.add_parser(name, help="start the coordinator/resolver")
+        g.add_argument("participants", nargs="*")
+        g.add_argument("--masks", default="mpc.masks")
+        g.add_argument("--share", default=None,
+                       help="optional share file if the resolver is also a participant")
+        g.add_argument("--bind", default="127.0.0.1:8080")
+        g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
+        g.add_argument("--chunk", type=parse_si, default=8192)
+        g.add_argument("--seed", type=int, default=None)
+        g.set_defaults(fn=cmd_coordinator)
+
+    g = sub.add_parser("benchmark", help="benchmark a participant")
+    g.add_argument("participant")
+    g.add_argument("--queries", type=int, default=3)
+    g.add_argument("--seed", type=int, default=None)
+    g.set_defaults(fn=cmd_benchmark)
+
+    g = sub.add_parser("match", help="local plaintext uniqueness check on TPU")
+    g.add_argument("db", help="template JSON file")
+    g.add_argument("--queries-file", default=None)
+    g.add_argument("--batch", type=parse_si, default=8)
+    g.add_argument("--chunk", type=parse_si, default=8192)
+    g.add_argument("--seed", type=int, default=None)
+    g.set_defaults(fn=cmd_match)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

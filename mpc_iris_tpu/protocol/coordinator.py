@@ -1,0 +1,176 @@
+"""Coordinator/resolver role: query fan-out, share aggregation, distance decode
+(reference src/main.rs:453-644).
+
+Per query: connect to every participant, send the 3,200-byte template, then per
+20,000-record batch (a) read each party's dot-share stream, (b) pull locally computed
+denominators from the masks engine (device compute overlapping network reads — the
+reference's `join!`, src/main.rs:560), (c) wrapping-sum the shares, decode f64
+distances, and fold the running argmin. EOF-tolerant: streams are truncated to whole
+records and all sources aligned to the shortest prefix (src/main.rs:538-569).
+
+Optionally the coordinator also holds a share itself (``local_engine``) — the
+reference declares this but leaves it unimplemented (src/main.rs:136, 482).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
+from mpc_iris_tpu.ops.decode import decode_distance_batch_np
+from mpc_iris_tpu.protocol.wire import BATCH_RECORDS, read_records
+from mpc_iris_tpu.types import Template
+
+log = logging.getLogger("mpc_iris_tpu.coordinator")
+
+
+@dataclass
+class QueryOutcome:
+    index: int
+    distance: float
+    total: int  # entries compared
+
+
+def _rechunk(stream, size: int):
+    """Re-buffer a stream of u16 [1, n, 31] arrays into exactly-``size`` batches
+    (the final batch may be short)."""
+    buf = []
+    have = 0
+    for chunk in stream:
+        arr = chunk[0]
+        buf.append(arr)
+        have += arr.shape[0]
+        while have >= size:
+            cat = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+            yield cat[:size]
+            rest = cat[size:]
+            buf = [rest] if rest.shape[0] else []
+            have = rest.shape[0]
+    if have:
+        yield np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+
+
+class Coordinator:
+    def __init__(self, masks_engine, participants: list[tuple[str, int]],
+                 local_engine=None, batch_records: int = BATCH_RECORDS):
+        """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
+        participants: (host, port) of each share-holding party.
+        local_engine: optional ShareEngine if this process also holds a share.
+        """
+        self.masks_engine = masks_engine
+        self.participants = participants
+        self.local_engine = local_engine
+        self.batch_records = batch_records
+
+    async def query(self, template: Template) -> QueryOutcome:
+        qmsk = template.mask.data[None]
+        qpat = template.pattern.data[None]
+
+        # Fan out to participants.
+        conns = await asyncio.gather(
+            *[asyncio.open_connection(h, p) for h, p in self.participants]
+        )
+        raw = template.to_bytes()
+        for _, writer in conns:
+            writer.write(raw)
+        await asyncio.gather(*[w.drain() for _, w in conns])
+
+        # Local denominator (and optional local share) streams: device compute in
+        # worker threads feeding bounded queues.
+        loop = asyncio.get_running_loop()
+
+        def threaded_stream(gen):
+            q: asyncio.Queue = asyncio.Queue(maxsize=4)
+
+            def run():
+                try:
+                    for item in gen:
+                        asyncio.run_coroutine_threadsafe(q.put(item), loop).result()
+                    asyncio.run_coroutine_threadsafe(q.put(None), loop).result()
+                except Exception as e:
+                    asyncio.run_coroutine_threadsafe(q.put(e), loop).result()
+
+            threading.Thread(target=run, daemon=True).start()
+            return q
+
+        denom_q = threaded_stream(
+            _rechunk(self.masks_engine.stream(qmsk), self.batch_records)
+        )
+        local_q = (
+            threaded_stream(
+                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records)
+            )
+            if self.local_engine is not None
+            else None
+        )
+
+        async def next_item(q):
+            item = await q.get()
+            if isinstance(item, Exception):
+                raise item
+            return item
+
+        min_distance = float("inf")
+        min_index = -1
+        processed = 0
+        eofs = [False] * len(conns)
+
+        while True:
+            # Read one batch from every source concurrently (join! at main.rs:560).
+            reads = [
+                read_records(r, self.batch_records) for (r, _w), e in zip(conns, eofs)
+            ]
+            gathered = await asyncio.gather(
+                next_item(denom_q),
+                *( [next_item(local_q)] if local_q is not None else [] ),
+                *reads,
+            )
+            denom = gathered[0]
+            off = 1
+            local = None
+            if local_q is not None:
+                local = gathered[1]
+                off = 2
+            share_batches = []
+            for i, (arr, eof) in enumerate(gathered[off:]):
+                share_batches.append(arr)
+                eofs[i] = eofs[i] or eof
+            if local is not None:
+                share_batches.append(local)
+            if denom is None:
+                denom = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
+            if local is None and local_q is not None:
+                share_batches[-1] = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
+
+            # Align to shortest prefix (main.rs:565-569).
+            n = min([denom.shape[0]] + [b.shape[0] for b in share_batches]) \
+                if share_batches else denom.shape[0]
+            if n == 0:
+                break
+            denom = denom[:n]
+            share_batches = [b[:n] for b in share_batches]
+
+            # Reconstruct share sums mod 2^16 and decode (main.rs:597-612).
+            total = np.zeros((n, N_ROTATIONS), dtype=np.uint16)
+            for b in share_batches:
+                total += b.astype(np.uint16)
+            dists = decode_distance_batch_np(total, denom.astype(np.uint16))
+            j = int(np.argmin(dists))
+            if dists[j] < min_distance:
+                min_distance = float(dists[j])
+                min_index = processed + j
+            processed += n
+            if n < self.batch_records:
+                break
+
+        for _, w in conns:
+            w.close()
+        await asyncio.gather(
+            *[w.wait_closed() for _, w in conns], return_exceptions=True
+        )
+        return QueryOutcome(min_index, min_distance, processed)

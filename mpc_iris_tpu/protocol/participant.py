@@ -1,0 +1,95 @@
+"""Participant role: share-holding match server (reference src/main.rs:384-452).
+
+Holds one additive-share DB device-resident (via :class:`ShareEngine` or its sharded
+variant), accepts one query per TCP connection, and streams the per-entry dot-share
+records back while the next DB chunks are still computing on device.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+
+import numpy as np
+
+from mpc_iris_tpu.protocol.wire import read_template_bytes, records_to_bytes
+from mpc_iris_tpu.constants import BITS_BYTES, TEMPLATE_BYTES
+
+log = logging.getLogger("mpc_iris_tpu.participant")
+
+
+class ParticipantServer:
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234):
+        """engine: ShareEngine or ShardedShareEngine (anything with .stream)."""
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._server: asyncio.AbstractServer | None = None
+
+    async def start(self) -> tuple[str, int]:
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port
+        )
+        sock = self._server.sockets[0].getsockname()
+        log.info("participant listening on %s:%s", sock[0], sock[1])
+        self.port = sock[1]
+        return sock[0], sock[1]
+
+    async def serve_forever(self) -> None:
+        if self._server is None:
+            await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        peer = writer.get_extra_info("peername")
+        log.info("inbound from %s", peer)
+        try:
+            raw = await read_template_bytes(reader)
+            qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
+            qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
+
+            # Device compute in a worker thread feeding a bounded queue (the
+            # reference's spawn_blocking + mpsc pipeline, src/main.rs:423-434).
+            loop = asyncio.get_running_loop()
+            queue: asyncio.Queue = asyncio.Queue(maxsize=4)
+
+            def produce():
+                try:
+                    for chunk in self.engine.stream(qpat, qmsk):
+                        fut = asyncio.run_coroutine_threadsafe(
+                            queue.put(chunk[0]), loop
+                        )
+                        fut.result()
+                    asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
+                except Exception as e:  # surface compute errors to the writer loop
+                    asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
+
+            worker = threading.Thread(target=produce, daemon=True)
+            worker.start()
+
+            sent = 0
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                writer.write(records_to_bytes(item))
+                await writer.drain()
+                sent += item.shape[0]
+            log.info("reply sent: %d records", sent)
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            log.warning("connection from %s dropped", peer)
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except (ConnectionResetError, BrokenPipeError):
+                pass
