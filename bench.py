@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: masked-Hamming comparisons/sec on one TPU chip.
+
+One "comparison" = one full masked fractional-Hamming-distance evaluation between a
+(rotated) 12,800-bit query and a DB template — numerator (pattern dot) + denominator
+(mask popcount dot) + exact min/argmin selection, i.e. the complete per-pair work of
+the reference's match pipeline (src/lib.rs:42-80 + decode). A full 31-rotation match
+therefore counts as 31 comparisons.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "comparisons/s", "vs_baseline": N}
+vs_baseline is against the 1e9 cmp/s/chip north star (BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--db", type=int, default=262144, help="DB entries on this chip")
+    p.add_argument("--batch", type=int, default=128, help="queries per batch")
+    p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--mode", choices=["plaintext", "share"], default="plaintext")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_iris_tpu.constants import BITS, BITS_BYTES
+    from mpc_iris_tpu.models.engines import (
+        _match_scan,
+        _share_dots_chunk,
+        prepare_query_planes,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    n = args.db
+    chunk = min(args.chunk, n)
+    n_chunks = max(1, n // chunk)
+    n = n_chunks * chunk
+    b = args.batch
+    log(f"DB={n} entries, batch={b} queries, chunk={chunk} x {n_chunks}")
+
+    # Synthesize the DB directly on device (values don't affect int8 matmul speed,
+    # but keep them semantically valid: enc in {-1,0,1}, mask = (enc != 0)).
+    key = jax.random.key(0)
+    kq, kdb = jax.random.split(key)
+
+    rng = np.random.default_rng(0)
+    qpat = rng.integers(0, 256, size=(b, BITS_BYTES), dtype=np.uint8)
+    qmsk = rng.integers(0, 256, size=(b, BITS_BYTES), dtype=np.uint8)
+    q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+    q_enc = jax.block_until_ready(q_enc)
+
+    if args.mode == "plaintext":
+        db_enc = jax.random.randint(kdb, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
+        db_mask = (db_enc != 0).astype(jnp.int8)
+        db_enc, db_mask = jax.block_until_ready((db_enc, db_mask))
+        step = jax.jit(_match_scan)
+        # np.asarray forces a host transfer of the tiny result triples: on some
+        # remote-execution backends block_until_ready alone does not synchronize.
+        run = lambda: [np.asarray(x) for x in step(q_enc, q_mask, db_enc, db_mask)]
+        # per pass: numerator + denominator matmuls
+        macs_per_pass = 2 * (31 * b) * n * BITS
+    else:
+        db_lo = jax.random.randint(kdb, (n_chunks, chunk, BITS), -128, 128, dtype=jnp.int8)
+        db_hi = jax.random.randint(kq, (n_chunks, chunk, BITS), -128, 128, dtype=jnp.int8)
+        db_lo, db_hi = jax.block_until_ready((db_lo, db_hi))
+        qe = q_enc
+
+        @jax.jit
+        def share_pass(qe, lo, hi):
+            def stepf(c, xs):
+                lo_c, hi_c = xs
+                out = _share_dots_chunk(qe, lo_c, hi_c)
+                # fold to keep the pass compute-bound on device (the protocol path
+                # streams `out` to the host instead)
+                return c + out.astype(jnp.uint32).sum(), None
+
+            acc, _ = jax.lax.scan(stepf, jnp.uint32(0), (lo, hi))
+            return acc
+
+        run = lambda: np.asarray(share_pass(qe, db_lo, db_hi))
+        macs_per_pass = 2 * (31 * b) * n * BITS
+
+    log("compiling + warmup...")
+    t0 = time.monotonic()
+    run()
+    log(f"warmup {time.monotonic() - t0:.1f}s")
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.monotonic()
+        run()
+        dt = time.monotonic() - t0
+        times.append(dt)
+        log(f"iter {i}: {dt:.3f}s")
+
+    dt = min(times)
+    comparisons = b * n * 31
+    rate = comparisons / dt
+    tops = macs_per_pass / dt / 1e12
+    log(
+        f"best pass: {dt:.3f}s  -> {rate:.3e} cmp/s, {tops:.1f} int8-TOP/s "
+        f"({b} queries x {n} entries x 31 rotations)"
+    )
+    full_matches = b * n / dt
+    log(f"full 31-rotation matches/s: {full_matches:.3e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"masked-Hamming comparisons/sec/chip ({args.mode} path, "
+                f"{n}-entry DB, batch {b})",
+                "value": rate,
+                "unit": "comparisons/s",
+                "vs_baseline": rate / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,17 @@ def _frac_less(n1, d1, n2, d2):
 
 
 def _frac_select(n1, d1, i1, n2, d2, i2):
-    """Select the smaller fraction; ties (and both-invalid) keep the smaller index."""
-    less = _frac_less(n1, d1, n2, d2)
-    greater = _frac_less(n2, d2, n1, d1)
+    """Select the smaller fraction; ties (and both-invalid) keep the smaller index.
+
+    Single pair of int32 cross-products (int32 multiplies are expensive on the VPU);
+    validity is folded in by keying invalid (d == 0) entries to +inf-like behavior.
+    """
+    p1 = n1 * d2
+    p2 = n2 * d1
+    v1 = d1 > 0
+    v2 = d2 > 0
+    less = (v1 & ~v2) | (v1 & v2 & (p1 < p2))
+    greater = (v2 & ~v1) | (v1 & v2 & (p2 < p1))
     pick1 = less | (~greater & (i1 <= i2))
     return (
         jnp.where(pick1, n1, n2),
@@ -67,11 +75,21 @@ def fraction_min_rotations(nums, dens, axis=-1):
     arrays without that axis, r being the winning rotation slot 0..30 (rotation
     r - 15). Static 31-way tree of VPU selects.
     """
-    nums = jnp.moveaxis(jnp.asarray(nums, dtype=jnp.int32), axis, 0)
-    dens = jnp.moveaxis(jnp.asarray(dens, dtype=jnp.int32), axis, 0)
-    k = nums.shape[0]
-    idx = [jnp.full(nums.shape[1:], i, dtype=jnp.int32) for i in range(k)]
-    items = [(nums[i], dens[i], idx[i]) for i in range(k)]
+    nums = jnp.asarray(nums, dtype=jnp.int32)
+    dens = jnp.asarray(dens, dtype=jnp.int32)
+    axis = axis % nums.ndim
+    k = nums.shape[axis]
+    # Slice (not moveaxis) so every leaf reads the original buffer and the whole
+    # static select tree fuses into one elementwise pass.
+    shape = tuple(s for a, s in enumerate(nums.shape) if a != axis)
+    items = [
+        (
+            lax.index_in_dim(nums, i, axis, keepdims=False),
+            lax.index_in_dim(dens, i, axis, keepdims=False),
+            jnp.full(shape, i, dtype=jnp.int32),
+        )
+        for i in range(k)
+    ]
     while len(items) > 1:
         nxt = []
         for j in range(0, len(items) - 1, 2):
@@ -83,30 +101,45 @@ def fraction_min_rotations(nums, dens, axis=-1):
 
 
 def fraction_argmin(nums, dens, axis=-1, index_offset=0):
-    """Argmin of exact fractions along ``axis`` via a variadic lax.reduce.
+    """Argmin of exact fractions along ``axis`` via a vectorized halving tree.
 
     Args:
       nums, dens: int32 arrays of matching shape.
-      index_offset: added to the returned indices (for chunked scans).
+      index_offset: added to the returned indices (may be traced, for chunked scans).
 
-    Returns (n, d, idx) int32 arrays with ``axis`` reduced. The comparator forms a
-    total order (fraction, then index), so the reduce is a valid monoid and XLA may
-    reassociate freely without changing the result.
+    Returns (n, d, idx) int32 arrays with ``axis`` reduced; ties keep the smallest
+    index. A log2(n) sequence of elementwise selects — this vectorizes on the VPU,
+    unlike an XLA variadic reduce with a custom comparator (which lowers to a
+    serialized loop on TPU and dominated the match-scan profile).
     """
     nums = jnp.asarray(nums, dtype=jnp.int32)
     dens = jnp.asarray(dens, dtype=jnp.int32)
     axis = axis % nums.ndim
+    n = nums.shape[axis]
+    nums = jnp.moveaxis(nums, axis, -1)
+    dens = jnp.moveaxis(dens, axis, -1)
     idx_shape = [1] * nums.ndim
-    idx_shape[axis] = nums.shape[axis]
+    idx_shape[-1] = n
     # index_offset may be a traced scalar (chunked scans), so add it after arange.
-    idx = jnp.arange(nums.shape[axis], dtype=jnp.int32) + jnp.asarray(index_offset, jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(index_offset, jnp.int32)
     idx = jnp.broadcast_to(idx.reshape(idx_shape), nums.shape)
 
-    def comp(acc, x):
-        return _frac_select(*acc, *x)
+    # Pad to a power of two with invalid (d = 0) entries that lose every compare.
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        pad = [(0, 0)] * (nums.ndim - 1) + [(0, pow2 - n)]
+        nums = jnp.pad(nums, pad)
+        dens = jnp.pad(dens, pad)
+        idx = jnp.pad(idx, pad, constant_values=2**31 - 1)
 
-    init = (jnp.int32(0), jnp.int32(0), jnp.int32(2**31 - 1))
-    return lax.reduce((nums, dens, idx), init, comp, dimensions=(axis,))
+    while pow2 > 1:
+        half = pow2 // 2
+        nums, dens, idx = _frac_select(
+            nums[..., :half], dens[..., :half], idx[..., :half],
+            nums[..., half:], dens[..., half:], idx[..., half:],
+        )
+        pow2 = half
+    return nums[..., 0], dens[..., 0], idx[..., 0]
 
 
 def running_min(state, n, d, i):
