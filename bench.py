@@ -38,7 +38,7 @@ def main():
 
     from mpc_iris_tpu.constants import BITS, BITS_BYTES
     from mpc_iris_tpu.models.engines import (
-        _match_scan,
+        match_scan_auto,
         _share_dots_chunk,
         prepare_query_planes,
     )
@@ -68,10 +68,10 @@ def main():
         db_enc = jax.random.randint(kdb, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
         db_mask = (db_enc != 0).astype(jnp.int8)
         db_enc, db_mask = jax.block_until_ready((db_enc, db_mask))
-        step = jax.jit(_match_scan)
-        # np.asarray forces a host transfer of the tiny result triples: on some
-        # remote-execution backends block_until_ready alone does not synchronize.
-        run = lambda: [np.asarray(x) for x in step(q_enc, q_mask, db_enc, db_mask)]
+        # np.asarray forces ONE host transfer of the stacked [3, B] result: on some
+        # remote-execution backends block_until_ready alone does not synchronize,
+        # and per-array fetches each pay a full round trip.
+        run = lambda: np.asarray(match_scan_auto(q_enc, q_mask, db_enc, db_mask))
         # per pass: numerator + denominator matmuls
         macs_per_pass = 2 * (31 * b) * n * BITS
     else:

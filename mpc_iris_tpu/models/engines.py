@@ -36,11 +36,33 @@ from mpc_iris_tpu.ops.decode import (
     numerators,
     running_min,
 )
-from mpc_iris_tpu.ops.dot import dot_bits_batch, dot_share_batch, shares_to_planes
+from mpc_iris_tpu.ops.dot import (
+    dot_bits_batch,
+    dot_bits_batch_i4,
+    dot_share_batch,
+    shares_to_planes,
+)
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.ops.rotations import expand_rotations_flat
+from mpc_iris_tpu.ops.select_pallas import select_chunk
 
 DEFAULT_CHUNK = 8192
+
+# Fused Pallas selection requires aligned shapes; anything else falls back to the
+# pure-XLA `_match_scan` (identical semantics, slower epilogue).
+_FUSED_TILE_B = 8
+_FUSED_TILE_N = 2048
+
+
+def _fused_ok(b: int, chunk: int) -> bool:
+    return b % _FUSED_TILE_B == 0 and chunk % _FUSED_TILE_N == 0
+
+
+def fused_tiles_for(b: int, chunk: int):
+    """(tile_b, tile_n) for the fused kernel, or None if shapes don't align."""
+    if _fused_ok(b, chunk):
+        return _FUSED_TILE_B, _FUSED_TILE_N
+    return None
 
 
 # --------------------------------------------------------------------- query prep
@@ -89,7 +111,9 @@ def _match_scan(q_enc, q_mask, db_enc, db_mask):
     """Fused plaintext min-distance search.
 
     q_enc/q_mask: int8 [B, 31, K]; db_enc/db_mask: int8 [C, c, K].
-    Returns (n, d, idx): int32 [B] winning numerator/denominator/DB index.
+    Returns int32 [3, B]: stacked winning (numerator, denominator, DB index) —
+    one array so remote-backend callers pay a single host transfer; tuple
+    unpacking (``n, d, i = ...``) still works.
     """
     b = q_enc.shape[0]
     qe = q_enc.reshape(b * N_ROTATIONS, BITS)
@@ -98,8 +122,8 @@ def _match_scan(q_enc, q_mask, db_enc, db_mask):
 
     def step(carry, xs):
         enc_c, mask_c, offset = xs
-        dot = dot_bits_batch(qe, enc_c).reshape(b, N_ROTATIONS, chunk)
-        den = dot_bits_batch(qm, mask_c).reshape(b, N_ROTATIONS, chunk)
+        dot = dot_bits_batch_i4(qe, enc_c).reshape(b, N_ROTATIONS, chunk)
+        den = dot_bits_batch_i4(qm, mask_c).reshape(b, N_ROTATIONS, chunk)
         # Plaintext path: den - dot = 2 * #unequal >= 0, exact in int32.
         num = (den - dot) >> 1
         n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)  # [B, c]
@@ -113,7 +137,58 @@ def _match_scan(q_enc, q_mask, db_enc, db_mask):
     )
     offsets = jnp.arange(db_enc.shape[0], dtype=jnp.int32) * chunk
     (n, d, i), _ = jax.lax.scan(step, init, (db_enc, db_mask, offsets))
-    return n, d, i
+    return jnp.stack([n, d, i])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_b", "tile_n")
+)
+def _match_scan_fused(
+    q_enc, q_mask, db_enc, db_mask, *, interpret=False,
+    tile_b=_FUSED_TILE_B, tile_n=_FUSED_TILE_N,
+):
+    """`_match_scan` with the selection epilogue fused into a Pallas kernel.
+
+    Identical results; the exact rational argmin runs on-chip over the matmul
+    outputs instead of as HBM-materialized elementwise trees. Requires
+    B % 8 == 0 and chunk % 2048 == 0 (see `_fused_ok`).
+
+    The LHS is padded to 32 rotation rows per query (dummy row: all-zero encoding
+    and mask, so den == 0 == invalid). That costs ~3% extra MXU work but makes the
+    kernel's (tile_b*32, tn) -> (tile_b, 32, tn) view free of sublane relayouts.
+    """
+    b = q_enc.shape[0]
+    pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
+    qe = jnp.concatenate([q_enc, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+    qm = jnp.concatenate([q_mask, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+    chunk = db_enc.shape[1]
+
+    def step(carry, xs):
+        enc_c, mask_c, offset = xs
+        dot = dot_bits_batch_i4(qe, enc_c)  # [B*32, chunk]
+        den = dot_bits_batch_i4(qm, mask_c)
+        n_c, d_c, i_c = select_chunk(
+            dot, den, offset, tile_b=tile_b, tile_n=tile_n, interpret=interpret,
+        )
+        return running_min(carry, n_c, d_c, i_c), None
+
+    init = (
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+        jnp.full(b, 2**31 - 1, jnp.int32),
+    )
+    offsets = jnp.arange(db_enc.shape[0], dtype=jnp.int32) * chunk
+    (n, d, i), _ = jax.lax.scan(step, init, (db_enc, db_mask, offsets))
+    return jnp.stack([n, d, i])
+
+
+def match_scan_auto(q_enc, q_mask, db_enc, db_mask):
+    """Dispatch to the fused-Pallas match step when shapes/backend allow."""
+    b, chunk = q_enc.shape[0], db_enc.shape[1]
+    if _fused_ok(b, chunk):
+        interpret = jax.default_backend() != "tpu"
+        return _match_scan_fused(q_enc, q_mask, db_enc, db_mask, interpret=interpret)
+    return _match_scan(q_enc, q_mask, db_enc, db_mask)
 
 
 @jax.jit
@@ -121,8 +196,8 @@ def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
     """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
     b = q_enc.shape[0]
     chunk = enc_c.shape[0]
-    dot = dot_bits_batch(q_enc.reshape(b * N_ROTATIONS, BITS), enc_c)
-    den = dot_bits_batch(q_mask.reshape(b * N_ROTATIONS, BITS), mask_c)
+    dot = dot_bits_batch_i4(q_enc.reshape(b * N_ROTATIONS, BITS), enc_c)
+    den = dot_bits_batch_i4(q_mask.reshape(b * N_ROTATIONS, BITS), mask_c)
     dot = dot.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1)
     den = den.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1)
     return (den - dot) >> 1, den
@@ -143,7 +218,7 @@ def _mask_dots_chunk(q_mask, db_mask):
     """Denominators for one chunk: uint16 [B, c, 31] in wire order."""
     b = q_mask.shape[0]
     chunk = db_mask.shape[0]
-    dots = dot_bits_batch(q_mask.reshape(b * N_ROTATIONS, BITS), db_mask)
+    dots = dot_bits_batch_i4(q_mask.reshape(b * N_ROTATIONS, BITS), db_mask)
     return dots.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1).astype(jnp.uint16)
 
 
@@ -197,12 +272,15 @@ class PlaintextEngine:
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        n, d, i = _match_scan(q_enc, q_mask, self.db_enc, self.db_mask)
+        n, d, i = np.asarray(
+            match_scan_auto(q_enc, q_mask, self.db_enc, self.db_mask)
+        )
         return _results_from_triples(n, d, i)
 
     def match_arrays(self, q_enc, q_mask):
-        """Raw jit-to-jit entry: prepared query planes -> (n, d, idx) int32 [B]."""
-        return _match_scan(q_enc, q_mask, self.db_enc, self.db_mask)
+        """Raw jit-to-jit entry: prepared query planes -> int32 [3, B] stacked
+        (numerator, denominator, DB index); tuple-unpackable."""
+        return match_scan_auto(q_enc, q_mask, self.db_enc, self.db_mask)
 
     def distances(self, patterns_packed, masks_packed) -> np.ndarray:
         """Full f64 distance matrix [B, N] (for tests / small DBs); bit-identical to

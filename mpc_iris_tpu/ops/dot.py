@@ -49,6 +49,28 @@ def dot_bits_batch(q, db):
     return _matmul_i8(q, db)
 
 
+def dot_bits_batch_i4(q, db):
+    """`dot_bits_batch` on the int4 MXU path — ~1.7x the int8 rate on TPU v5e.
+
+    Operand values must fit int4 (they do: {-1,0,1} encodings and {0,1} masks).
+    The conversion happens inline per chunk so the HBM-resident DB stays int8
+    (int4-materialized HBM arrays measured *slower* to stream); XLA fuses the
+    cast into the matmul's VMEM pipeline. Exactness is unchanged: products
+    accumulate in int32. Non-TPU backends (tests, virtual CPU meshes) fall back
+    to int8 — the CPU backend rejects some int4 dot shapes.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return _matmul_i8(q, db)
+    return lax.dot_general(
+        q.astype(jnp.int4),
+        db.astype(jnp.int4),
+        dimension_numbers=_DOT_DIMS,
+        preferred_element_type=jnp.int32,
+    )
+
+
 def shares_to_planes(shares_u16):
     """u16 share matrix [N, K] -> (lo, hi) int8 planes [N, K], offset by -128.
 
