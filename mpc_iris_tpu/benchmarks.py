@@ -1,0 +1,194 @@
+"""Kernel benchmark suite — criterion-equivalent of the reference's
+`cargo bench --bench bench --features bench` (src/arch/mod.rs:22-72, src/bench.rs).
+
+The reference registers `dot_bool` / `dot_u16` at DB sizes {1, 1k, 31x1k, 100k,
+31x100k} element-pairs. This suite times the TPU-native equivalents at the same
+points — single-query serving shape (M = 31 rotations) and the batched shape
+(B = 128 queries) — plus the fused match step and the host-side ETL codecs:
+
+  dot_mask   == dot_bool  (denominator AND-popcount as int4/int8 matmul)
+  dot_share  == dot_u16   (exact Z_2^16 share dot via the lo/hi int8 pair)
+  match_step == engine hot loop (matmuls + fused exact argmin)
+  parse/render/share_split == prepare/generate ETL (native C++ core)
+
+Each timing subtracts the measured per-dispatch overhead (remote backends add
+a fixed round-trip per call that would swamp the small sizes).
+
+Run: `python -m mpc_iris_tpu bench-kernels [--json]`.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import sys
+import time
+
+import numpy as np
+
+from mpc_iris_tpu.constants import BITS, N_ROTATIONS
+
+# The reference's criterion size points (element-pairs = DB entries per query-rot).
+REFERENCE_SIZES = (1, 1_000, 31_000, 100_000, 3_100_000)
+
+
+def _timeit(fn, iters=5, min_time=0.05):
+    fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.monotonic()
+        fn()
+        ts.append(time.monotonic() - t0)
+    return min(ts)
+
+
+def _dispatch_overhead():
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.int32)
+    f = jax.jit(lambda x: x + 1)
+    return _timeit(lambda: np.asarray(f(x)), iters=10)
+
+
+def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_iris_tpu.models.engines import match_scan_auto
+    from mpc_iris_tpu.ops.dot import dot_bits_batch_i4, dot_share_batch
+
+    dev = jax.devices()[0]
+    overhead = _dispatch_overhead()
+    emit(f"device: {dev.device_kind} ({dev.platform}); "
+         f"dispatch overhead {overhead*1e3:.1f}ms (subtracted)")
+    results = []
+
+    key = jax.random.key(0)
+    kq, kd = jax.random.split(key)
+
+    max_n = max(sizes)
+    # One resident DB at the largest size; smaller points slice it.
+    cap = 1 << 22  # cap device arrays at 4M entries x planes for HBM headroom
+    max_n = min(max_n, cap)
+
+    for label, m_rows in (("q1", N_ROTATIONS), (f"b{batch}", batch * N_ROTATIONS)):
+        q = jax.random.randint(kq, (m_rows, BITS), -1, 2, dtype=jnp.int8)
+        for n in sizes:
+            n_eff = min(n, max_n)
+            db = jax.random.randint(kd, (n_eff, BITS), -1, 2, dtype=jnp.int8)
+
+            def record(name, raw_dt, pairs, macs):
+                # Sub-dispatch-scale measurements are noise-dominated; report
+                # them as dispatch-bound instead of fabricating a rate.
+                net = raw_dt - overhead
+                bound = net < 0.25 * overhead
+                dt_eff = max(net, 1e-9)
+                results.append({
+                    "bench": name,
+                    "time_s": raw_dt if bound else dt_eff,
+                    "pairs_per_s": None if bound else pairs / dt_eff,
+                    "tmacs": None if bound else macs / dt_eff / 1e12,
+                    "dispatch_bound": bound,
+                })
+
+            mm = jax.jit(lambda q, db: dot_bits_batch_i4(q, db).sum())
+            pairs = m_rows * n_eff
+            record(f"dot_mask/{label}/{n_eff}",
+                   _timeit(lambda: np.asarray(mm(q, db))), pairs, pairs * BITS)
+
+            lo = jax.random.randint(kq, (n_eff, BITS), -128, 128, dtype=jnp.int8)
+            hi = jax.random.randint(kd, (n_eff, BITS), -128, 128, dtype=jnp.int8)
+            ms = jax.jit(
+                lambda q, lo, hi: dot_share_batch(q, lo, hi).astype(jnp.uint32).sum()
+            )
+            record(f"dot_share/{label}/{n_eff}",
+                   _timeit(lambda: np.asarray(ms(q, lo, hi))), pairs,
+                   2 * pairs * BITS)
+            del lo, hi, db
+
+    # Fused match step at the headline shape.
+    b, chunk, n_chunks = batch, 32768, 4
+    qe = jax.random.randint(kq, (b, N_ROTATIONS, BITS), -1, 2, dtype=jnp.int8)
+    qm = (qe != 0).astype(jnp.int8)
+    db = jax.random.randint(kd, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
+    dm = (db != 0).astype(jnp.int8)
+    dt = max(
+        _timeit(lambda: np.asarray(match_scan_auto(qe, qm, db, dm))) - overhead, 1e-9
+    )
+    cmps = b * n_chunks * chunk * N_ROTATIONS
+    results.append({
+        "bench": f"match_step/b{b}/{n_chunks * chunk}",
+        "time_s": dt,
+        "pairs_per_s": cmps / dt,
+        "tmacs": 2 * cmps * BITS / dt / 1e12,
+    })
+    return results
+
+
+def run_host_benches(n=2000, emit=print):
+    """ETL codec benches (native C++ core with NumPy fallback)."""
+    import io
+
+    from mpc_iris_tpu import native
+
+    emit(f"native core: {'C++' if native.available() else 'NumPy fallback'}")
+    rng = np.random.default_rng(0)
+    pats = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    msks = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    results = []
+
+    dt = _timeit(lambda: native.render_templates(pats, msks))
+    results.append({"bench": f"etl/render/{n}", "time_s": dt, "items_per_s": n / dt})
+
+    blob = b"[" + native.render_templates(pats, msks) + b"]\n"
+    def parse():
+        for _ in native.parse_templates_stream(io.BytesIO(blob)):
+            pass
+    dt = _timeit(parse)
+    results.append({"bench": f"etl/parse/{n}", "time_s": dt, "items_per_s": n / dt})
+
+    enc = native.encode_u16_native(pats, msks)
+    dt = _timeit(lambda: native.share_split(enc[:256], 3, 1))
+    results.append({"bench": "etl/share_split3/256", "time_s": dt,
+                    "items_per_s": 256 / dt})
+
+    dt = _timeit(lambda: native.encode_u16_native(pats, msks))
+    results.append({"bench": f"etl/encode/{n}", "time_s": dt, "items_per_s": n / dt})
+    return results
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="bench-kernels")
+    p.add_argument("--json", action="store_true", help="one JSON line per bench")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--sizes", type=int, nargs="*", default=list(REFERENCE_SIZES))
+    p.add_argument("--host-only", action="store_true")
+    args = p.parse_args(argv)
+
+    emit = (lambda *a: print(*a, file=sys.stderr)) if args.json else print
+    results = []
+    if not args.host_only:
+        results += run_device_benches(sizes=args.sizes, batch=args.batch, emit=emit)
+    results += run_host_benches(emit=emit)
+
+    if args.json:
+        for r in results:
+            print(_json.dumps(r))
+    else:
+        for r in results:
+            rate = r.get("pairs_per_s") or r.get("items_per_s")
+            if r.get("dispatch_bound"):
+                print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f} ms   "
+                      f"(dispatch-bound)")
+                continue
+            extra = (f"  {r['tmacs']:7.1f} TMAC/s"
+                     if r.get("tmacs") is not None else "")
+            print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f} ms   "
+                  f"{rate:14.3e} /s{extra}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

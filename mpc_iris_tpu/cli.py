@@ -396,6 +396,30 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=None)
     g.set_defaults(fn=cmd_benchmark)
 
+    g = sub.add_parser(
+        "bench-kernels",
+        help="criterion-equivalent kernel benchmark suite (src/arch/mod.rs:22-72)",
+    )
+    g.add_argument("--json", action="store_true")
+    g.add_argument("--batch", type=int, default=128)
+    g.add_argument("--sizes", type=int, nargs="*", default=None)
+    g.add_argument("--host-only", action="store_true")
+
+    def _bench_kernels(a):
+        from mpc_iris_tpu.benchmarks import main as bmain
+
+        argv = []
+        if a.json:
+            argv.append("--json")
+        if a.host_only:
+            argv.append("--host-only")
+        argv += ["--batch", str(a.batch)]
+        if a.sizes is not None:
+            argv += ["--sizes", *map(str, a.sizes)]
+        return bmain(argv)
+
+    g.set_defaults(fn=_bench_kernels)
+
     g = sub.add_parser("match", help="local plaintext uniqueness check on TPU")
     g.add_argument("db", help="template JSON file")
     g.add_argument("--queries-file", default=None)

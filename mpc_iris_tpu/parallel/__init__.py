@@ -19,6 +19,7 @@ from mpc_iris_tpu.parallel.sharded import (
     ShardedShareEngine,
 )
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
+from mpc_iris_tpu.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -27,4 +28,5 @@ __all__ = [
     "ShardedShareEngine",
     "ShardedMasksEngine",
     "fraction_allmin",
+    "multihost",
 ]

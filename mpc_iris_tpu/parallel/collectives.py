@@ -11,9 +11,8 @@ device-side.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
-from mpc_iris_tpu.ops.decode import fraction_min_rotations
+from mpc_iris_tpu.ops.select_pallas import fold_candidates
 
 
 def fraction_allmin(n, d, idx, axis_name: str):
@@ -24,16 +23,12 @@ def fraction_allmin(n, d, idx, axis_name: str):
       axis_name: mesh axis to reduce over.
 
     Returns (n, d, idx) replicated across the axis: the global minimum fraction,
-    ties keeping the smallest index.
+    ties keeping the smallest *global index*. (Shard rank order is NOT index
+    order under the strided-by-chunk DB distribution, so the fold must compare
+    carried indices, not gather slots.)
     """
-    # [A, ...] gathered along a new leading axis.
+    # [A, ...] gathered along a new leading axis; 12 bytes/query/shard over ICI.
     gn = jax.lax.all_gather(n, axis_name)
     gd = jax.lax.all_gather(d, axis_name)
     gi = jax.lax.all_gather(idx, axis_name)
-    # Reuse the static tree-select; tie-break on idx is handled by _frac_select,
-    # but fraction_min_rotations ties break toward the lower *gather slot*, so order
-    # the gather by index explicitly: slots are shard ranks, and global indices are
-    # monotone in shard rank (block distribution), so slot order == index order.
-    best_n, best_d, slot = fraction_min_rotations(gn, gd, axis=0)
-    best_i = jnp.take_along_axis(gi, slot[None, ...], axis=0)[0]
-    return best_n, best_d, best_i
+    return fold_candidates(gn, gd, gi, axis=0)

@@ -1,0 +1,73 @@
+"""Multi-host / multi-party topology.
+
+Two distinct distribution layers (SURVEY.md section 2 parallelism table):
+
+1. **Within one MPC party**: all of the party's hosts/chips form ONE JAX
+   process universe (`jax.distributed`) and one `Mesh`; the party's DB shard
+   axis spans the whole slice and winner/reply reductions ride ICI
+   (collectives.py). This replaces the reference's rayon pool (src/lib.rs:44-51)
+   at datacenter scale.
+
+2. **Between parties and the coordinator**: NEVER a shared collective universe —
+   each party must stay cryptographically isolated, exactly like the
+   reference's separate OS processes (src/main.rs:384-452). Share/reply tensors
+   travel over host networking via protocol/ (TCP; the reference's
+   bytemuck-framed streams, src/main.rs:405-445), with device buffers staged
+   through host RAM.
+
+Typical party bring-up on an N-host pod slice:
+
+    from mpc_iris_tpu.parallel import multihost, make_mesh
+    multihost.init_party(coordinator_address="10.0.0.1:9999",
+                         num_processes=N, process_id=rank)
+    mesh = make_mesh(db=len(jax.devices()))          # global devices
+    engine = ShardedShareEngine(local_share_rows, mesh)
+
+Each party runs its own coordinator_address/port tuple; nothing is shared
+between parties except the protocol/ TCP endpoints.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def init_party(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize this party's JAX process universe (idempotent, no-op for
+    single-process runs).
+
+    Args mirror jax.distributed.initialize; all None => single-process party.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def party_info() -> dict:
+    """This process's position within its party's universe."""
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def local_rows(total_rows: int) -> tuple[int, int]:
+    """[start, end) slice of the party's DB this host should load.
+
+    Hosts feed `jax.make_array_from_process_local_data` / device_put per local
+    shard; the strided-by-chunk global layout is handled by the sharded engines.
+    """
+    p, np_ = jax.process_index(), jax.process_count()
+    per = -(-total_rows // np_)
+    start = min(p * per, total_rows)
+    return start, min(start + per, total_rows)

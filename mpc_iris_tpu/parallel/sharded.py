@@ -35,9 +35,9 @@ from mpc_iris_tpu.constants import BITS, N_ROTATIONS
 from mpc_iris_tpu.models.engines import (
     DEFAULT_CHUNK,
     _mask_dots_chunk,
-    _match_scan,
     _results_from_triples,
     _share_dots_chunk,
+    match_scan_auto,
     prepare_query_planes,
 )
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
@@ -91,7 +91,8 @@ class ShardedPlaintextEngine(_ShardedBase):
             # local: q [B_local, 31, K]; db [C_local, 1, c, K]
             local_enc = db_enc.reshape(db_enc.shape[0], c, BITS)
             local_mask = db_mask.reshape(db_mask.shape[0], c, BITS)
-            n_, d_, l = _match_scan(q_enc, q_mask, local_enc, local_mask)
+            # Fused Pallas selection when the local shapes align (TPU), else XLA.
+            n_, d_, l = match_scan_auto(q_enc, q_mask, local_enc, local_mask)
             # local l = j*c + p  ->  global (j*D + i)*c + p
             i_rank = lax.axis_index("db").astype(jnp.int32)
             g = (l // c) * (d * c) + i_rank * c + (l % c)

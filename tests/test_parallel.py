@@ -87,3 +87,28 @@ def test_sharded_masks_matches_single(data):
     sharded = ShardedMasksEngine(dmsk, mesh, chunk=2)
     single = MasksEngine(dmsk, chunk=16)
     np.testing.assert_array_equal(sharded.dots(qmsk), single.dots(qmsk))
+
+
+def test_cross_shard_tie_prefers_lower_global_index():
+    """Duplicate winners on different shards: the LOWER global index must win even
+    when it lives on a higher-rank device (strided-by-chunk layout puts global
+    chunk j on device j % D, so rank order is not index order)."""
+    rng = np.random.default_rng(21)
+    db = [Template.random(rng) for _ in range(32)]
+    q = [Template.random(rng)]
+    # chunk=4, D=4: global chunks 0..7; device of entry g = (g // 4) % 4.
+    # Put identical best entries at g1=4 (device 1) and g2=16 (device 0).
+    best = q[0].rotated(3)
+    db[4] = best
+    db[16] = best
+    qpat = np.stack([t.pattern.data for t in q])
+    qmsk = np.stack([t.mask.data for t in q])
+    dpat = np.stack([t.pattern.data for t in db])
+    dmsk = np.stack([t.mask.data for t in db])
+
+    single = PlaintextEngine(dpat, dmsk, chunk=32).match(qpat, qmsk)
+    mesh = make_mesh(db=4, batch=1, devices=jax.devices()[:4])
+    sharded = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=4).match(qpat, qmsk)
+    assert single[0].index == 4
+    assert sharded[0].index == 4
+    assert sharded[0].distance == single[0].distance
