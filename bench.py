@@ -26,11 +26,16 @@ def log(*a):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--db", type=int, default=262144, help="DB entries on this chip")
+    p.add_argument("--db", type=int, default=1048576, help="DB entries on this chip")
     p.add_argument("--batch", type=int, default=128, help="queries per batch")
     p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--mode", choices=["plaintext", "share"], default="plaintext")
+    p.add_argument(
+        "--mode", choices=["plaintext", "packed", "share"], default="packed",
+        help="packed (default) = bit-packed HBM storage (3.2 KB/entry; the "
+        "north-star 1M-entry DB fits on one chip) with on-device unpack per "
+        "chunk; plaintext = dense int8 storage; share = MPC participant path",
+    )
     args = p.parse_args()
 
     import jax
@@ -38,6 +43,7 @@ def main():
 
     from mpc_iris_tpu.constants import BITS, BITS_BYTES
     from mpc_iris_tpu.models.engines import (
+        _match_scan_packed,
         match_scan_auto,
         _share_dots_chunk,
         prepare_query_planes,
@@ -73,6 +79,18 @@ def main():
         # and per-array fetches each pay a full round trip.
         run = lambda: np.asarray(match_scan_auto(q_enc, q_mask, db_enc, db_mask))
         # per pass: numerator + denominator matmuls
+        macs_per_pass = 2 * (31 * b) * n * BITS
+    elif args.mode == "packed":
+        db_pat = jax.random.randint(
+            kdb, (n_chunks, chunk, BITS_BYTES), 0, 256, dtype=jnp.uint8
+        )
+        db_msk = jax.random.randint(
+            kq, (n_chunks, chunk, BITS_BYTES), 0, 256, dtype=jnp.uint8
+        )
+        db_pat, db_msk = jax.block_until_ready((db_pat, db_msk))
+        run = lambda: np.asarray(
+            _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=True)
+        )
         macs_per_pass = 2 * (31 * b) * n * BITS
     else:
         db_lo = jax.random.randint(kdb, (n_chunks, chunk, BITS), -128, 128, dtype=jnp.int8)

@@ -312,7 +312,7 @@ def cmd_match(args) -> int:
         mesh = make_mesh(db=db_ax, batch=batch_ax)
         engine = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=args.chunk)
     else:
-        engine = PlaintextEngine(dpat, dmsk, chunk=args.chunk)
+        engine = PlaintextEngine(dpat, dmsk, chunk=args.chunk, storage=args.storage)
 
     rng = np.random.default_rng(args.seed)
     if args.queries_file:
@@ -426,6 +426,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--batch", type=parse_si, default=8)
     g.add_argument("--chunk", type=parse_si, default=8192)
     g.add_argument("--seed", type=int, default=None)
+    g.add_argument(
+        "--storage", choices=["auto", "dense", "packed"], default="auto",
+        help="packed = 3.2 KB/entry bit-plane HBM storage (4M entries/chip)",
+    )
     g.set_defaults(fn=cmd_match)
 
     return p

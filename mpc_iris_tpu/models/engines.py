@@ -191,6 +191,57 @@ def match_scan_auto(q_enc, q_mask, db_enc, db_mask):
     return _match_scan(q_enc, q_mask, db_enc, db_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret", "fused"))
+def _match_scan_packed(q_enc, q_mask, db_pat, db_msk, *, interpret=False, fused=True):
+    """Match scan over a BIT-PACKED DB: uint8 [C, c, 1600] pattern/mask planes.
+
+    Packed storage holds 3.2 KB/entry instead of 25.6 KB/entry — 4M entries per
+    16 GB chip (SURVEY.md hard part #3) — at the cost of an on-device
+    unpack+encode per chunk (~8% of the chunk's matmul time, overlapped by XLA's
+    scan pipelining). Semantics identical to `_match_scan_fused` / `_match_scan`.
+    """
+    from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
+
+    b = q_enc.shape[0]
+    chunk = db_pat.shape[1]
+    if fused:
+        pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
+        qe = jnp.concatenate([q_enc, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+        qm = jnp.concatenate([q_mask, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+    else:
+        qe = q_enc.reshape(b * N_ROTATIONS, BITS)
+        qm = q_mask.reshape(b * N_ROTATIONS, BITS)
+
+    def step(carry, xs):
+        pat_c, msk_c, offset = xs
+        p = unpack_bits(pat_c).astype(jnp.int8)  # [c, 12800]
+        m = unpack_bits(msk_c).astype(jnp.int8)
+        enc_c = encode_grid_i8(p, m)
+        dot = dot_bits_batch_i4(qe, enc_c)
+        den = dot_bits_batch_i4(qm, m)
+        if fused:
+            n_c, d_c, i_c = select_chunk(
+                dot, den, offset,
+                tile_b=_FUSED_TILE_B, tile_n=_FUSED_TILE_N, interpret=interpret,
+            )
+        else:
+            dotr = dot.reshape(b, N_ROTATIONS, chunk)
+            denr = den.reshape(b, N_ROTATIONS, chunk)
+            num = (denr - dotr) >> 1
+            n_r, d_r, _ = fraction_min_rotations(num, denr, axis=1)
+            n_c, d_c, i_c = fraction_argmin(n_r, d_r, axis=-1, index_offset=offset)
+        return running_min(carry, n_c, d_c, i_c), None
+
+    init = (
+        jnp.zeros(b, jnp.int32),
+        jnp.zeros(b, jnp.int32),
+        jnp.full(b, 2**31 - 1, jnp.int32),
+    )
+    offsets = jnp.arange(db_pat.shape[0], dtype=jnp.int32) * chunk
+    (n, d, i), _ = jax.lax.scan(step, init, (db_pat, db_msk, offsets))
+    return jnp.stack([n, d, i])
+
+
 @jax.jit
 def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
     """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
@@ -250,21 +301,40 @@ class PlaintextEngine:
     """Fused plaintext min-distance search over a device-resident template DB."""
 
     def __init__(self, patterns_packed: np.ndarray, masks_packed: np.ndarray,
-                 chunk: int = DEFAULT_CHUNK, device=None):
+                 chunk: int = DEFAULT_CHUNK, device=None, storage: str = "auto"):
         """Args:
         patterns_packed, masks_packed: uint8 [N, 1600] packed planes (host).
         chunk: DB chunk size for the scan (entries per matmul).
+        storage: "dense" keeps int8 encodings in HBM (25.6 KB/entry, fastest);
+          "packed" keeps the raw bit planes (3.2 KB/entry, up to 4M entries per
+          16 GB chip) and unpacks per chunk on device; "auto" picks packed for
+          DBs past ~400k entries.
         """
         n = patterns_packed.shape[0]
         chunk = min(chunk, max(128, n))
-        p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
-        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-        enc = encode_grid_i8(p, m, xp=np)
-        enc_c, self.count = _pad_chunks(enc, chunk)
-        mask_c, _ = _pad_chunks(m, chunk)
+        if storage == "auto":
+            storage = "packed" if n > 400_000 else "dense"
+        self.storage = storage
         put = functools.partial(jax.device_put, device=device)
-        self.db_enc = put(enc_c)
-        self.db_mask = put(mask_c)
+        if storage == "packed":
+            # Zero padding => mask 0 => invalid entries that lose every compare.
+            pat_c, self.count = _pad_chunks(
+                np.ascontiguousarray(patterns_packed, dtype=np.uint8), chunk
+            )
+            msk_c, _ = _pad_chunks(
+                np.ascontiguousarray(masks_packed, dtype=np.uint8), chunk
+            )
+            self.db_pat = put(pat_c)
+            self.db_msk = put(msk_c)
+            self.db_enc = self.db_mask = None
+        else:
+            p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
+            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+            enc = encode_grid_i8(p, m, xp=np)
+            enc_c, self.count = _pad_chunks(enc, chunk)
+            mask_c, _ = _pad_chunks(m, chunk)
+            self.db_enc = put(enc_c)
+            self.db_mask = put(mask_c)
         self.chunk = chunk
 
     def match(self, patterns_packed, masks_packed) -> list[MatchResult]:
@@ -272,20 +342,28 @@ class PlaintextEngine:
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        n, d, i = np.asarray(
-            match_scan_auto(q_enc, q_mask, self.db_enc, self.db_mask)
-        )
+        n, d, i = np.asarray(self.match_arrays(q_enc, q_mask))
         return _results_from_triples(n, d, i)
 
     def match_arrays(self, q_enc, q_mask):
         """Raw jit-to-jit entry: prepared query planes -> int32 [3, B] stacked
         (numerator, denominator, DB index); tuple-unpackable."""
+        if self.storage == "packed":
+            fused = _fused_ok(q_enc.shape[0], self.chunk)
+            interpret = fused and jax.default_backend() != "tpu"
+            return _match_scan_packed(
+                q_enc, q_mask, self.db_pat, self.db_msk,
+                interpret=interpret, fused=fused,
+            )
         return match_scan_auto(q_enc, q_mask, self.db_enc, self.db_mask)
 
     def distances(self, patterns_packed, masks_packed) -> np.ndarray:
         """Full f64 distance matrix [B, N] (for tests / small DBs); bit-identical to
         the scalar oracle Template.distance per pair."""
         from mpc_iris_tpu.ops.decode import decode_distance_batch_np
+
+        if self.storage == "packed":
+            raise ValueError("distances() requires storage='dense'")
 
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)

@@ -159,3 +159,36 @@ class TestShareMasksEngines:
         bulk = eng.dots(qmsk)
         streamed = np.concatenate(list(eng.stream(qmsk)), axis=1)
         np.testing.assert_array_equal(streamed, bulk)
+
+
+def test_packed_storage_matches_dense(rng):
+    """storage='packed' (bit-packed HBM + on-device unpack) == dense results."""
+    from mpc_iris_tpu.models.engines import PlaintextEngine
+
+    qpat = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
+    qmsk = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
+    dpat = rng.integers(0, 256, (37, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (37, 1600), dtype=np.uint8)
+    dense = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+    packed = PlaintextEngine(dpat, dmsk, chunk=16, storage="packed")
+    rd = dense.match(qpat, qmsk)
+    rp = packed.match(qpat, qmsk)
+    for a, b in zip(rd, rp):
+        assert (a.index, a.numerator, a.denominator) == (b.index, b.numerator, b.denominator)
+        assert a.distance == b.distance
+
+
+def test_packed_storage_fused_path(rng):
+    """Packed + fused Pallas selection (interpret on CPU) == dense XLA."""
+    from mpc_iris_tpu.models.engines import PlaintextEngine
+
+    qpat = rng.integers(0, 256, (8, 1600), dtype=np.uint8)
+    qmsk = rng.integers(0, 256, (8, 1600), dtype=np.uint8)
+    dpat = rng.integers(0, 256, (2048, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (2048, 1600), dtype=np.uint8)
+    dense = PlaintextEngine(dpat, dmsk, chunk=2048, storage="dense")
+    packed = PlaintextEngine(dpat, dmsk, chunk=2048, storage="packed")
+    rd = dense.match(qpat, qmsk)
+    rp = packed.match(qpat, qmsk)
+    for a, b in zip(rd, rp):
+        assert (a.index, a.distance) == (b.index, b.distance)
