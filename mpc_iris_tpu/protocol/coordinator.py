@@ -19,14 +19,44 @@ import logging
 import threading
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
-from mpc_iris_tpu.ops.decode import decode_distance_batch_np
+from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
 from mpc_iris_tpu.protocol.wire import BATCH_RECORDS, read_records
 from mpc_iris_tpu.types import Template
 
 log = logging.getLogger("mpc_iris_tpu.coordinator")
+
+
+@jax.jit
+def _decode_argmin_device(dots, dens):
+    """Device decode of one received batch: uint16 [n, 31] dot-sums and
+    denominators -> stacked int32 [3] winner (num, den, batch-local index).
+
+    numerator = ((d - dot) mod 2^16) >> 1 (the wrapping sub of reference
+    src/lib.rs:104); selection is the exact rational argmin with d == 0 as +inf
+    — a refinement of the reference's f64 compare chain (identical results
+    except when two *distinct* rationals round to the same f64, i.e. sub-ulp
+    index ties; the reported distance is the same to 1 ulp either way).
+    """
+    import jax.numpy as jnp
+
+    den = dens.astype(jnp.int32)
+    num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
+    n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)
+    n_b, d_b, i_b = fraction_argmin(n_r, d_r, axis=0)
+    return jnp.stack([n_b, d_b, i_b])
+
+
+def _frac_less_host(n1: int, d1: int, n2: int, d2: int) -> bool:
+    """Exact n1/d1 < n2/d2 on Python ints, d == 0 as +inf."""
+    if d1 == 0:
+        return False
+    if d2 == 0:
+        return True
+    return n1 * d2 < n2 * d1
 
 
 @dataclass
@@ -115,8 +145,8 @@ class Coordinator:
                 raise item
             return item
 
-        min_distance = float("inf")
-        min_index = -1
+        best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
+        pending = []  # (batch offset, async device winner triple)
         processed = 0
         eofs = [False] * len(conns)
 
@@ -155,15 +185,16 @@ class Coordinator:
             denom = denom[:n]
             share_batches = [b[:n] for b in share_batches]
 
-            # Reconstruct share sums mod 2^16 and decode (main.rs:597-612).
-            total = np.zeros((n, N_ROTATIONS), dtype=np.uint16)
-            for b in share_batches:
-                total += b.astype(np.uint16)
-            dists = decode_distance_batch_np(total, denom.astype(np.uint16))
-            j = int(np.argmin(dists))
-            if dists[j] < min_distance:
-                min_distance = float(dists[j])
-                min_index = processed + j
+            # Reconstruct share sums mod 2^16 (main.rs:597-612) with the native
+            # C++ wrapping sum, then decode + argmin on device.
+            from mpc_iris_tpu import native
+
+            total = native.share_sum([b.astype(np.uint16) for b in share_batches])
+            # Dispatch is async: the device winner is fetched after the stream
+            # drains, so decode overlaps the next batch's network reads.
+            pending.append(
+                (processed, _decode_argmin_device(total, denom.astype(np.uint16)))
+            )
             processed += n
             if n < self.batch_records:
                 break
@@ -173,4 +204,8 @@ class Coordinator:
         await asyncio.gather(
             *[w.wait_closed() for _, w in conns], return_exceptions=True
         )
-        return QueryOutcome(min_index, min_distance, processed)
+        for offset, triple in pending:
+            nb, db_, jb = (int(x) for x in np.asarray(triple))
+            if _frac_less_host(nb, db_, best[0], best[1]):
+                best = (nb, db_, offset + jb)
+        return QueryOutcome(best[2], fraction_to_f64(best[0], best[1]), processed)
