@@ -93,9 +93,14 @@ def main():
         )
         macs_per_pass = 2 * (31 * b) * n * BITS
     else:
-        db_lo = jax.random.randint(kdb, (n_chunks, chunk, BITS), -128, 128, dtype=jnp.int8)
-        db_hi = jax.random.randint(kq, (n_chunks, chunk, BITS), -128, 128, dtype=jnp.int8)
-        db_lo, db_hi = jax.block_until_ready((db_lo, db_hi))
+        # random.bits avoids randint's int32 temporaries (4x the final footprint).
+        gen = jax.jit(
+            lambda k: jax.lax.bitcast_convert_type(
+                jax.random.bits(k, (n_chunks, chunk, BITS), jnp.uint8), jnp.int8
+            )
+        )
+        db_lo = jax.block_until_ready(gen(kdb))
+        db_hi = jax.block_until_ready(gen(kq))
         qe = q_enc
 
         @jax.jit

@@ -344,10 +344,48 @@ def cmd_match(args) -> int:
 # ------------------------------------------------------------------ parser
 
 
+def _version_string() -> str:
+    """Version + build metadata (== the reference's shadow-rs --version,
+    src/build.rs + src/main.rs:44-48)."""
+    import platform
+    import subprocess
+
+    from mpc_iris_tpu import __version__
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sha = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip()
+        sha += "-dirty" if dirty else ""
+    except Exception:
+        sha = "unknown"
+    try:
+        import jax
+
+        jaxver = jax.__version__
+    except Exception:
+        jaxver = "unavailable"
+    return (
+        f"mpc-iris-tpu {__version__} (git {sha})\n"
+        f"python {platform.python_version()}  jax {jaxver}"
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mpc-iris-tpu",
         description="TPU-native privacy-preserving iris-code matching",
+    )
+    p.add_argument("--version", action="version", version=_version_string())
+    p.add_argument(
+        "--threads", type=int, default=0,
+        help="native codec threads (0 = all cores; reference src/main.rs:53-57)",
     )
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -437,6 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.threads > 0:
+        os.environ["IRIS_NATIVE_THREADS"] = str(args.threads)
     return args.fn(args)
 
 

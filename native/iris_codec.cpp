@@ -18,6 +18,7 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -69,6 +70,12 @@ inline void hex_encode_n(const uint8_t* in, int64_t n_bytes, char* out) {
 // ------------------------------------------------------------------- threads
 
 int hw_threads() {
+  // IRIS_NATIVE_THREADS overrides (the reference's global --threads knob,
+  // src/main.rs:53-57; 0/unset = all cores).
+  if (const char* e = getenv("IRIS_NATIVE_THREADS")) {
+    int v = atoi(e);
+    if (v > 0) return v;
+  }
   unsigned n = std::thread::hardware_concurrency();
   return n ? (int)n : 4;
 }
