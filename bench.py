@@ -27,7 +27,7 @@ def log(*a):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--db", type=int, default=1048576, help="DB entries on this chip")
-    p.add_argument("--batch", type=int, default=128, help="queries per batch")
+    p.add_argument("--batch", type=int, default=256, help="queries per batch")
     p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument(

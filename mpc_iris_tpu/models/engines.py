@@ -165,8 +165,10 @@ def _match_scan_fused(
 
     def step(carry, xs):
         enc_c, mask_c, offset = xs
-        dot = dot_bits_batch_i4(qe, enc_c)  # [B*32, chunk]
-        den = dot_bits_batch_i4(qm, mask_c)
+        # int16 outputs: exact (|dot| <= 12,800) and half the HBM traffic into
+        # the selection kernel.
+        dot = dot_bits_batch_i4(qe, enc_c, out_dtype=jnp.int16)  # [B*32, chunk]
+        den = dot_bits_batch_i4(qm, mask_c, out_dtype=jnp.int16)
         n_c, d_c, i_c = select_chunk(
             dot, den, offset, tile_b=tile_b, tile_n=tile_n, interpret=interpret,
         )
@@ -217,8 +219,9 @@ def _match_scan_packed(q_enc, q_mask, db_pat, db_msk, *, interpret=False, fused=
         p = unpack_bits(pat_c).astype(jnp.int8)  # [c, 12800]
         m = unpack_bits(msk_c).astype(jnp.int8)
         enc_c = encode_grid_i8(p, m)
-        dot = dot_bits_batch_i4(qe, enc_c)
-        den = dot_bits_batch_i4(qm, m)
+        out_dtype = jnp.int16 if fused else jnp.int32
+        dot = dot_bits_batch_i4(qe, enc_c, out_dtype=out_dtype)
+        den = dot_bits_batch_i4(qm, m, out_dtype=out_dtype)
         if fused:
             n_c, d_c, i_c = select_chunk(
                 dot, den, offset,

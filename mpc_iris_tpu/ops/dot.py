@@ -49,25 +49,29 @@ def dot_bits_batch(q, db):
     return _matmul_i8(q, db)
 
 
-def dot_bits_batch_i4(q, db):
+def dot_bits_batch_i4(q, db, out_dtype=jnp.int32):
     """`dot_bits_batch` on the int4 MXU path — ~1.7x the int8 rate on TPU v5e.
 
     Operand values must fit int4 (they do: {-1,0,1} encodings and {0,1} masks).
     The conversion happens inline per chunk so the HBM-resident DB stays int8
     (int4-materialized HBM arrays measured *slower* to stream); XLA fuses the
-    cast into the matmul's VMEM pipeline. Exactness is unchanged: products
-    accumulate in int32. Non-TPU backends (tests, virtual CPU meshes) fall back
-    to int8 — the CPU backend rejects some int4 dot shapes.
+    cast into the matmul's VMEM pipeline. Non-TPU backends (tests, virtual CPU
+    meshes) fall back to int8 — the CPU backend rejects some int4 dot shapes.
+
+    ``out_dtype=int16`` halves the output's HBM traffic and is still exact:
+    |dot| <= 12,800 < 2^15, and every K-prefix partial sum of +-1 products is
+    bounded by the number of terms, so even int16 accumulation cannot wrap.
     """
     import jax
 
     if jax.default_backend() != "tpu":
-        return _matmul_i8(q, db)
+        out = _matmul_i8(q, db)
+        return out.astype(out_dtype) if out_dtype != jnp.int32 else out
     return lax.dot_general(
         q.astype(jnp.int4),
         db.astype(jnp.int4),
         dimension_numbers=_DOT_DIMS,
-        preferred_element_type=jnp.int32,
+        preferred_element_type=out_dtype,
     )
 
 

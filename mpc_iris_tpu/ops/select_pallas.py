@@ -110,8 +110,9 @@ def _select_kernel(
     off_ref, dot_ref, den_ref, out_ref, ns, ds, idxs, *, tile_b, tile_n
 ):
     j = pl.program_id(1)
-    dot = dot_ref[...].reshape(tile_b, N_ROT_PAD, tile_n)
-    den = den_ref[...].reshape(tile_b, N_ROT_PAD, tile_n)
+    # int16 matmul outputs halve the input streaming traffic; widen in VMEM.
+    dot = dot_ref[...].astype(jnp.int32).reshape(tile_b, N_ROT_PAD, tile_n)
+    den = den_ref[...].astype(jnp.int32).reshape(tile_b, N_ROT_PAD, tile_n)
     # Plaintext path: den - dot = 2 * #unequal >= 0, exact in int32.
     num = (den - dot) >> 1
     n, d = _rotation_min(num, den)
@@ -151,8 +152,10 @@ def select_chunk(dot, den, index_offset, *, tile_b=8, tile_n=2048, interpret=Fal
     """Fused selection over one DB chunk's matmul outputs.
 
     Args:
-      dot, den: int32 [B*32, N] numerator-dot and denominator matmul outputs with
-        rows padded to 32 rotations per query (row 32b+31 must have den == 0).
+      dot, den: int32 or int16 [B*32, N] numerator-dot and denominator matmul
+        outputs with rows padded to 32 rotations per query (row 32b+31 must have
+        den == 0). int16 inputs stream at half the HBM cost and are widened
+        on-chip.
       index_offset: traced int32 scalar added to global DB indices (chunked scans).
       tile_b: queries per grid step (B must divide).
       tile_n: DB entries per grid step (N must divide; multiple of 128).
