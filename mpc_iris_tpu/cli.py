@@ -223,7 +223,7 @@ def cmd_coordinator(args) -> int:
         mesh = make_mesh(db=len(jax.devices()), batch=1)
         masks_engine = ShardedMasksEngine(masks, mesh, chunk=args.chunk)
     else:
-        masks_engine = MasksEngine(masks, chunk=args.chunk)
+        masks_engine = MasksEngine(masks, chunk=args.chunk, storage=args.storage)
 
     local_engine = None
     if args.share:
@@ -426,6 +426,10 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
         g.add_argument("--chunk", type=parse_si, default=8192)
         g.add_argument("--seed", type=int, default=None)
+        g.add_argument(
+            "--storage", choices=["auto", "dense", "packed"], default="auto",
+            help="masks DB storage (packed = 1.6 KB/entry, 8x HBM capacity)",
+        )
         g.set_defaults(fn=cmd_coordinator)
 
     g = sub.add_parser("benchmark", help="benchmark a participant")

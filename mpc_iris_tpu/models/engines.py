@@ -276,6 +276,15 @@ def _mask_dots_chunk(q_mask, db_mask):
     return dots.reshape(b, N_ROTATIONS, chunk).transpose(0, 2, 1).astype(jnp.uint16)
 
 
+@jax.jit
+def _mask_dots_chunk_packed(q_mask, db_mask_packed):
+    """`_mask_dots_chunk` over a bit-packed uint8 [c, 1600] mask chunk
+    (1.6 KB/entry HBM; unpacked on device)."""
+    from mpc_iris_tpu.ops.encode import unpack_bits
+
+    return _mask_dots_chunk(q_mask, unpack_bits(db_mask_packed).astype(jnp.int8))
+
+
 # --------------------------------------------------------------------- results
 
 
@@ -442,12 +451,26 @@ class MasksEngine:
     """Coordinator-side denominator engine over the plaintext masks DB
     (== reference `MasksEngine`, src/lib.rs:55-80)."""
 
-    def __init__(self, masks_packed: np.ndarray, chunk: int = DEFAULT_CHUNK, device=None):
-        """masks_packed: uint8 [N, 1600] packed mask planes (host, e.g. np.memmap)."""
+    def __init__(self, masks_packed: np.ndarray, chunk: int = DEFAULT_CHUNK,
+                 device=None, storage: str = "auto"):
+        """masks_packed: uint8 [N, 1600] packed mask planes (host, e.g. np.memmap).
+
+        storage: "dense" = unpacked int8 planes in HBM (12.8 KB/entry);
+        "packed" = raw bit planes (1.6 KB/entry, 8x capacity) unpacked per
+        chunk on device; "auto" picks packed past 400k entries.
+        """
         n = masks_packed.shape[0]
         chunk = min(chunk, max(128, n))
-        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-        mask_c, self.count = _pad_chunks(m, chunk)
+        if storage == "auto":
+            storage = "packed" if n > 400_000 else "dense"
+        self.storage = storage
+        if storage == "packed":
+            mask_c, self.count = _pad_chunks(
+                np.ascontiguousarray(masks_packed, dtype=np.uint8), chunk
+            )
+        else:
+            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+            mask_c, self.count = _pad_chunks(m, chunk)
         self.db_mask = jax.device_put(mask_c, device=device)
         self.chunk = chunk
 
@@ -455,6 +478,8 @@ class MasksEngine:
         return self.db_mask.shape[0]
 
     def dots_chunk(self, q_mask, chunk_index: int):
+        if self.storage == "packed":
+            return _mask_dots_chunk_packed(q_mask, self.db_mask[chunk_index])
         return _mask_dots_chunk(q_mask, self.db_mask[chunk_index])
 
     def dots(self, masks_packed) -> np.ndarray:

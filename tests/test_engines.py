@@ -192,3 +192,13 @@ def test_packed_storage_fused_path(rng):
     rp = packed.match(qpat, qmsk)
     for a, b in zip(rd, rp):
         assert (a.index, a.distance) == (b.index, b.distance)
+
+
+def test_masks_engine_packed_matches_dense(rng):
+    from mpc_iris_tpu.models.engines import MasksEngine
+
+    qmsk = rng.integers(0, 256, (2, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (33, 1600), dtype=np.uint8)
+    dense = MasksEngine(dmsk, chunk=16, storage="dense")
+    packed = MasksEngine(dmsk, chunk=16, storage="packed")
+    np.testing.assert_array_equal(dense.dots(qmsk), packed.dots(qmsk))
