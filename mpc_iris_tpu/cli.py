@@ -191,7 +191,7 @@ def cmd_participant(args) -> int:
     )
     engine = _make_share_engine(share, args.chunk)
     host, port = _parse_addr(args.bind)
-    server = ParticipantServer(engine, host, port)
+    server = ParticipantServer(engine, host, port, wire=args.wire)
 
     async def run():
         await server.start()
@@ -236,16 +236,34 @@ def cmd_coordinator(args) -> int:
     async def run():
         n = 0
         while args.queries == 0 or n < args.queries:
-            query = Template.random(rng)
-            t0 = time.monotonic()
-            outcome = await coord.query(query)
-            dt = time.monotonic() - t0
-            print(
-                f"query {n}: closest entry {outcome.index} of {outcome.total} "
-                f"at distance {outcome.distance} ({dt:.3f}s, "
-                f"{outcome.total / max(dt, 1e-9):.0f} entries/s)"
-            )
-            n += 1
+            if args.wire == "batched":
+                queries = [Template.random(rng) for _ in range(args.batch)]
+                t0 = time.monotonic()
+                outcomes = await coord.query_batch(queries)
+                dt = time.monotonic() - t0
+                for outcome in outcomes:
+                    print(
+                        f"query {n}: closest entry {outcome.index} of "
+                        f"{outcome.total} at distance {outcome.distance}"
+                    )
+                    n += 1
+                total = outcomes[0].total * len(outcomes)
+                print(
+                    f"batch of {len(outcomes)}: {dt:.3f}s, "
+                    f"{total / max(dt, 1e-9):.0f} query-entries/s",
+                    file=sys.stderr,
+                )
+            else:
+                query = Template.random(rng)
+                t0 = time.monotonic()
+                outcome = await coord.query(query)
+                dt = time.monotonic() - t0
+                print(
+                    f"query {n}: closest entry {outcome.index} of {outcome.total} "
+                    f"at distance {outcome.distance} ({dt:.3f}s, "
+                    f"{outcome.total / max(dt, 1e-9):.0f} entries/s)"
+                )
+                n += 1
 
     try:
         asyncio.run(run())
@@ -414,6 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("input")
     g.add_argument("bind", nargs="?", default="127.0.0.1:1234")
     g.add_argument("--chunk", type=parse_si, default=8192)
+    g.add_argument(
+        "--wire", choices=["reference", "batched"], default="reference",
+        help="reference = byte-compatible single-query wire; batched = "
+        "multi-query extension (pair with coordinator --wire batched)",
+    )
     g.set_defaults(fn=cmd_participant)
 
     for name in ("coordinator", "resolver"):
@@ -430,6 +453,13 @@ def build_parser() -> argparse.ArgumentParser:
             "--storage", choices=["auto", "dense", "packed"], default="auto",
             help="masks DB storage (packed = 1.6 KB/entry, 8x HBM capacity)",
         )
+        g.add_argument(
+            "--wire", choices=["reference", "batched"], default="reference",
+            help="batched = send --batch queries per round (participants must "
+            "also run --wire batched)",
+        )
+        g.add_argument("--batch", type=parse_si, default=16,
+                       help="queries per round on the batched wire")
         g.set_defaults(fn=cmd_coordinator)
 
     g = sub.add_parser("benchmark", help="benchmark a participant")

@@ -31,6 +31,19 @@ log = logging.getLogger("mpc_iris_tpu.coordinator")
 
 
 @jax.jit
+def _decode_argmin_device_batch(dots, dens):
+    """Batched device decode: uint16 [B, n, 31] pairs -> int32 [3, B] winners
+    (same semantics as :func:`_decode_argmin_device`, vectorized over queries)."""
+    import jax.numpy as jnp
+
+    den = dens.astype(jnp.int32)
+    num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
+    n_r, d_r, _ = fraction_min_rotations(num, den, axis=2)
+    n_b, d_b, i_b = fraction_argmin(n_r, d_r, axis=1)
+    return jnp.stack([n_b, d_b, i_b])
+
+
+@jax.jit
 def _decode_argmin_device(dots, dens):
     """Device decode of one received batch: uint16 [n, 31] dot-sums and
     denominators -> stacked int32 [3] winner (num, den, batch-local index).
@@ -59,6 +72,30 @@ def _frac_less_host(n1: int, d1: int, n2: int, d2: int) -> bool:
     return n1 * d2 < n2 * d1
 
 
+def _threaded_stream(gen, loop):
+    """Run a device-compute generator in a worker thread feeding a bounded
+    asyncio queue (the reference's spawn_blocking + mpsc, src/main.rs:508-519)."""
+    q: asyncio.Queue = asyncio.Queue(maxsize=4)
+
+    def run():
+        try:
+            for item in gen:
+                asyncio.run_coroutine_threadsafe(q.put(item), loop).result()
+            asyncio.run_coroutine_threadsafe(q.put(None), loop).result()
+        except Exception as e:
+            asyncio.run_coroutine_threadsafe(q.put(e), loop).result()
+
+    threading.Thread(target=run, daemon=True).start()
+    return q
+
+
+async def _next_item(q):
+    item = await q.get()
+    if isinstance(item, Exception):
+        raise item
+    return item
+
+
 @dataclass
 class QueryOutcome:
     index: int
@@ -66,23 +103,30 @@ class QueryOutcome:
     total: int  # entries compared
 
 
-def _rechunk(stream, size: int):
-    """Re-buffer a stream of u16 [1, n, 31] arrays into exactly-``size`` batches
-    (the final batch may be short)."""
+def _rechunk(stream, size: int, axis: int = 0, squeeze: bool = True):
+    """Re-buffer a stream of u16 [B, n, 31] arrays into exactly-``size``-entry
+    batches along the entry axis (the final batch may be short). With
+    ``squeeze`` the leading B=1 axis is dropped (reference-wire layout)."""
     buf = []
     have = 0
+    entry_axis = 1
+
+    def view(chunk):
+        return chunk[0] if squeeze else chunk
+
+    ax = 0 if squeeze else entry_axis
     for chunk in stream:
-        arr = chunk[0]
+        arr = view(chunk)
         buf.append(arr)
-        have += arr.shape[0]
+        have += arr.shape[ax]
         while have >= size:
-            cat = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
-            yield cat[:size]
-            rest = cat[size:]
-            buf = [rest] if rest.shape[0] else []
-            have = rest.shape[0]
+            cat = np.concatenate(buf, axis=ax) if len(buf) > 1 else buf[0]
+            head, rest = np.split(cat, [size], axis=ax)
+            yield head
+            buf = [rest] if rest.shape[ax] else []
+            have = rest.shape[ax]
     if have:
-        yield np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+        yield np.concatenate(buf, axis=ax) if len(buf) > 1 else buf[0]
 
 
 class Coordinator:
@@ -113,37 +157,19 @@ class Coordinator:
         # Local denominator (and optional local share) streams: device compute in
         # worker threads feeding bounded queues.
         loop = asyncio.get_running_loop()
+        next_item = _next_item
 
-        def threaded_stream(gen):
-            q: asyncio.Queue = asyncio.Queue(maxsize=4)
-
-            def run():
-                try:
-                    for item in gen:
-                        asyncio.run_coroutine_threadsafe(q.put(item), loop).result()
-                    asyncio.run_coroutine_threadsafe(q.put(None), loop).result()
-                except Exception as e:
-                    asyncio.run_coroutine_threadsafe(q.put(e), loop).result()
-
-            threading.Thread(target=run, daemon=True).start()
-            return q
-
-        denom_q = threaded_stream(
-            _rechunk(self.masks_engine.stream(qmsk), self.batch_records)
+        denom_q = _threaded_stream(
+            _rechunk(self.masks_engine.stream(qmsk), self.batch_records), loop
         )
         local_q = (
-            threaded_stream(
-                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records)
+            _threaded_stream(
+                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records),
+                loop,
             )
             if self.local_engine is not None
             else None
         )
-
-        async def next_item(q):
-            item = await q.get()
-            if isinstance(item, Exception):
-                raise item
-            return item
 
         best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
         pending = []  # (batch offset, async device winner triple)
@@ -209,3 +235,106 @@ class Coordinator:
             if _frac_less_host(nb, db_, best[0], best[1]):
                 best = (nb, db_, offset + jb)
         return QueryOutcome(best[2], fraction_to_f64(best[0], best[1]), processed)
+
+    async def query_batch(self, templates: list[Template]) -> list[QueryOutcome]:
+        """Batched uniqueness check over the batched wire extension.
+
+        Participants must run ``wire="batched"``. One connection round carries
+        all B queries; replies stream as entry-major B-groups; denominators and
+        decode are vectorized over the batch on device. Amortizes connection,
+        rotation-expansion and dispatch overheads ~B-fold vs :meth:`query`.
+        """
+        from mpc_iris_tpu.protocol.wire import batched_query_bytes, read_batched_records
+
+        b = len(templates)
+        qpat = np.stack([t.pattern.data for t in templates])
+        qmsk = np.stack([t.mask.data for t in templates])
+
+        conns = await asyncio.gather(
+            *[asyncio.open_connection(h, p) for h, p in self.participants]
+        )
+        payload = batched_query_bytes(qpat, qmsk)
+        for _, writer in conns:
+            writer.write(payload)
+        await asyncio.gather(*[w.drain() for _, w in conns])
+
+        loop = asyncio.get_running_loop()
+        denom_q = _threaded_stream(
+            _rechunk(self.masks_engine.stream(qmsk), self.batch_records,
+                     squeeze=False),
+            loop,
+        )
+        local_q = (
+            _threaded_stream(
+                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records,
+                         squeeze=False),
+                loop,
+            )
+            if self.local_engine is not None
+            else None
+        )
+
+        best = [(0, 0, -1)] * b
+        pending = []
+        processed = 0
+        eofs = [False] * len(conns)
+
+        while True:
+            reads = [
+                read_batched_records(r, b, self.batch_records) for (r, _w) in conns
+            ]
+            gathered = await asyncio.gather(
+                _next_item(denom_q),
+                *( [_next_item(local_q)] if local_q is not None else [] ),
+                *reads,
+            )
+            denom = gathered[0]
+            off = 1
+            local = None
+            if local_q is not None:
+                local = gathered[1]
+                off = 2
+            share_batches = []
+            for i, (arr, eof) in enumerate(gathered[off:]):
+                share_batches.append(arr)
+                eofs[i] = eofs[i] or eof
+            if local is not None:
+                share_batches.append(local)
+            if denom is None:
+                denom = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+            if local is None and local_q is not None:
+                share_batches[-1] = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+
+            n = min([denom.shape[1]] + [s.shape[1] for s in share_batches]) \
+                if share_batches else denom.shape[1]
+            if n == 0:
+                break
+            denom = denom[:, :n]
+            share_batches = [s[:, :n] for s in share_batches]
+
+            from mpc_iris_tpu import native
+
+            total = native.share_sum([s.astype(np.uint16) for s in share_batches])
+            pending.append(
+                (processed,
+                 _decode_argmin_device_batch(total, denom.astype(np.uint16)))
+            )
+            processed += n
+            if n < self.batch_records:
+                break
+
+        for _, w in conns:
+            w.close()
+        await asyncio.gather(
+            *[w.wait_closed() for _, w in conns], return_exceptions=True
+        )
+        for offset, triples in pending:
+            arr = np.asarray(triples)  # [3, B]
+            for q in range(b):
+                nb, db_, jb = int(arr[0, q]), int(arr[1, q]), int(arr[2, q])
+                if _frac_less_host(nb, db_, best[q][0], best[q][1]):
+                    best[q] = (nb, db_, offset + jb)
+        return [
+            QueryOutcome(i, fraction_to_f64(nn, dd), processed)
+            for (nn, dd, i) in best
+        ]

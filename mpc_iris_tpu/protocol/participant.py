@@ -13,18 +13,32 @@ import threading
 
 import numpy as np
 
-from mpc_iris_tpu.protocol.wire import read_template_bytes, records_to_bytes
+from mpc_iris_tpu.protocol.wire import (
+    batched_records_to_bytes,
+    read_batched_query,
+    read_template_bytes,
+    records_to_bytes,
+)
 from mpc_iris_tpu.constants import BITS_BYTES, TEMPLATE_BYTES
 
 log = logging.getLogger("mpc_iris_tpu.participant")
 
 
 class ParticipantServer:
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234):
-        """engine: ShareEngine or ShardedShareEngine (anything with .stream)."""
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
+                 wire: str = "reference"):
+        """engine: ShareEngine or ShardedShareEngine (anything with .stream).
+
+        wire: "reference" = one raw template per connection (byte-compatible
+        with the reference); "batched" = u32 count + B templates, entry-major
+        B-group reply (this framework's batched extension).
+        """
+        if wire not in ("reference", "batched"):
+            raise ValueError(f"unknown wire mode {wire!r}")
         self.engine = engine
         self.host = host
         self.port = port
+        self.wire = wire
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self) -> tuple[str, int]:
@@ -51,9 +65,16 @@ class ParticipantServer:
         peer = writer.get_extra_info("peername")
         log.info("inbound from %s", peer)
         try:
-            raw = await read_template_bytes(reader)
-            qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
-            qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
+            if self.wire == "batched":
+                qpat, qmsk = await read_batched_query(reader)
+            else:
+                raw = await read_template_bytes(reader)
+                qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
+                qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
+            to_bytes = (
+                batched_records_to_bytes if self.wire == "batched"
+                else lambda block: records_to_bytes(block[0])
+            )
 
             # Device compute in a worker thread feeding a bounded queue (the
             # reference's spawn_blocking + mpsc pipeline, src/main.rs:423-434).
@@ -64,7 +85,7 @@ class ParticipantServer:
                 try:
                     for chunk in self.engine.stream(qpat, qmsk):
                         fut = asyncio.run_coroutine_threadsafe(
-                            queue.put(chunk[0]), loop
+                            queue.put(chunk), loop
                         )
                         fut.result()
                     asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
@@ -81,10 +102,10 @@ class ParticipantServer:
                     break
                 if isinstance(item, Exception):
                     raise item
-                writer.write(records_to_bytes(item))
+                writer.write(to_bytes(item))  # [B, n, 31] device chunk
                 await writer.drain()
-                sent += item.shape[0]
-            log.info("reply sent: %d records", sent)
+                sent += item.shape[1]
+            log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
         except (asyncio.IncompleteReadError, ConnectionResetError):
             log.warning("connection from %s dropped", peer)
         finally:

@@ -1,8 +1,23 @@
-"""Wire-format helpers shared by coordinator and participant."""
+"""Wire-format helpers shared by coordinator and participant.
+
+Two wire modes:
+
+- **reference** (default): one raw 3,200-byte template per connection; reply is
+  a stream of `[u16; 31]` little-endian records in DB order — byte-compatible
+  with the reference (src/main.rs:417-445).
+- **batched** (extension; the reference has none, its engine API is
+  batch-shaped but its protocol is one-query-at-a-time): the client sends a
+  u32-LE query count B followed by B raw templates; the reply is a stream of
+  `[u16; B, n, 31]` blocks (query-major), n <= BATCH_RECORDS per block, in DB
+  order. Amortizes connection, rotation-expansion, and dispatch overheads over
+  the whole batch. Selected explicitly per endpoint (``--wire batched``), never
+  sniffed — a raw template could begin with any bytes.
+"""
 
 from __future__ import annotations
 
 import asyncio
+import struct
 
 import numpy as np
 
@@ -48,3 +63,66 @@ async def read_template_bytes(reader: asyncio.StreamReader) -> bytes:
 def records_to_bytes(records: np.ndarray) -> bytes:
     """u16 [n, 31] -> wire bytes (little-endian, row-major)."""
     return np.ascontiguousarray(records).astype("<u2").tobytes()
+
+
+# ------------------------------------------------------------- batched wire
+
+
+def batched_query_bytes(patterns: np.ndarray, masks: np.ndarray) -> bytes:
+    """[B, 1600] plane pairs -> u32 count + B raw templates."""
+    b = patterns.shape[0]
+    parts = [struct.pack("<I", b)]
+    for i in range(b):
+        parts.append(patterns[i].tobytes())
+        parts.append(masks[i].tobytes())
+    return b"".join(parts)
+
+
+async def read_batched_query(reader: asyncio.StreamReader):
+    """Server side: (patterns u8 [B, 1600], masks u8 [B, 1600])."""
+    (b,) = struct.unpack("<I", await reader.readexactly(4))
+    if not 0 < b <= 65536:
+        raise ValueError(f"bad batched query count {b}")
+    raw = await reader.readexactly(b * TEMPLATE_BYTES)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(b, TEMPLATE_BYTES)
+    half = TEMPLATE_BYTES // 2
+    return arr[:, :half].copy(), arr[:, half:].copy()
+
+
+def batched_records_to_bytes(block: np.ndarray) -> bytes:
+    """u16 [B, n, 31] -> wire bytes, ENTRY-major: per DB entry, B consecutive
+    [u16; 31] records. Entry-major keeps the stream a flat sequence of
+    fixed-size per-entry groups, so blocks of any size concatenate seamlessly
+    and EOF truncation stays entry-granular (like the reference stream)."""
+    return np.ascontiguousarray(block.transpose(1, 0, 2)).astype("<u2").tobytes()
+
+
+async def read_batched_records(
+    reader: asyncio.StreamReader, b: int, max_records: int
+) -> tuple[np.ndarray, bool]:
+    """Read up to ``max_records`` entry-groups of a batched reply; EOF-tolerant.
+
+    Returns (u16 [B, n, 31], eof); partial trailing entry-groups are dropped
+    (the batched analogue of the reference's whole-record truncation).
+    """
+    group = b * REPLY_RECORD_BYTES  # bytes per DB entry across the whole batch
+    want = max_records * group
+    chunks = []
+    got = 0
+    eof = False
+    while got < want:
+        data = await reader.read(want - got)
+        if not data:
+            eof = True
+            break
+        chunks.append(data)
+        got += len(data)
+    raw = b"".join(chunks)
+    n = len(raw) // group
+    raw = raw[: n * group]
+    if n:
+        arr = np.frombuffer(raw, dtype="<u2").reshape(n, b, N_ROTATIONS)
+        arr = np.ascontiguousarray(arr.transpose(1, 0, 2))
+    else:
+        arr = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+    return arr, eof

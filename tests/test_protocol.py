@@ -141,3 +141,63 @@ class TestRechunk:
         total_in = np.concatenate([c[0] for c in chunks], axis=0)
         total_out = np.concatenate(out, axis=0)
         np.testing.assert_array_equal(total_in, total_out)
+
+
+class TestBatchedWire:
+    def test_batched_matches_oracle_and_single(self, world):
+        """Batched wire: B queries in one round, each winner == scalar oracle."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        queries = [query, Template.random(np.random.default_rng(5)), db[3]]
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            try:
+                return await coord.query_batch(queries)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outcomes = asyncio.run(go())
+        assert len(outcomes) == 3
+        for q, outcome in zip(queries, outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
+
+    def test_batched_with_local_share(self, world):
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 3)
+        queries = [query, db[2]]
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats[1:]
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), addrs,
+                local_engine=ShareEngine(mats[0], chunk=8), batch_records=23,
+            )
+            try:
+                return await coord.query_batch(queries)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outcomes = asyncio.run(go())
+        for q, outcome in zip(queries, outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert (outcome.index, outcome.distance) == (
+                int(np.argmin(oracle)), oracle.min(),
+            )
