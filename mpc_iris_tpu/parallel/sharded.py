@@ -40,6 +40,7 @@ from mpc_iris_tpu.models.engines import (
     match_scan_auto,
     prepare_query_planes,
 )
+from mpc_iris_tpu.models.engines import _fused_ok as _fused_ok_local
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
 
@@ -73,26 +74,56 @@ class _ShardedBase:
 class ShardedPlaintextEngine(_ShardedBase):
     """Fused plaintext min-distance search over a DB sharded across chips."""
 
-    def __init__(self, patterns_packed, masks_packed, mesh, chunk: int = DEFAULT_CHUNK):
+    def __init__(self, patterns_packed, masks_packed, mesh,
+                 chunk: int = DEFAULT_CHUNK, storage: str = "auto"):
+        """storage: as in models.PlaintextEngine — "packed" keeps raw bit planes
+        per shard (3.2 KB/entry) and unpacks per chunk on device; "auto" picks
+        packed past 400k entries *per shard*."""
         n = patterns_packed.shape[0]
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)
-        p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
-        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-        enc = encode_grid_i8(p, m, xp=np)
-        enc_b, self.count = _blocked(enc, chunk, self.n_shards)
-        mask_b, _ = _blocked(m, chunk, self.n_shards)
-        self.db_enc = self._put_db(enc_b)
-        self.db_mask = self._put_db(mask_b)
+        if storage == "auto":
+            storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
+        self.storage = storage
+        if storage == "packed":
+            pat_b, self.count = _blocked(
+                np.ascontiguousarray(patterns_packed, dtype=np.uint8),
+                chunk, self.n_shards,
+            )
+            msk_b, _ = _blocked(
+                np.ascontiguousarray(masks_packed, dtype=np.uint8),
+                chunk, self.n_shards,
+            )
+            self.db_enc = self._put_db(pat_b)  # packed pattern planes
+            self.db_mask = self._put_db(msk_b)  # packed mask planes
+        else:
+            p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
+            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+            enc = encode_grid_i8(p, m, xp=np)
+            enc_b, self.count = _blocked(enc, chunk, self.n_shards)
+            mask_b, _ = _blocked(m, chunk, self.n_shards)
+            self.db_enc = self._put_db(enc_b)
+            self.db_mask = self._put_db(mask_b)
 
         c, d = self.chunk, self.n_shards
+        packed = storage == "packed"
 
-        def spmd(q_enc, q_mask, db_enc, db_mask):
-            # local: q [B_local, 31, K]; db [C_local, 1, c, K]
-            local_enc = db_enc.reshape(db_enc.shape[0], c, BITS)
-            local_mask = db_mask.reshape(db_mask.shape[0], c, BITS)
-            # Fused Pallas selection when the local shapes align (TPU), else XLA.
-            n_, d_, l = match_scan_auto(q_enc, q_mask, local_enc, local_mask)
+        def spmd(q_enc, q_mask, db_a, db_b):
+            # local: q [B_local, 31, K]; db [C_local, 1, c, K or K/8]
+            local_a = db_a.reshape(db_a.shape[0], c, db_a.shape[-1])
+            local_b = db_b.reshape(db_b.shape[0], c, db_b.shape[-1])
+            if packed:
+                from mpc_iris_tpu.models.engines import _match_scan_packed
+
+                fused = _fused_ok_local(q_enc.shape[0], c)
+                n_, d_, l = _match_scan_packed(
+                    q_enc, q_mask, local_a, local_b,
+                    interpret=fused and jax.default_backend() != "tpu",
+                    fused=fused,
+                )
+            else:
+                # Fused Pallas selection when local shapes align (TPU), else XLA.
+                n_, d_, l = match_scan_auto(q_enc, q_mask, local_a, local_b)
             # local l = j*c + p  ->  global (j*D + i)*c + p
             i_rank = lax.axis_index("db").astype(jnp.int32)
             g = (l // c) * (d * c) + i_rank * c + (l % c)
@@ -182,15 +213,30 @@ class ShardedShareEngine(_ShardedBase):
 class ShardedMasksEngine(_ShardedBase):
     """Coordinator denominator engine over a masks DB sharded across chips."""
 
-    def __init__(self, masks_packed, mesh, chunk: int = DEFAULT_CHUNK):
+    def __init__(self, masks_packed, mesh, chunk: int = DEFAULT_CHUNK,
+                 storage: str = "auto"):
         n = masks_packed.shape[0]
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)
-        m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-        mask_b, self.count = _blocked(m, chunk, self.n_shards)
+        if storage == "auto":
+            storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
+        self.storage = storage
+        if storage == "packed":
+            mask_b, self.count = _blocked(
+                np.ascontiguousarray(masks_packed, dtype=np.uint8),
+                chunk, self.n_shards,
+            )
+        else:
+            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+            mask_b, self.count = _blocked(m, chunk, self.n_shards)
         self.db_mask = self._put_db(mask_b)
+        packed = storage == "packed"
 
         def spmd(q_mask, mask_j):
+            if packed:
+                from mpc_iris_tpu.models.engines import _mask_dots_chunk_packed
+
+                return _mask_dots_chunk_packed(q_mask, mask_j[0])
             return _mask_dots_chunk(q_mask, mask_j[0])
 
         self._block = jax.jit(

@@ -112,3 +112,22 @@ def test_cross_shard_tie_prefers_lower_global_index():
     assert single[0].index == 4
     assert sharded[0].index == 4
     assert sharded[0].distance == single[0].distance
+
+
+def test_sharded_packed_matches_dense(data):
+    qpat, qmsk, dpat, dmsk, _ = data
+    mesh = make_mesh(db=4, batch=2)
+    dense = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=4, storage="dense")
+    packed = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=4, storage="packed")
+    rd = dense.match(qpat, qmsk)
+    rp = packed.match(qpat, qmsk)
+    for a, b in zip(rd, rp):
+        assert (a.index, a.distance) == (b.index, b.distance)
+
+
+def test_sharded_masks_packed_matches_dense(data):
+    qpat, qmsk, dpat, dmsk, _ = data
+    mesh = make_mesh(db=4, batch=2)
+    dense = ShardedMasksEngine(dmsk, mesh, chunk=4, storage="dense")
+    packed = ShardedMasksEngine(dmsk, mesh, chunk=4, storage="packed")
+    np.testing.assert_array_equal(dense.dots(qmsk), packed.dots(qmsk))
