@@ -401,14 +401,22 @@ class ShareEngine:
     (== reference `DistanceEngine`, src/lib.rs:28-52)."""
 
     def __init__(self, shares_u16: np.ndarray, chunk: int = DEFAULT_CHUNK, device=None):
-        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap)."""
+        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap).
+
+        The lo/hi byte-plane conversion streams chunk-by-chunk so a memmap'd
+        share file never materializes in host RAM (peak extra = one chunk)."""
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, n))
-        s = np.asarray(shares_u16, dtype=np.uint16)
-        lo = (s & 0xFF).astype(np.int16) - 128
-        hi = (s >> 8).astype(np.int16) - 128
-        lo_c, self.count = _pad_chunks(lo.astype(np.int8), chunk)
-        hi_c, _ = _pad_chunks(hi.astype(np.int8), chunk)
+        num_chunks = max(1, -(-n // chunk))
+        lo_c = np.zeros((num_chunks, chunk, BITS), dtype=np.int8)
+        hi_c = np.zeros((num_chunks, chunk, BITS), dtype=np.int8)
+        for c in range(num_chunks):
+            start = c * chunk
+            end = min(n, start + chunk)
+            s = np.asarray(shares_u16[start:end], dtype=np.uint16)
+            lo_c[c, : end - start] = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
+            hi_c[c, : end - start] = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
+        self.count = n
         put = functools.partial(jax.device_put, device=device)
         self.db_lo = put(lo_c)
         self.db_hi = put(hi_c)

@@ -168,6 +168,9 @@ def select_chunk(dot, den, index_offset, *, tile_b=8, tile_n=2048, interpret=Fal
     assert m % N_ROT_PAD == 0
     b = m // N_ROT_PAD
     assert b % tile_b == 0 and n_cols % tile_n == 0, (b, n_cols, tile_b, tile_n)
+    # The column halving tree requires tile_n = 128 * 2^k (plain divisibility by
+    # 128 is not enough: halving must land exactly on the 128-lane width).
+    assert tile_n >= _LANES and (tile_n & (tile_n - 1)) == 0, tile_n
     grid = (b // tile_b, n_cols // tile_n)
     off = jnp.asarray(index_offset, jnp.int32).reshape(1)
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import asyncio
 import logging
-import threading
 from dataclasses import dataclass
 
 import jax
@@ -24,6 +23,7 @@ import numpy as np
 
 from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
 from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
+from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import BATCH_RECORDS, read_records
 from mpc_iris_tpu.types import Template
 
@@ -72,28 +72,16 @@ def _frac_less_host(n1: int, d1: int, n2: int, d2: int) -> bool:
     return n1 * d2 < n2 * d1
 
 
-def _threaded_stream(gen, loop):
-    """Run a device-compute generator in a worker thread feeding a bounded
-    asyncio queue (the reference's spawn_blocking + mpsc, src/main.rs:508-519)."""
-    q: asyncio.Queue = asyncio.Queue(maxsize=4)
-
-    def run():
-        try:
-            for item in gen:
-                asyncio.run_coroutine_threadsafe(q.put(item), loop).result()
-            asyncio.run_coroutine_threadsafe(q.put(None), loop).result()
-        except Exception as e:
-            asyncio.run_coroutine_threadsafe(q.put(e), loop).result()
-
-    threading.Thread(target=run, daemon=True).start()
-    return q
-
-
-async def _next_item(q):
-    item = await q.get()
-    if isinstance(item, Exception):
-        raise item
-    return item
+async def _close_all(conns, pumps):
+    """Release worker pumps (they may be blocked on full queues) and sockets."""
+    for p in pumps:
+        if p is not None:
+            p.close()
+    for _, w in conns:
+        w.close()
+    await asyncio.gather(
+        *[w.wait_closed() for _, w in conns], return_exceptions=True
+    )
 
 
 @dataclass
@@ -136,6 +124,11 @@ class Coordinator:
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
         """
+        if not participants and local_engine is None:
+            raise ValueError(
+                "coordinator needs at least one participant or a local share "
+                "engine — masks alone cannot answer queries"
+            )
         self.masks_engine = masks_engine
         self.participants = participants
         self.local_engine = local_engine
@@ -155,15 +148,13 @@ class Coordinator:
         await asyncio.gather(*[w.drain() for _, w in conns])
 
         # Local denominator (and optional local share) streams: device compute in
-        # worker threads feeding bounded queues.
+        # worker threads feeding bounded cancellable queues.
         loop = asyncio.get_running_loop()
-        next_item = _next_item
-
-        denom_q = _threaded_stream(
+        denom_pump = StreamPump(
             _rechunk(self.masks_engine.stream(qmsk), self.batch_records), loop
         )
-        local_q = (
-            _threaded_stream(
+        local_pump = (
+            StreamPump(
                 _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records),
                 loop,
             )
@@ -176,60 +167,59 @@ class Coordinator:
         processed = 0
         eofs = [False] * len(conns)
 
-        while True:
-            # Read one batch from every source concurrently (join! at main.rs:560).
-            reads = [
-                read_records(r, self.batch_records) for (r, _w), e in zip(conns, eofs)
-            ]
-            gathered = await asyncio.gather(
-                next_item(denom_q),
-                *( [next_item(local_q)] if local_q is not None else [] ),
-                *reads,
-            )
-            denom = gathered[0]
-            off = 1
-            local = None
-            if local_q is not None:
-                local = gathered[1]
-                off = 2
-            share_batches = []
-            for i, (arr, eof) in enumerate(gathered[off:]):
-                share_batches.append(arr)
-                eofs[i] = eofs[i] or eof
-            if local is not None:
-                share_batches.append(local)
-            if denom is None:
-                denom = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
-            if local is None and local_q is not None:
-                share_batches[-1] = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
+        try:
+            while True:
+                # Read one batch from every source concurrently (join!,
+                # main.rs:560).
+                reads = [read_records(r, self.batch_records) for (r, _w) in conns]
+                gathered = await asyncio.gather(
+                    denom_pump.next_item(),
+                    *( [local_pump.next_item()] if local_pump is not None else [] ),
+                    *reads,
+                )
+                denom = gathered[0]
+                off = 1
+                local = None
+                if local_pump is not None:
+                    local = gathered[1]
+                    off = 2
+                share_batches = []
+                for i, (arr, eof) in enumerate(gathered[off:]):
+                    share_batches.append(arr)
+                    eofs[i] = eofs[i] or eof
+                if local is not None:
+                    share_batches.append(local)
+                if denom is None:
+                    denom = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
+                if local is None and local_pump is not None:
+                    share_batches[-1] = np.zeros((0, N_ROTATIONS), dtype=np.uint16)
 
-            # Align to shortest prefix (main.rs:565-569).
-            n = min([denom.shape[0]] + [b.shape[0] for b in share_batches]) \
-                if share_batches else denom.shape[0]
-            if n == 0:
-                break
-            denom = denom[:n]
-            share_batches = [b[:n] for b in share_batches]
+                # Align to shortest prefix (main.rs:565-569).
+                n = min([denom.shape[0]] + [b.shape[0] for b in share_batches])
+                if n == 0:
+                    break
+                denom = denom[:n]
+                share_batches = [b[:n] for b in share_batches]
 
-            # Reconstruct share sums mod 2^16 (main.rs:597-612) with the native
-            # C++ wrapping sum, then decode + argmin on device.
-            from mpc_iris_tpu import native
+                # Reconstruct share sums mod 2^16 (main.rs:597-612) with the
+                # native C++ wrapping sum, then decode + argmin on device.
+                from mpc_iris_tpu import native
 
-            total = native.share_sum([b.astype(np.uint16) for b in share_batches])
-            # Dispatch is async: the device winner is fetched after the stream
-            # drains, so decode overlaps the next batch's network reads.
-            pending.append(
-                (processed, _decode_argmin_device(total, denom.astype(np.uint16)))
-            )
-            processed += n
-            if n < self.batch_records:
-                break
+                total = native.share_sum(
+                    [b.astype(np.uint16) for b in share_batches]
+                )
+                # Dispatch is async: the device winner is fetched after the
+                # stream drains, so decode overlaps the next batch's reads.
+                pending.append(
+                    (processed,
+                     _decode_argmin_device(total, denom.astype(np.uint16)))
+                )
+                processed += n
+                if n < self.batch_records:
+                    break
+        finally:
+            await _close_all(conns, [denom_pump, local_pump])
 
-        for _, w in conns:
-            w.close()
-        await asyncio.gather(
-            *[w.wait_closed() for _, w in conns], return_exceptions=True
-        )
         for offset, triple in pending:
             nb, db_, jb = (int(x) for x in np.asarray(triple))
             if _frac_less_host(nb, db_, best[0], best[1]):
@@ -247,6 +237,8 @@ class Coordinator:
         from mpc_iris_tpu.protocol.wire import batched_query_bytes, read_batched_records
 
         b = len(templates)
+        if not 0 < b <= 65536:
+            raise ValueError(f"batch size {b} outside the wire's 1..65536 range")
         qpat = np.stack([t.pattern.data for t in templates])
         qmsk = np.stack([t.mask.data for t in templates])
 
@@ -259,13 +251,13 @@ class Coordinator:
         await asyncio.gather(*[w.drain() for _, w in conns])
 
         loop = asyncio.get_running_loop()
-        denom_q = _threaded_stream(
+        denom_pump = StreamPump(
             _rechunk(self.masks_engine.stream(qmsk), self.batch_records,
                      squeeze=False),
             loop,
         )
-        local_q = (
-            _threaded_stream(
+        local_pump = (
+            StreamPump(
                 _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records,
                          squeeze=False),
                 loop,
@@ -279,55 +271,57 @@ class Coordinator:
         processed = 0
         eofs = [False] * len(conns)
 
-        while True:
-            reads = [
-                read_batched_records(r, b, self.batch_records) for (r, _w) in conns
-            ]
-            gathered = await asyncio.gather(
-                _next_item(denom_q),
-                *( [_next_item(local_q)] if local_q is not None else [] ),
-                *reads,
-            )
-            denom = gathered[0]
-            off = 1
-            local = None
-            if local_q is not None:
-                local = gathered[1]
-                off = 2
-            share_batches = []
-            for i, (arr, eof) in enumerate(gathered[off:]):
-                share_batches.append(arr)
-                eofs[i] = eofs[i] or eof
-            if local is not None:
-                share_batches.append(local)
-            if denom is None:
-                denom = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
-            if local is None and local_q is not None:
-                share_batches[-1] = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+        try:
+            while True:
+                reads = [
+                    read_batched_records(r, b, self.batch_records)
+                    for (r, _w) in conns
+                ]
+                gathered = await asyncio.gather(
+                    denom_pump.next_item(),
+                    *( [local_pump.next_item()] if local_pump is not None else [] ),
+                    *reads,
+                )
+                denom = gathered[0]
+                off = 1
+                local = None
+                if local_pump is not None:
+                    local = gathered[1]
+                    off = 2
+                share_batches = []
+                for i, (arr, eof) in enumerate(gathered[off:]):
+                    share_batches.append(arr)
+                    eofs[i] = eofs[i] or eof
+                if local is not None:
+                    share_batches.append(local)
+                if denom is None:
+                    denom = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+                if local is None and local_pump is not None:
+                    share_batches[-1] = np.zeros(
+                        (b, 0, N_ROTATIONS), dtype=np.uint16
+                    )
 
-            n = min([denom.shape[1]] + [s.shape[1] for s in share_batches]) \
-                if share_batches else denom.shape[1]
-            if n == 0:
-                break
-            denom = denom[:, :n]
-            share_batches = [s[:, :n] for s in share_batches]
+                n = min([denom.shape[1]] + [s.shape[1] for s in share_batches])
+                if n == 0:
+                    break
+                denom = denom[:, :n]
+                share_batches = [s[:, :n] for s in share_batches]
 
-            from mpc_iris_tpu import native
+                from mpc_iris_tpu import native
 
-            total = native.share_sum([s.astype(np.uint16) for s in share_batches])
-            pending.append(
-                (processed,
-                 _decode_argmin_device_batch(total, denom.astype(np.uint16)))
-            )
-            processed += n
-            if n < self.batch_records:
-                break
+                total = native.share_sum(
+                    [s.astype(np.uint16) for s in share_batches]
+                )
+                pending.append(
+                    (processed,
+                     _decode_argmin_device_batch(total, denom.astype(np.uint16)))
+                )
+                processed += n
+                if n < self.batch_records:
+                    break
+        finally:
+            await _close_all(conns, [denom_pump, local_pump])
 
-        for _, w in conns:
-            w.close()
-        await asyncio.gather(
-            *[w.wait_closed() for _, w in conns], return_exceptions=True
-        )
         for offset, triples in pending:
             arr = np.asarray(triples)  # [3, B]
             for q in range(b):

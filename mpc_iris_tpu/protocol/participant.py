@@ -9,10 +9,10 @@ from __future__ import annotations
 
 import asyncio
 import logging
-import threading
 
 import numpy as np
 
+from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import (
     batched_records_to_bytes,
     read_batched_query,
@@ -78,36 +78,24 @@ class ParticipantServer:
 
             # Device compute in a worker thread feeding a bounded queue (the
             # reference's spawn_blocking + mpsc pipeline, src/main.rs:423-434).
+            # The pump is cancellable: a dropped client must not strand the
+            # worker (and its device buffers) on a full queue forever.
             loop = asyncio.get_running_loop()
-            queue: asyncio.Queue = asyncio.Queue(maxsize=4)
-
-            def produce():
-                try:
-                    for chunk in self.engine.stream(qpat, qmsk):
-                        fut = asyncio.run_coroutine_threadsafe(
-                            queue.put(chunk), loop
-                        )
-                        fut.result()
-                    asyncio.run_coroutine_threadsafe(queue.put(None), loop).result()
-                except Exception as e:  # surface compute errors to the writer loop
-                    asyncio.run_coroutine_threadsafe(queue.put(e), loop).result()
-
-            worker = threading.Thread(target=produce, daemon=True)
-            worker.start()
-
-            sent = 0
-            while True:
-                item = await queue.get()
-                if item is None:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                writer.write(to_bytes(item))  # [B, n, 31] device chunk
-                await writer.drain()
-                sent += item.shape[1]
-            log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
-        except (asyncio.IncompleteReadError, ConnectionResetError):
-            log.warning("connection from %s dropped", peer)
+            pump = StreamPump(self.engine.stream(qpat, qmsk), loop)
+            try:
+                sent = 0
+                while True:
+                    item = await pump.next_item()
+                    if item is None:
+                        break
+                    writer.write(to_bytes(item))  # [B, n, 31] device chunk
+                    await writer.drain()
+                    sent += item.shape[1]
+                log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
+            finally:
+                pump.close()
+        except (asyncio.IncompleteReadError, ConnectionResetError, ValueError) as e:
+            log.warning("connection from %s dropped/invalid: %s", peer, e)
         finally:
             try:
                 writer.close()

@@ -7,11 +7,12 @@ Two wire modes:
   with the reference (src/main.rs:417-445).
 - **batched** (extension; the reference has none, its engine API is
   batch-shaped but its protocol is one-query-at-a-time): the client sends a
-  u32-LE query count B followed by B raw templates; the reply is a stream of
-  `[u16; B, n, 31]` blocks (query-major), n <= BATCH_RECORDS per block, in DB
-  order. Amortizes connection, rotation-expansion, and dispatch overheads over
-  the whole batch. Selected explicitly per endpoint (``--wire batched``), never
-  sniffed — a raw template could begin with any bytes.
+  u32-LE query count B (1..65536) followed by B raw templates; the reply is a
+  flat stream of ENTRY-major groups — per DB entry, B consecutive `[u16; 31]`
+  records — in DB order. Amortizes connection, rotation-expansion, and dispatch
+  overheads over the whole batch. Selected explicitly per endpoint
+  (``--wire batched``), never sniffed — a raw template could begin with any
+  bytes.
 """
 
 from __future__ import annotations
@@ -69,13 +70,14 @@ def records_to_bytes(records: np.ndarray) -> bytes:
 
 
 def batched_query_bytes(patterns: np.ndarray, masks: np.ndarray) -> bytes:
-    """[B, 1600] plane pairs -> u32 count + B raw templates."""
+    """[B, 1600] uint8 plane pairs -> u32 count + B raw templates."""
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    masks = np.ascontiguousarray(masks, dtype=np.uint8)
     b = patterns.shape[0]
-    parts = [struct.pack("<I", b)]
-    for i in range(b):
-        parts.append(patterns[i].tobytes())
-        parts.append(masks[i].tobytes())
-    return b"".join(parts)
+    if not 0 < b <= 65536:
+        raise ValueError(f"batched wire supports 1..65536 queries, got {b}")
+    # One contiguous copy: per template, pattern plane then mask plane.
+    return struct.pack("<I", b) + np.hstack([patterns, masks]).tobytes()
 
 
 async def read_batched_query(reader: asyncio.StreamReader):

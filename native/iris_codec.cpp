@@ -140,11 +140,12 @@ extern "C" {
 
 // hex (2*n chars) -> bytes (n). Returns 0, or -1 on a non-hex character.
 int ic_hex_decode(const uint8_t* hex, int64_t n_bytes, uint8_t* out) {
-  int rc = 0;
+  std::atomic<int> rc{0};  // written from worker threads
   parallel_rows(n_bytes, [&](int64_t lo, int64_t hi) {
-    if (hex_decode_n(hex + 2 * lo, hi - lo, out + lo) != 0) rc = -1;
+    if (hex_decode_n(hex + 2 * lo, hi - lo, out + lo) != 0)
+      rc.store(-1, std::memory_order_relaxed);
   });
-  return rc;
+  return rc.load();
 }
 
 // bytes (n) -> lowercase hex (2*n chars, no NUL).
@@ -164,8 +165,10 @@ inline const uint8_t* skip_ws(const uint8_t* p, const uint8_t* end) {
 }
 
 // Parse `"key" : "<3200 hex>"`; advances p past the value's closing quote.
-// which: 0 = pattern, 1 = mask. Returns 1 ok, 0 need-more-data, -1 malformed.
-int parse_field(const uint8_t*& p, const uint8_t* end, uint8_t* pat, uint8_t* msk) {
+// Sets which_out: 0 = pattern, 1 = mask. Returns 1 ok, 0 need-more-data,
+// -1 malformed.
+int parse_field(const uint8_t*& p, const uint8_t* end, uint8_t* pat, uint8_t* msk,
+                int* which_out) {
   p = skip_ws(p, end);
   if (p >= end) return 0;
   if (*p != '"') return -1;
@@ -177,6 +180,7 @@ int parse_field(const uint8_t*& p, const uint8_t* end, uint8_t* pat, uint8_t* ms
   if (key_len == 7 && memcmp(key, "pattern", 7) == 0) which = 0;
   else if (key_len == 4 && memcmp(key, "mask", 4) == 0) which = 1;
   else return -1;
+  *which_out = which;
   ++p;
   p = skip_ws(p, end);
   if (p >= end) return 0;
@@ -246,16 +250,21 @@ int64_t ic_parse_templates(const uint8_t* buf, int64_t len, int is_final,
     ++p;
     uint8_t* pat = patterns + count * kPlaneBytes;
     uint8_t* msk = masks + count * kPlaneBytes;
-    int rc = parse_field(p, end, pat, msk);
+    int which = -1;
+    bool seen[2] = {false, false};
+    int rc = parse_field(p, end, pat, msk, &which);
     if (rc < 0) return -1;
     if (rc == 0) { p = elem_start; break; }
+    seen[which] = true;
     p = skip_ws(p, end);
     if (p >= end) { p = elem_start; break; }
     if (*p != ',') return -1;
     ++p;
-    rc = parse_field(p, end, pat, msk);
+    rc = parse_field(p, end, pat, msk, &which);
     if (rc < 0) return -1;
     if (rc == 0) { p = elem_start; break; }
+    if (seen[which]) return -1;  // duplicate key: the other plane would be
+    seen[which] = true;          // uninitialized memory
     p = skip_ws(p, end);
     if (p >= end) { p = elem_start; break; }
     if (*p != '}') return -1;

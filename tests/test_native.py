@@ -116,3 +116,11 @@ def test_encode_u16_matches_numpy(rng):
         unpack_bits(pats, xp=np), unpack_bits(msks, xp=np), xp=np
     ).reshape(3, BITS).astype(np.uint16)
     assert np.array_equal(native.encode_u16_native(pats, msks), ref)
+
+
+def test_parse_rejects_duplicate_keys(rng):
+    """Duplicate-key elements must error, never emit uninitialized memory."""
+    p = rng.integers(0, 256, 1600, dtype=np.uint8).tobytes().hex()
+    raw = ('[{"pattern": "%s", "pattern": "%s"}]' % (p, p)).encode()
+    with pytest.raises(ValueError):
+        list(native.parse_templates_stream(io.BytesIO(raw)))

@@ -201,3 +201,48 @@ class TestBatchedWire:
             assert (outcome.index, outcome.distance) == (
                 int(np.argmin(oracle)), oracle.min(),
             )
+
+
+class TestRobustness:
+    def test_masks_only_coordinator_rejected(self, world):
+        rng, db, query, masks = world
+        with pytest.raises(ValueError):
+            Coordinator(MasksEngine(masks, chunk=8), participants=[])
+
+    def test_oversized_batch_rejected(self, world):
+        rng, db, query, masks = world
+        coord = Coordinator.__new__(Coordinator)  # skip __init__ checks
+        coord.participants = []
+        coord.masks_engine = None
+        coord.local_engine = None
+        coord.batch_records = 7
+        with pytest.raises(ValueError):
+            asyncio.run(coord.query_batch([query] * 0))
+
+    def test_client_disconnect_releases_worker(self, world):
+        """Dropping the connection mid-stream must not strand the producer
+        thread (pre-fix it blocked forever on the full queue)."""
+        import threading
+        import time as _time
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            server = ParticipantServer(ShareEngine(mats[0], chunk=4), "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            await reader.read(62)  # first bytes arrive, then hang up
+            writer.close()
+            await writer.wait_closed()
+            await asyncio.sleep(1.0)  # let the pump notice and exit
+            await server.close()
+
+        before = threading.active_count()
+        asyncio.run(go())
+        deadline = _time.monotonic() + 5
+        while threading.active_count() > before and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert threading.active_count() <= before
