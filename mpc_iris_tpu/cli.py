@@ -281,10 +281,21 @@ def cmd_benchmark(args) -> int:
 
     async def run():
         for q in range(args.queries):
-            query = Template.random(rng)
             t0 = time.monotonic()
             reader, writer = await asyncio.open_connection(host, port)
-            writer.write(query.to_bytes())
+            if args.wire == "batched":
+                from mpc_iris_tpu.protocol.wire import batched_query_bytes
+
+                raw = rng.integers(
+                    0, 256, size=(args.batch, TEMPLATE_BYTES), dtype=np.uint8
+                )
+                writer.write(
+                    batched_query_bytes(raw[:, :BITS_BYTES], raw[:, BITS_BYTES:])
+                )
+                group = args.batch * 62
+            else:
+                writer.write(Template.random(rng).to_bytes())
+                group = 62
             await writer.drain()
             total = 0
             while True:
@@ -295,9 +306,9 @@ def cmd_benchmark(args) -> int:
             dt = time.monotonic() - t0
             writer.close()
             await writer.wait_closed()
-            entries = total // 62
+            entries = total // group
             print(
-                f"query {q}: {entries} records, {total / 1e6:.1f} MB in {dt:.3f}s "
+                f"round {q}: {entries} entries, {total / 1e6:.1f} MB in {dt:.3f}s "
                 f"({entries / max(dt, 1e-9):.0f} entries/s, "
                 f"{total / 1e6 / max(dt, 1e-9):.1f} MB/s)"
             )
@@ -349,7 +360,14 @@ def cmd_match(args) -> int:
     results = engine.match(qpat, qmsk)
     dt = time.monotonic() - t0
     for i, r in enumerate(results):
-        print(f"query {i}: closest entry {r.index} at distance {r.distance}")
+        verdict = ""
+        if args.threshold is not None:
+            verdict = (
+                f"  DUPLICATE (< {args.threshold})"
+                if r.distance < args.threshold
+                else f"  unique (>= {args.threshold})"
+            )
+        print(f"query {i}: closest entry {r.index} at distance {r.distance}{verdict}")
     cmp_rate = len(results) * dpat.shape[0] / max(dt, 1e-9)
     print(
         f"{len(results)} queries x {dpat.shape[0]} entries in {dt:.3f}s "
@@ -466,6 +484,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("participant")
     g.add_argument("--queries", type=int, default=3)
     g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--wire", choices=["reference", "batched"], default="reference")
+    g.add_argument("--batch", type=parse_si, default=16,
+                   help="queries per round on the batched wire")
     g.set_defaults(fn=cmd_benchmark)
 
     g = sub.add_parser(
@@ -501,6 +522,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument(
         "--storage", choices=["auto", "dense", "packed"], default="auto",
         help="packed = 3.2 KB/entry bit-plane HBM storage (4M entries/chip)",
+    )
+    g.add_argument(
+        "--threshold", type=float, default=None,
+        help="uniqueness threshold: report DUPLICATE when the minimum distance "
+        "is below it (the spec notebook's uniqueness check; ~0.36 typical)",
     )
     g.set_defaults(fn=cmd_match)
 
