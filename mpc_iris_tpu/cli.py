@@ -258,10 +258,16 @@ def cmd_coordinator(args) -> int:
                 t0 = time.monotonic()
                 outcome = await coord.query(query)
                 dt = time.monotonic() - t0
+                verdict = ""
+                if args.threshold is not None:
+                    verdict = (
+                        "  DUPLICATE" if outcome.distance < args.threshold
+                        else "  unique"
+                    )
                 print(
                     f"query {n}: closest entry {outcome.index} of {outcome.total} "
                     f"at distance {outcome.distance} ({dt:.3f}s, "
-                    f"{outcome.total / max(dt, 1e-9):.0f} entries/s)"
+                    f"{outcome.total / max(dt, 1e-9):.0f} entries/s){verdict}"
                 )
                 n += 1
 
@@ -478,6 +484,8 @@ def build_parser() -> argparse.ArgumentParser:
         )
         g.add_argument("--batch", type=parse_si, default=16,
                        help="queries per round on the batched wire")
+        g.add_argument("--threshold", type=float, default=None,
+                       help="print DUPLICATE/unique verdicts against this FHD")
         g.set_defaults(fn=cmd_coordinator)
 
     g = sub.add_parser("benchmark", help="benchmark a participant")

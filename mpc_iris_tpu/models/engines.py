@@ -285,6 +285,36 @@ def _mask_dots_chunk_packed(q_mask, db_mask_packed):
     return _mask_dots_chunk(q_mask, unpack_bits(db_mask_packed).astype(jnp.int8))
 
 
+# --------------------------------------------------------------------- streaming
+
+
+def pipelined_stream(dispatch, num_chunks: int, count: int, chunk_entries: int,
+                     depth: int = 4):
+    """Yield host arrays from per-chunk device dispatches, ``depth`` in flight.
+
+    ``dispatch(c)`` returns an async device array [B, n_c, 31] for chunk c; this
+    generator keeps up to ``depth`` dispatches pending so device compute and
+    host transfer overlap (deeper than the reference's 1-deep mpsc pipeline —
+    matters when per-dispatch latency is high). The final chunk is trimmed to
+    ``count`` total entries.
+    """
+    from collections import deque
+
+    pending = deque()
+    for c in range(min(depth, num_chunks)):
+        pending.append((c, dispatch(c)))
+    nxt = depth
+    while pending:
+        c, dev = pending.popleft()
+        if nxt < num_chunks:
+            pending.append((nxt, dispatch(nxt)))
+            nxt += 1
+        host = np.asarray(dev)
+        start = c * chunk_entries
+        end = min(count, start + chunk_entries)
+        yield host[:, : end - start]
+
+
 # --------------------------------------------------------------------- results
 
 
@@ -444,15 +474,10 @@ class ShareEngine:
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        nc = self.num_chunks()
-        pending = self.dots_chunk(q_enc, 0) if nc else None
-        for c in range(nc):
-            nxt = self.dots_chunk(q_enc, c + 1) if c + 1 < nc else None
-            host = np.asarray(pending)
-            start = c * self.chunk
-            end = min(self.count, start + self.chunk)
-            yield host[:, : end - start]
-            pending = nxt
+        yield from pipelined_stream(
+            lambda c: self.dots_chunk(q_enc, c),
+            self.num_chunks(), self.count, self.chunk,
+        )
 
 
 class MasksEngine:
@@ -501,12 +526,7 @@ class MasksEngine:
         """Yield per-chunk host uint16 [B, chunk, 31] arrays (trimmed at the end)."""
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
-        nc = self.num_chunks()
-        pending = self.dots_chunk(q_mask, 0) if nc else None
-        for c in range(nc):
-            nxt = self.dots_chunk(q_mask, c + 1) if c + 1 < nc else None
-            host = np.asarray(pending)
-            start = c * self.chunk
-            end = min(self.count, start + self.chunk)
-            yield host[:, : end - start]
-            pending = nxt
+        yield from pipelined_stream(
+            lambda c: self.dots_chunk(q_mask, c),
+            self.num_chunks(), self.count, self.chunk,
+        )

@@ -192,19 +192,15 @@ class ShardedShareEngine(_ShardedBase):
 
     def stream(self, patterns_packed, masks_packed):
         """Yield host uint16 [B, <=D*chunk, 31] blocks in DB order, trimmed."""
+        from mpc_iris_tpu.models.engines import pipelined_stream
+
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        block_entries = self.chunk * self.n_shards
-        nb = self.num_blocks()
-        pending = self.block(q_enc, 0) if nb else None
-        for j in range(nb):
-            nxt = self.block(q_enc, j + 1) if j + 1 < nb else None
-            host = np.asarray(pending)
-            start = j * block_entries
-            end = min(self.count, start + block_entries)
-            yield host[:, : end - start]
-            pending = nxt
+        yield from pipelined_stream(
+            lambda j: self.block(q_enc, j),
+            self.num_blocks(), self.count, self.chunk * self.n_shards,
+        )
 
     def dots(self, patterns_packed, masks_packed) -> np.ndarray:
         return np.concatenate(list(self.stream(patterns_packed, masks_packed)), axis=1)
@@ -253,18 +249,14 @@ class ShardedMasksEngine(_ShardedBase):
         return self.db_mask.shape[0]
 
     def stream(self, masks_packed):
+        from mpc_iris_tpu.models.engines import pipelined_stream
+
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
-        block_entries = self.chunk * self.n_shards
-        nb = self.num_blocks()
-        pending = self._block(q_mask, self.db_mask[0]) if nb else None
-        for j in range(nb):
-            nxt = self._block(q_mask, self.db_mask[j + 1]) if j + 1 < nb else None
-            host = np.asarray(pending)
-            start = j * block_entries
-            end = min(self.count, start + block_entries)
-            yield host[:, : end - start]
-            pending = nxt
+        yield from pipelined_stream(
+            lambda j: self._block(q_mask, self.db_mask[j]),
+            self.num_blocks(), self.count, self.chunk * self.n_shards,
+        )
 
     def dots(self, masks_packed) -> np.ndarray:
         return np.concatenate(list(self.stream(masks_packed)), axis=1)
