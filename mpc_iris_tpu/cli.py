@@ -362,6 +362,13 @@ def cmd_match(args) -> int:
         idx = rng.integers(0, dpat.shape[0], size=args.batch)
         qpat, qmsk = dpat[idx], dmsk[idx]
 
+    if args.profile_dir:
+        from mpc_iris_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile_dir):
+            engine.match(qpat, qmsk)  # traced warm pass
+        print(f"wrote device trace to {args.profile_dir}", file=sys.stderr)
+
     t0 = time.monotonic()
     results = engine.match(qpat, qmsk)
     dt = time.monotonic() - t0
@@ -535,6 +542,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--threshold", type=float, default=None,
         help="uniqueness threshold: report DUPLICATE when the minimum distance "
         "is below it (the spec notebook's uniqueness check; ~0.36 typical)",
+    )
+    g.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler device trace (TensorBoard/Perfetto) here",
     )
     g.set_defaults(fn=cmd_match)
 

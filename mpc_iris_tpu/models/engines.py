@@ -33,15 +33,9 @@ from mpc_iris_tpu.ops.decode import (
     fraction_argmin,
     fraction_min_rotations,
     fraction_to_f64,
-    numerators,
     running_min,
 )
-from mpc_iris_tpu.ops.dot import (
-    dot_bits_batch,
-    dot_bits_batch_i4,
-    dot_share_batch,
-    shares_to_planes,
-)
+from mpc_iris_tpu.ops.dot import dot_bits_batch_i4, dot_share_batch
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.ops.rotations import expand_rotations_flat
 from mpc_iris_tpu.ops.select_pallas import select_chunk

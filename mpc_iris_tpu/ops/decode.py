@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from mpc_iris_tpu.constants import N_ROTATIONS
 
 
 def numerators(dots, dens):

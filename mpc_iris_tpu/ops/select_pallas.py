@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mpc_iris_tpu.constants import N_ROTATIONS
 from mpc_iris_tpu.ops.decode import _frac_select
 
 

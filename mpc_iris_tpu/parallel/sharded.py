@@ -18,8 +18,6 @@ Queries shard over ``"batch"``; the global match winner is combined with
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +29,6 @@ try:  # JAX >= 0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from mpc_iris_tpu.constants import BITS, N_ROTATIONS
 from mpc_iris_tpu.models.engines import (
     DEFAULT_CHUNK,
     _mask_dots_chunk,

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 import jax
 import numpy as np
 
-from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
+from mpc_iris_tpu.constants import N_ROTATIONS
 from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import BATCH_RECORDS, read_records

@@ -19,7 +19,7 @@ from mpc_iris_tpu.protocol.wire import (
     read_template_bytes,
     records_to_bytes,
 )
-from mpc_iris_tpu.constants import BITS_BYTES, TEMPLATE_BYTES
+from mpc_iris_tpu.constants import BITS_BYTES
 
 log = logging.getLogger("mpc_iris_tpu.participant")
 
