@@ -124,3 +124,30 @@ def test_parse_rejects_duplicate_keys(rng):
     raw = ('[{"pattern": "%s", "pattern": "%s"}]' % (p, p)).encode()
     with pytest.raises(ValueError):
         list(native.parse_templates_stream(io.BytesIO(raw)))
+
+
+def test_parser_fuzz_no_crash(rng):
+    """Mutated/truncated inputs must either parse or raise ValueError — never
+    crash the process or emit wrong-sized output (the parser is the trust
+    boundary for externally supplied template files)."""
+    pats, msks = _planes(rng, 3)
+    base = bytearray(b"[" + native.render_templates(pats, msks) + b"]\n")
+    for trial in range(300):
+        buf = bytearray(base)
+        kind = trial % 3
+        if kind == 0:  # random byte flips
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        elif kind == 1:  # truncation
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        else:  # random insertion
+            pos = int(rng.integers(0, len(buf)))
+            buf[pos:pos] = bytes(rng.integers(0, 256, int(rng.integers(1, 4)),
+                                              dtype=np.uint8))
+        try:
+            for p, m in native.parse_templates_stream(
+                io.BytesIO(bytes(buf)), chunk_size=257
+            ):
+                assert p.shape[1] == 1600 and m.shape[1] == 1600
+        except ValueError:
+            pass  # rejection is the expected failure mode
