@@ -106,8 +106,25 @@ def dot_share_batch(q_i8, db_lo, db_hi):
     Returns:
       uint16 [M, N], bit-identical to the reference's `arch::dot_u16`
       (src/arch/generic.rs:11-16) applied pairwise.
+
+    On TPU the whole pipeline runs in wrapping int16: the result is only needed
+    mod 2^16 and two's-complement truncation/overflow IS reduction mod 2^16
+    (ring homomorphism), so int16 matmul outputs halve the HBM traffic with
+    bit-identical results (verified vs the int32 pipeline and the scalar
+    oracle, including extreme share values).
     """
+    import jax
+
     q_i8 = q_i8.astype(jnp.int8)
+    if jax.default_backend() == "tpu":
+        d_lo = lax.dot_general(q_i8, db_lo, dimension_numbers=_DOT_DIMS,
+                               preferred_element_type=jnp.int16)
+        d_hi = lax.dot_general(q_i8, db_hi, dimension_numbers=_DOT_DIMS,
+                               preferred_element_type=jnp.int16)
+        rowsum = jnp.sum(q_i8.astype(jnp.int32), axis=1, keepdims=True)
+        corr = (jnp.int32(128) * rowsum).astype(jnp.int16)
+        total = (d_lo + corr) + ((d_hi + corr) << 8)
+        return total.astype(jnp.uint16)
     d_lo = _matmul_i8(q_i8, db_lo)  # Q @ (S_lo - 128)^T
     d_hi = _matmul_i8(q_i8, db_hi)  # Q @ (S_hi - 128)^T
     # Rank-1 offset correction: +128 * rowsum(Q) for each plane.
