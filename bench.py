@@ -81,13 +81,12 @@ def main():
         # per pass: numerator + denominator matmuls
         macs_per_pass = 2 * (31 * b) * n * BITS
     elif args.mode == "packed":
-        db_pat = jax.random.randint(
-            kdb, (n_chunks, chunk, BITS_BYTES), 0, 256, dtype=jnp.uint8
+        # random.bits avoids randint's int32 temporaries (4x the final footprint).
+        genp = jax.jit(
+            lambda k: jax.random.bits(k, (n_chunks, chunk, BITS_BYTES), jnp.uint8)
         )
-        db_msk = jax.random.randint(
-            kq, (n_chunks, chunk, BITS_BYTES), 0, 256, dtype=jnp.uint8
-        )
-        db_pat, db_msk = jax.block_until_ready((db_pat, db_msk))
+        db_pat = jax.block_until_ready(genp(kdb))
+        db_msk = jax.block_until_ready(genp(kq))
         run = lambda: np.asarray(
             _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=True)
         )
