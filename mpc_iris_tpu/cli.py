@@ -164,6 +164,52 @@ def cmd_decrypt(args) -> int:
     return 0
 
 
+# ------------------------------------------------------------------ rerandomize
+
+
+def cmd_rerandomize(args) -> int:
+    """Refresh a share file with pairwise zero-sum PRF streams (the reference
+    spec's "re-randomization via correlated PRNGs" — future work there,
+    implemented here as an offline pass). Each --pair J:SEED names another
+    party and the seed shared with it; the party with the LOWER index adds the
+    stream, the higher one subtracts, so the noise cancels in reconstruction.
+    All parties must run this with consistent pair seeds before serving again.
+    """
+    from mpc_iris_tpu import native
+
+    pairs = []
+    for spec in args.pair:
+        j_s, _, seed_s = spec.partition(":")
+        pairs.append((int(j_s), int(seed_s, 0)))
+    if not pairs:
+        print("error: at least one --pair J:SEED is required", file=sys.stderr)
+        return 1
+    if any(j == args.index for j, _ in pairs):
+        print("error: --pair index equals own --index", file=sys.stderr)
+        return 1
+
+    share = open_share(args.share)
+    n = share.shape[0]
+    out_path = args.output or args.share
+    progress = Progress("rerandomize", total=n, unit="templates")
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "wb") as out:
+        for start in range(0, n, args.batch):
+            end = min(n, start + args.batch)
+            block = np.asarray(share[start:end], dtype=np.uint16)
+            for j, seed in pairs:
+                native.rerandomize(
+                    block, seed, +1 if args.index < j else -1, row_offset=start
+                )
+            out.write(block.astype("<u2", copy=False).tobytes())
+            progress.update(end - start, (end - start) * 2 * BITS)
+    del share
+    os.replace(tmp_path, out_path)
+    progress.finish()
+    print(f"rerandomized {n} shares -> {out_path}", file=sys.stderr)
+    return 0
+
+
 # ------------------------------------------------------------------ participant
 
 
@@ -458,6 +504,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", default="decrypted.json")
     g.add_argument("--batch", type=int, default=1000)
     g.set_defaults(fn=cmd_decrypt)
+
+    g = sub.add_parser(
+        "rerandomize",
+        help="refresh a share file with pairwise zero-sum PRF noise "
+        "(spec future-work item, implemented here)",
+    )
+    g.add_argument("share", help="share file to refresh")
+    g.add_argument("--index", type=int, required=True, help="this party's index")
+    g.add_argument(
+        "--pair", action="append", default=[], metavar="J:SEED",
+        help="peer party index and the pairwise seed shared with it (repeat)",
+    )
+    g.add_argument("--output", default=None, help="write here instead of in place")
+    g.add_argument("--batch", type=int, default=1000)
+    g.set_defaults(fn=cmd_rerandomize)
 
     g = sub.add_parser("participant", help="start share-holding participant server")
     g.add_argument("input")

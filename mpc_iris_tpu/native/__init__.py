@@ -88,6 +88,10 @@ def _load():
         lib.ic_share_sum.argtypes = [
             ctypes.POINTER(_u16p), ctypes.c_int, ctypes.c_int64, _u16p,
         ]
+        lib.ic_rerandomize.restype = None
+        lib.ic_rerandomize.argtypes = [
+            _u16p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int64,
+        ]
         lib.ic_encode_u16.restype = None
         lib.ic_encode_u16.argtypes = [_u8p, _u8p, ctypes.c_int64, _u16p]
         _lib = lib
@@ -291,6 +295,34 @@ def share_sum(shares) -> np.ndarray:
     ptrs = (_u16p * len(flat))(*[_as_u16p(a) for a in flat])
     lib.ic_share_sum(ptrs, len(flat), flat[0].size, _as_u16p(out))
     return out.reshape(arrs[0].shape)
+
+
+def rerandomize(shares: np.ndarray, pair_seed: int, sign: int,
+                row_offset: int = 0) -> np.ndarray:
+    """Refresh a share matrix in place with a pairwise zero-sum PRF stream.
+
+    Two parties sharing ``pair_seed`` apply opposite ``sign``; the noise cancels
+    in reconstruction while each stored share becomes a fresh uniform value
+    (the reference spec's "re-randomization via correlated PRNGs" future work).
+    Streams are keyed by (seed, row_offset + row): batch-size independent.
+    Returns the (mutated) array.
+    """
+    shares = np.ascontiguousarray(shares, np.uint16)
+    if shares.ndim != 2 or shares.shape[1] != BITS:
+        raise ValueError(f"expected [n, {BITS}] u16 shares, got {shares.shape}")
+    lib = _load()
+    if lib is None:
+        # No NumPy fallback on purpose: the two parties' streams must cancel
+        # bit-for-bit, so a differing fallback stream would silently corrupt
+        # the shared database.
+        raise RuntimeError(
+            "rerandomize requires the native library (streams must be "
+            "byte-identical across parties)"
+        )
+    lib.ic_rerandomize(_as_u16p(shares), shares.shape[0],
+                       pair_seed & (2**64 - 1), 1 if sign >= 0 else -1,
+                       row_offset)
+    return shares
 
 
 def encode_u16_native(patterns: np.ndarray, masks: np.ndarray) -> np.ndarray:

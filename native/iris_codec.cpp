@@ -340,6 +340,41 @@ void ic_share_split(const uint16_t* enc, int64_t n, int n_shares, uint64_t seed,
   });
 }
 
+// Share re-randomization: add (sign=+1) or subtract (sign=-1) a deterministic
+// pairwise PRF stream to a share matrix in place. Two parties holding the same
+// pairwise seed apply opposite signs, so the added noise sums to zero across
+// the party set and the reconstructed secrets are unchanged while each stored
+// share is refreshed to a fresh uniform value. (The reference's specification
+// notebook describes this as future work — "re-randomization via correlated
+// PRNGs" — with no implementation.) Stream is keyed by (seed, absolute row),
+// so files can be processed in batches.
+void ic_rerandomize(uint16_t* data, int64_t n, uint64_t seed, int sign,
+                    int64_t row_offset) {
+  parallel_rows(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      Splitmix64 mix{seed ^ (0x9e3779b97f4a7c15ull * (uint64_t)(row_offset + r))};
+      Xoshiro256pp rng(mix.next());
+      uint16_t* row = data + r * kBits;
+      for (int64_t i = 0; i < kBits; i += 4) {
+        uint64_t v = rng.next();
+        uint16_t a = (uint16_t)v, b = (uint16_t)(v >> 16),
+                 c = (uint16_t)(v >> 32), d = (uint16_t)(v >> 48);
+        if (sign >= 0) {
+          row[i] = (uint16_t)(row[i] + a);
+          row[i + 1] = (uint16_t)(row[i + 1] + b);
+          row[i + 2] = (uint16_t)(row[i + 2] + c);
+          row[i + 3] = (uint16_t)(row[i + 3] + d);
+        } else {
+          row[i] = (uint16_t)(row[i] - a);
+          row[i + 1] = (uint16_t)(row[i + 1] - b);
+          row[i + 2] = (uint16_t)(row[i + 2] - c);
+          row[i + 3] = (uint16_t)(row[i + 3] - d);
+        }
+      }
+    }
+  });
+}
+
 // Wrapping u16 sum of n_shares buffers of n*12800 elements (decrypt /
 // coordinator share aggregation, reference src/main.rs:598-611).
 void ic_share_sum(const uint16_t* const* shares, int n_shares, int64_t n_elems,

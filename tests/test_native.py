@@ -151,3 +151,32 @@ def test_parser_fuzz_no_crash(rng):
                 assert p.shape[1] == 1600 and m.shape[1] == 1600
         except ValueError:
             pass  # rejection is the expected failure mode
+
+
+def test_rerandomize_zero_sum_and_refresh(rng):
+    """Pairwise re-randomization: reconstruction invariant, shares refreshed,
+    batch-size independent."""
+    enc = rng.integers(0, 1 << 16, (5, BITS), dtype=np.uint16)
+    shares = native.share_split(enc, 3, seed=11)
+    s0, s1, s2 = (s.copy() for s in shares)
+    # pairs: (0,1) seed A, (0,2) seed B, (1,2) seed C; lower index adds.
+    A, B, C = 101, 202, 303
+    native.rerandomize(s0, A, +1)
+    native.rerandomize(s0, B, +1)
+    native.rerandomize(s1, A, -1)
+    native.rerandomize(s1, C, +1)
+    native.rerandomize(s2, B, -1)
+    native.rerandomize(s2, C, -1)
+    # noise cancels: reconstruction unchanged
+    assert np.array_equal(native.share_sum([s0, s1, s2]), enc)
+    # every share actually changed
+    for old, new in zip(shares, (s0, s1, s2)):
+        assert not np.array_equal(old, new)
+    # batch-size independence (row_offset keying)
+    t0 = shares[0].copy()
+    native.rerandomize(t0[:2], A, +1, row_offset=0)
+    native.rerandomize(t0[2:], A, +1, row_offset=2)
+    u0 = shares[0].copy()
+    native.rerandomize(u0, A, +1)
+    # t0 was refreshed only with pair A; compare against u0
+    assert np.array_equal(t0, u0)
