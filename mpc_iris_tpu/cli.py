@@ -99,6 +99,11 @@ def cmd_prepare(args) -> int:
         if os.path.exists(p):
             os.remove(p)
 
+    if args.backend == "device":
+        import jax
+
+        key = jax.random.key(seed & (2**63 - 1))
+
     progress = Progress("prepare", unit="templates")
     masks_f = open(masks_path, "ab")
     share_fs = [open(p, "ab") for p in share_paths]
@@ -107,8 +112,16 @@ def cmd_prepare(args) -> int:
         with open(args.input, "rb") as f:
             for pats, msks in _batched_templates(f, args.batch):
                 n = pats.shape[0]
-                enc = native.encode_u16_native(pats, msks)  # [n, 12800] u16
-                shares = native.share_split(enc, n_shares, seed, row_offset=row)
+                if args.backend == "device":
+                    from mpc_iris_tpu.ops.encode import share_split_device
+
+                    key, sub = jax.random.split(key)
+                    shares = np.asarray(
+                        share_split_device(pats, msks, n_shares, sub)
+                    )
+                else:
+                    enc = native.encode_u16_native(pats, msks)  # [n, 12800] u16
+                    shares = native.share_split(enc, n_shares, seed, row_offset=row)
                 masks_f.write(msks.tobytes())
                 for i in range(n_shares):
                     # native-endianness == little on all supported hosts; the
@@ -497,6 +510,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("output", nargs="?", default="mpc")
     g.add_argument("--seed", type=int, default=None)
     g.add_argument("--batch", type=int, default=1000)
+    g.add_argument(
+        "--backend", choices=["native", "device"], default="native",
+        help="device = encode + share-RNG on the accelerator (TPU PRNG); "
+        "native = multithreaded C++ on the host",
+    )
     g.set_defaults(fn=cmd_prepare)
 
     g = sub.add_parser("decrypt", help="combine secret shares back to json")

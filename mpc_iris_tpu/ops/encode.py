@@ -72,6 +72,52 @@ def encode_grid_i8(pattern_bits, mask_bits, xp=jnp):
     return (m - xp.int8(2) * (p & m)).astype(xp.int8)
 
 
+def _share_split_device_jit(p, m, key, *, n_shares):
+    bits_p = unpack_bits(p)
+    bits_m = unpack_bits(m)
+    enc = encode_grid_u16(bits_p, bits_m)
+    import jax
+
+    keys = jax.random.split(key, max(n_shares - 1, 1))
+    rand = [
+        jax.random.bits(keys[i], enc.shape, jnp.uint16)
+        for i in range(n_shares - 1)
+    ]
+    total = enc
+    for r in rand:
+        total = total - r  # wrapping u16
+    return jnp.stack(rand + [total])
+
+
+_share_split_device_compiled = None
+
+
+def share_split_device(patterns_packed, masks_packed, n_shares: int, key):
+    """Device-side prepare: packed planes -> additive Z_2^16 shares.
+
+    One jit: unpack + ring-encode + n_shares-1 uniform u16 tensors from the
+    TPU PRNG + wrapping difference (reference share semantics,
+    src/encoded_bits.rs:22-38 — the stream differs from the native C++
+    prepare, which is fine: shares only need uniformity and the sum property,
+    and prepare is a single-party operation).
+
+    Returns uint16 [n_shares, n, 12800] (device).
+    """
+    global _share_split_device_compiled
+    if _share_split_device_compiled is None:
+        import functools
+
+        import jax
+
+        _share_split_device_compiled = jax.jit(
+            _share_split_device_jit, static_argnames=("n_shares",)
+        )
+    return _share_split_device_compiled(
+        jnp.asarray(patterns_packed), jnp.asarray(masks_packed), key,
+        n_shares=n_shares,
+    )
+
+
 def encode_template(template: Template) -> EncodedBits:
     """Host oracle: encode a Template into its u16 ring vector
     (reference ``encode``, src/lib.rs:16-26)."""

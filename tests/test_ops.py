@@ -228,3 +228,27 @@ class TestDecode:
         dens = jnp.asarray(np.array([[2, 2]], dtype=np.int32))
         _, _, i = fraction_argmin(nums, dens, axis=1, index_offset=100)
         assert int(i[0]) == 101
+
+
+class TestShareSplitDevice:
+    def test_reconstructs_to_encoding(self, rng):
+        from mpc_iris_tpu.ops.encode import (
+            encode_grid_u16, share_split_device, unpack_bits,
+        )
+        import jax
+
+        pats = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
+        msks = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
+        shares = np.asarray(
+            share_split_device(pats, msks, 4, jax.random.key(9))
+        )
+        assert shares.shape == (4, 3, 12800)
+        total = shares[0].copy()
+        for s in shares[1:]:
+            total += s  # uint16 wraps
+        ref = np.asarray(encode_grid_u16(
+            unpack_bits(pats, xp=np), unpack_bits(msks, xp=np), xp=np
+        )).astype(np.uint16)
+        np.testing.assert_array_equal(total, ref)
+        # randomness sanity: the random shares are not degenerate
+        assert len(np.unique(shares[0])) > 1000
