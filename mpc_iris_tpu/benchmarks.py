@@ -106,22 +106,24 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
                    2 * pairs * BITS)
             del lo, hi, db
 
-    # Fused match step at the headline shape.
-    b, chunk, n_chunks = batch, 32768, 4
-    qe = jax.random.randint(kq, (b, N_ROTATIONS, BITS), -1, 2, dtype=jnp.int8)
-    qm = (qe != 0).astype(jnp.int8)
+    # Fused match step: throughput-vs-batch curve (latency/throughput tradeoff).
+    chunk, n_chunks = 32768, 4
     db = jax.random.randint(kd, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
     dm = (db != 0).astype(jnp.int8)
-    dt = max(
-        _timeit(lambda: np.asarray(match_scan_auto(qe, qm, db, dm))) - overhead, 1e-9
-    )
-    cmps = b * n_chunks * chunk * N_ROTATIONS
-    results.append({
-        "bench": f"match_step/b{b}/{n_chunks * chunk}",
-        "time_s": dt,
-        "pairs_per_s": cmps / dt,
-        "tmacs": 2 * cmps * BITS / dt / 1e12,
-    })
+    for b in sorted({8, 64, batch}):
+        qe = jax.random.randint(kq, (b, N_ROTATIONS, BITS), -1, 2, dtype=jnp.int8)
+        qm = (qe != 0).astype(jnp.int8)
+        dt = max(
+            _timeit(lambda: np.asarray(match_scan_auto(qe, qm, db, dm))) - overhead,
+            1e-9,
+        )
+        cmps = b * n_chunks * chunk * N_ROTATIONS
+        results.append({
+            "bench": f"match_step/b{b}/{n_chunks * chunk}",
+            "time_s": dt,
+            "pairs_per_s": cmps / dt,
+            "tmacs": 2 * cmps * BITS / dt / 1e12,
+        })
     return results
 
 
