@@ -26,7 +26,11 @@ def log(*a):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--db", type=int, default=1048576, help="DB entries on this chip")
+    p.add_argument(
+        "--db", type=int, default=None,
+        help="DB entries on this chip (default: 1048576 packed / 262144 dense "
+        "modes — dense int8 storage for 1M entries would exceed HBM)",
+    )
     p.add_argument("--batch", type=int, default=256, help="queries per batch")
     p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
     p.add_argument("--iters", type=int, default=3)
@@ -52,6 +56,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")
 
+    if args.db is None:
+        args.db = 1048576 if args.mode == "packed" else 262144
+    if args.mode != "packed" and args.db > 500_000:
+        log(f"warning: {args.db} entries in dense/share storage likely exceeds "
+            "HBM; use --mode packed for million-entry DBs")
     n = args.db
     chunk = min(args.chunk, n)
     n_chunks = max(1, n // chunk)
@@ -71,9 +80,14 @@ def main():
     q_enc = jax.block_until_ready(q_enc)
 
     if args.mode == "plaintext":
-        db_enc = jax.random.randint(kdb, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
-        db_mask = (db_enc != 0).astype(jnp.int8)
-        db_enc, db_mask = jax.block_until_ready((db_enc, db_mask))
+        # random.bits avoids randint's int32 temporaries (4x the final footprint).
+        gen_enc = jax.jit(
+            lambda k: (
+                jax.random.bits(k, (n_chunks, chunk, BITS), jnp.uint8) % 3
+            ).astype(jnp.int8) - 1
+        )
+        db_enc = jax.block_until_ready(gen_enc(kdb))
+        db_mask = jax.block_until_ready((db_enc != 0).astype(jnp.int8))
         # np.asarray forces ONE host transfer of the stacked [3, B] result: on some
         # remote-execution backends block_until_ready alone does not synchronize,
         # and per-array fetches each pay a full round trip.
