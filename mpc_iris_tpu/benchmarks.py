@@ -66,15 +66,19 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
     key = jax.random.key(0)
     kq, kd = jax.random.split(key)
 
-    max_n = max(sizes)
-    # One resident DB at the largest size; smaller points slice it.
-    cap = 1 << 22  # cap device arrays at 4M entries x planes for HBM headroom
-    max_n = min(max_n, cap)
+    # The reference's criterion points are element-PAIRS (e.g. 31x100k pairs =
+    # one query's 31 rotations against 100k entries); DB entries = pairs /
+    # LHS rows. Dense int8 [n, 12800] planes cost 12.8 KB each (x2 for the
+    # share bench), so cap resident entries well under HBM.
+    cap = 1 << 18  # 262,144 entries = ~3.4 GB/plane
 
     for label, m_rows in (("q1", N_ROTATIONS), (f"b{batch}", batch * N_ROTATIONS)):
         q = jax.random.randint(kq, (m_rows, BITS), -1, 2, dtype=jnp.int8)
-        for n in sizes:
-            n_eff = min(n, max_n)
+        for pairs in sizes:
+            n_eff = max(1, min(pairs // m_rows, cap))
+            if pairs // max(m_rows, 1) > cap:
+                emit(f"note: {label}/{pairs} pairs truncated to {cap} DB entries "
+                     "(HBM cap)")
             db = jax.random.randint(kd, (n_eff, BITS), -1, 2, dtype=jnp.int8)
 
             def record(name, raw_dt, pairs, macs):

@@ -35,7 +35,12 @@ from mpc_iris_tpu.utils.progress import Progress
 
 def _parse_addr(s: str) -> tuple[str, int]:
     host, _, port = s.rpartition(":")
-    return host or "127.0.0.1", int(port)
+    try:
+        return host or "127.0.0.1", int(port)
+    except ValueError:
+        raise SystemExit(
+            f"error: address {s!r} must be HOST:PORT (e.g. 127.0.0.1:1234)"
+        ) from None
 
 
 def _batched_templates(fp, batch: int):
@@ -209,7 +214,9 @@ def cmd_rerandomize(args) -> int:
     with open(tmp_path, "wb") as out:
         for start in range(0, n, args.batch):
             end = min(n, start + args.batch)
-            block = np.asarray(share[start:end], dtype=np.uint16)
+            # Explicit copy: memmap slices are read-only views and rerandomize
+            # mutates in place.
+            block = np.array(share[start:end], dtype=np.uint16, copy=True)
             for j, seed in pairs:
                 native.rerandomize(
                     block, seed, +1 if args.index < j else -1, row_offset=start
@@ -280,7 +287,9 @@ def cmd_coordinator(args) -> int:
 
     if len(jax.devices()) > 1:
         mesh = make_mesh(db=len(jax.devices()), batch=1)
-        masks_engine = ShardedMasksEngine(masks, mesh, chunk=args.chunk)
+        masks_engine = ShardedMasksEngine(
+            masks, mesh, chunk=args.chunk, storage=args.storage
+        )
     else:
         masks_engine = MasksEngine(masks, chunk=args.chunk, storage=args.storage)
 
@@ -400,14 +409,6 @@ def cmd_match(args) -> int:
     dpat, dmsk = np.concatenate(pats), np.concatenate(msks)
     print(f"loaded {dpat.shape[0]} templates", file=sys.stderr)
 
-    n_dev = len(jax.devices())
-    if n_dev > 1:
-        db_ax, batch_ax = mesh_shape_for(n_dev, args.batch)
-        mesh = make_mesh(db=db_ax, batch=batch_ax)
-        engine = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=args.chunk)
-    else:
-        engine = PlaintextEngine(dpat, dmsk, chunk=args.chunk, storage=args.storage)
-
     rng = np.random.default_rng(args.seed)
     if args.queries_file:
         qp, qm = [], []
@@ -420,6 +421,18 @@ def cmd_match(args) -> int:
         # self-match smoke: rotated noisy copies of random DB entries
         idx = rng.integers(0, dpat.shape[0], size=args.batch)
         qpat, qmsk = dpat[idx], dmsk[idx]
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Size the mesh's batch axis from the REAL query count (a queries file
+        # may not divide by --batch).
+        db_ax, batch_ax = mesh_shape_for(n_dev, qpat.shape[0])
+        mesh = make_mesh(db=db_ax, batch=batch_ax)
+        engine = ShardedPlaintextEngine(
+            dpat, dmsk, mesh, chunk=args.chunk, storage=args.storage
+        )
+    else:
+        engine = PlaintextEngine(dpat, dmsk, chunk=args.chunk, storage=args.storage)
 
     if args.profile_dir:
         from mpc_iris_tpu.utils.profiling import device_trace
@@ -555,7 +568,11 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--masks", default="mpc.masks")
         g.add_argument("--share", default=None,
                        help="optional share file if the resolver is also a participant")
-        g.add_argument("--bind", default="127.0.0.1:8080")
+        g.add_argument(
+            "--bind", default="127.0.0.1:8080",
+            help="reserved (reference-CLI parity): like the reference resolver, "
+            "queries are self-generated rather than served on a socket",
+        )
         g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
         g.add_argument("--chunk", type=parse_si, default=8192)
         g.add_argument("--seed", type=int, default=None)

@@ -29,6 +29,8 @@ from mpc_iris_tpu.types import Template
 def open_masks(path) -> np.ndarray:
     """Memory-map a masks file as uint8 [N, 1600]."""
     size = os.path.getsize(path)
+    if size == 0:
+        raise ValueError(f"masks file {path} is empty")
     if size % BITS_BYTES:
         raise ValueError(f"masks file {path} is not a whole number of records")
     n = size // BITS_BYTES
@@ -39,6 +41,8 @@ def open_share(path) -> np.ndarray:
     """Memory-map a share file as little-endian u16 [N, 12800]."""
     size = os.path.getsize(path)
     rec = 2 * BITS
+    if size == 0:
+        raise ValueError(f"share file {path} is empty")
     if size % rec:
         raise ValueError(f"share file {path} is not a whole number of records")
     n = size // rec
@@ -63,8 +67,11 @@ def write_share(path, shares: np.ndarray) -> None:
 def write_templates_json(fp, templates: Iterable[Template], pretty: bool = True) -> int:
     """Stream templates to an open binary file as a JSON array; returns the count.
 
-    With ``pretty`` the layout matches the reference's serde_json pretty printer
-    (src/main.rs:210): 2-space indent, one object per element.
+    With ``pretty``, objects use a 2-space indent. NOTE: this is this
+    framework's canonical layout, NOT byte-identical to the reference's
+    serde_json pretty printer (which also indents the array brackets/commas);
+    interop with reference-generated files is at the JSON level — both readers
+    parse either layout.
     """
     fp.write(b"[")
     count = 0

@@ -310,6 +310,11 @@ def rerandomize(shares: np.ndarray, pair_seed: int, sign: int,
     shares = np.ascontiguousarray(shares, np.uint16)
     if shares.ndim != 2 or shares.shape[1] != BITS:
         raise ValueError(f"expected [n, {BITS}] u16 shares, got {shares.shape}")
+    if not shares.flags.writeable:
+        # In-place semantics: a silent copy would discard the refresh; writing
+        # through the raw pointer into read-only (memmap) pages segfaults.
+        raise ValueError("rerandomize requires a writeable array (copy memmap "
+                         "slices first)")
     lib = _load()
     if lib is None:
         # No NumPy fallback on purpose: the two parties' streams must cancel

@@ -157,11 +157,23 @@ class ShardedShareEngine(_ShardedBase):
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)
-        s = np.asarray(shares_u16, dtype=np.uint16)
-        lo = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
-        hi = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
-        lo_b, self.count = _blocked(lo, chunk, self.n_shards)
-        hi_b, _ = _blocked(hi, chunk, self.n_shards)
+        # Chunk-by-chunk lo/hi conversion (shared with ShareEngine semantics,
+        # ops/dot.py shares_to_planes): a memmap'd share file never
+        # materializes in host RAM beyond one slice.
+        n, k = shares_u16.shape
+        block = chunk * self.n_shards
+        g_blocks = max(1, -(-n // block))
+        lo_b = np.zeros((g_blocks * block, k), dtype=np.int8)
+        hi_b = np.zeros((g_blocks * block, k), dtype=np.int8)
+        step = max(chunk, 8192)
+        for start in range(0, n, step):
+            end = min(n, start + step)
+            s = np.asarray(shares_u16[start:end], dtype=np.uint16)
+            lo_b[start:end] = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
+            hi_b[start:end] = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
+        self.count = n
+        lo_b = lo_b.reshape(g_blocks, self.n_shards, chunk, k)
+        hi_b = hi_b.reshape(g_blocks, self.n_shards, chunk, k)
         self.db_lo = self._put_db(lo_b)
         self.db_hi = self._put_db(hi_b)
 
