@@ -71,3 +71,23 @@ def test_match_smoke(workdir, capsys):
     assert len(lines) == 4
     # self-match queries are sampled from the DB -> exact hits at distance 0.0
     assert all("at distance 0.0" in l for l in lines)
+
+
+def test_rerandomize_cli_roundtrip(workdir):
+    """CLI-level regression for the memmap segfault: share files must actually
+    change on disk while reconstruction stays identical."""
+    assert main(["generate", "db.json", "8", "--seed", "4"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--seed", "6"]) == 0
+    before0 = (workdir / "mpc.share-0").read_bytes()
+    before1 = (workdir / "mpc.share-1").read_bytes()
+    assert main(["decrypt", "mpc.share-0", "mpc.share-1",
+                 "--output", "before.json"]) == 0
+    assert main(["rerandomize", "mpc.share-0", "--index", "0",
+                 "--pair", "1:777"]) == 0
+    assert main(["rerandomize", "mpc.share-1", "--index", "1",
+                 "--pair", "0:777"]) == 0
+    assert (workdir / "mpc.share-0").read_bytes() != before0
+    assert (workdir / "mpc.share-1").read_bytes() != before1
+    assert main(["decrypt", "mpc.share-0", "mpc.share-1",
+                 "--output", "after.json"]) == 0
+    assert (workdir / "before.json").read_bytes() == (workdir / "after.json").read_bytes()
