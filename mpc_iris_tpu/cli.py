@@ -256,6 +256,19 @@ def cmd_participant(args) -> int:
         file=sys.stderr,
     )
     engine = _make_share_engine(share, args.chunk)
+
+    if args.warmup:
+        # Compile + run the per-chunk shapes once so the first real query is
+        # served at steady-state speed (first compiles cost minutes on TPU).
+        t0 = time.monotonic()
+        rng = np.random.default_rng(0)
+        wb = args.warmup_batch if args.wire == "batched" else 1
+        qp = rng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
+        qm = rng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
+        next(iter(engine.stream(qp, qm)))
+        print(f"warmup done in {time.monotonic() - t0:.1f}s "
+              f"(batch {wb})", file=sys.stderr)
+
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire)
 
@@ -300,6 +313,17 @@ def cmd_coordinator(args) -> int:
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine)
     rng = np.random.default_rng(args.seed)
+
+    if args.warmup:
+        t0 = time.monotonic()
+        wb = args.batch if args.wire == "batched" else 1
+        wrng = np.random.default_rng(0)
+        qm = wrng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
+        next(iter(masks_engine.stream(qm)))
+        if local_engine is not None:
+            qp = wrng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
+            next(iter(local_engine.stream(qp, qm)))
+        print(f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     async def run():
         n = 0
@@ -560,7 +584,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="reference = byte-compatible single-query wire; batched = "
         "multi-query extension (pair with coordinator --wire batched)",
     )
-    g.set_defaults(fn=cmd_participant)
+    g.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   help="skip the startup compile warm-up pass")
+    g.add_argument("--warmup-batch", type=parse_si, default=16,
+                   help="batch size to warm on the batched wire")
+    g.set_defaults(fn=cmd_participant, warmup=True)
 
     for name in ("coordinator", "resolver"):
         g = sub.add_parser(name, help="start the coordinator/resolver")
@@ -589,7 +617,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="queries per round on the batched wire")
         g.add_argument("--threshold", type=float, default=None,
                        help="print DUPLICATE/unique verdicts against this FHD")
-        g.set_defaults(fn=cmd_coordinator)
+        g.add_argument("--no-warmup", dest="warmup", action="store_false",
+                       help="skip the startup compile warm-up pass")
+        g.set_defaults(fn=cmd_coordinator, warmup=True)
 
     g = sub.add_parser("benchmark", help="benchmark a participant")
     g.add_argument("participant")
