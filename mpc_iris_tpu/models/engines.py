@@ -52,13 +52,6 @@ def _fused_ok(b: int, chunk: int) -> bool:
     return b % _FUSED_TILE_B == 0 and chunk % _FUSED_TILE_N == 0
 
 
-def fused_tiles_for(b: int, chunk: int):
-    """(tile_b, tile_n) for the fused kernel, or None if shapes don't align."""
-    if _fused_ok(b, chunk):
-        return _FUSED_TILE_B, _FUSED_TILE_N
-    return None
-
-
 # --------------------------------------------------------------------- query prep
 
 

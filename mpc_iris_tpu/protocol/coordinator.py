@@ -134,14 +134,23 @@ class Coordinator:
         self.local_engine = local_engine
         self.batch_records = batch_records
 
+    async def _connect_all(self):
+        """Open one connection per participant with a clear error on failure."""
+        try:
+            return await asyncio.gather(
+                *[asyncio.open_connection(h, p) for h, p in self.participants]
+            )
+        except OSError as e:
+            raise ConnectionError(
+                f"cannot reach all participants {self.participants}: {e}"
+            ) from e
+
     async def query(self, template: Template) -> QueryOutcome:
         qmsk = template.mask.data[None]
         qpat = template.pattern.data[None]
 
         # Fan out to participants.
-        conns = await asyncio.gather(
-            *[asyncio.open_connection(h, p) for h, p in self.participants]
-        )
+        conns = await self._connect_all()
         raw = template.to_bytes()
         for _, writer in conns:
             writer.write(raw)
@@ -242,9 +251,7 @@ class Coordinator:
         qpat = np.stack([t.pattern.data for t in templates])
         qmsk = np.stack([t.mask.data for t in templates])
 
-        conns = await asyncio.gather(
-            *[asyncio.open_connection(h, p) for h, p in self.participants]
-        )
+        conns = await self._connect_all()
         payload = batched_query_bytes(qpat, qmsk)
         for _, writer in conns:
             writer.write(payload)

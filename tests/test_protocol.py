@@ -246,3 +246,9 @@ class TestRobustness:
         while threading.active_count() > before and _time.monotonic() < deadline:
             _time.sleep(0.1)
         assert threading.active_count() <= before
+
+    def test_unreachable_participant_clear_error(self, world):
+        rng, db, query, masks = world
+        coord = Coordinator(MasksEngine(masks, chunk=8), [("127.0.0.1", 1)])
+        with pytest.raises(ConnectionError, match="cannot reach"):
+            asyncio.run(coord.query(query))
