@@ -315,6 +315,12 @@ def cmd_coordinator(args) -> int:
     rng = np.random.default_rng(args.seed)
 
     if args.warmup:
+        from mpc_iris_tpu.protocol.coordinator import (
+            _decode_argmin_device,
+            _decode_argmin_device_batch,
+        )
+        from mpc_iris_tpu.protocol.wire import BATCH_RECORDS
+
         t0 = time.monotonic()
         wb = args.batch if args.wire == "batched" else 1
         wrng = np.random.default_rng(0)
@@ -323,6 +329,17 @@ def cmd_coordinator(args) -> int:
         if local_engine is not None:
             qp = wrng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
             next(iter(local_engine.stream(qp, qm)))
+        # Warm the per-batch decode jit at the first-batch shape.
+        n0 = min(BATCH_RECORDS, masks.shape[0])
+        dots = np.zeros((n0, 31), dtype=np.uint16)
+        dens = np.ones((n0, 31), dtype=np.uint16)
+        if args.wire == "batched":
+            np.asarray(_decode_argmin_device_batch(
+                np.broadcast_to(dots, (wb, n0, 31)).copy(),
+                np.broadcast_to(dens, (wb, n0, 31)).copy(),
+            ))
+        else:
+            np.asarray(_decode_argmin_device(dots, dens))
         print(f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     async def run():
