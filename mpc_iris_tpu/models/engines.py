@@ -35,7 +35,11 @@ from mpc_iris_tpu.ops.decode import (
     fraction_to_f64,
     running_min,
 )
-from mpc_iris_tpu.ops.dot import dot_bits_batch_i4, dot_share_batch
+from mpc_iris_tpu.ops.dot import (
+    dot_bits_batch_i4,
+    dot_share_batch,
+    kernel_self_test,
+)
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.ops.rotations import expand_rotations_flat
 from mpc_iris_tpu.ops.select_pallas import select_chunk
@@ -343,6 +347,7 @@ class PlaintextEngine:
           16 GB chip) and unpacks per chunk on device; "auto" picks packed for
           DBs past ~400k entries.
         """
+        kernel_self_test()
         n = patterns_packed.shape[0]
         chunk = min(chunk, max(128, n))
         if storage == "auto":
@@ -426,6 +431,7 @@ class ShareEngine:
 
         The lo/hi byte-plane conversion streams chunk-by-chunk so a memmap'd
         share file never materializes in host RAM (peak extra = one chunk)."""
+        kernel_self_test()
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, n))
         num_chunks = max(1, -(-n // chunk))
@@ -483,6 +489,7 @@ class MasksEngine:
         "packed" = raw bit planes (1.6 KB/entry, 8x capacity) unpacked per
         chunk on device; "auto" picks packed past 400k entries.
         """
+        kernel_self_test()
         n = masks_packed.shape[0]
         chunk = min(chunk, max(128, n))
         if storage == "auto":

@@ -140,3 +140,53 @@ def dot_u16_oracle(a, b):
 
     prod = np.asarray(a, dtype=np.int64) * np.asarray(b, dtype=np.int64)
     return np.uint16(np.sum(prod) & 0xFFFF)
+
+
+_self_test_done = False
+
+
+def kernel_self_test():
+    """One-time runtime canary: fast MXU paths == NumPy oracles on this backend.
+
+    The int16/int4 fast paths rely on backend behaviors that are verified
+    empirically (wrapping integer downcasts, int4 dot support); a backend or
+    compiler change that broke them would corrupt results silently. This runs
+    once per process (engines call it lazily) and raises on any mismatch —
+    the runtime analogue of the reference's asm-vs-generic kernel test
+    (src/arch/sve.rs:79-109). Costs one tiny dispatch.
+    """
+    global _self_test_done
+    if _self_test_done:
+        return
+    import numpy as np
+
+    rng = np.random.default_rng(0xC0DE)
+    k = 12800
+    q = rng.integers(-1, 2, size=(4, k)).astype(np.int8)
+    # Extreme + random share rows.
+    s = rng.integers(0, 1 << 16, size=(4, k)).astype(np.uint16)
+    s[0, :] = 0xFFFF
+    s[1, :] = 0x8000
+    s[2, :2] = [0, 0xFFFF]
+    lo, hi = shares_to_planes(s)
+    got = np.asarray(dot_share_batch(jnp.asarray(q), lo, hi))
+    m = rng.integers(0, 2, size=(4, k)).astype(np.int8)
+    got_mask = np.asarray(dot_bits_batch_i4(jnp.asarray(q), jnp.asarray(m)))
+    got_mask16 = np.asarray(
+        dot_bits_batch_i4(jnp.asarray(q), jnp.asarray(m), out_dtype=jnp.int16)
+    )
+    for i in range(4):
+        for j in range(4):
+            want = int(dot_u16_oracle(q[i], s[j]))
+            if int(got[i, j]) != want:
+                raise RuntimeError(
+                    f"share-dot kernel self-test FAILED at [{i},{j}]: "
+                    f"{int(got[i, j])} != {want} — backend integer semantics "
+                    "changed; results would be corrupt"
+                )
+            want_m = int((q[i].astype(np.int64) * m[j]).sum())
+            if int(got_mask[i, j]) != want_m or int(got_mask16[i, j]) != want_m:
+                raise RuntimeError(
+                    f"mask-dot kernel self-test FAILED at [{i},{j}]"
+                )
+    _self_test_done = True
