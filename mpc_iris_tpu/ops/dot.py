@@ -160,6 +160,8 @@ def kernel_self_test():
         return
     import numpy as np
 
+    import jax
+
     rng = np.random.default_rng(0xC0DE)
     k = 12800
     q = rng.integers(-1, 2, size=(4, k)).astype(np.int8)
@@ -168,13 +170,20 @@ def kernel_self_test():
     s[0, :] = 0xFFFF
     s[1, :] = 0x8000
     s[2, :2] = [0, 0xFFFF]
-    lo, hi = shares_to_planes(s)
-    got = np.asarray(dot_share_batch(jnp.asarray(q), lo, hi))
     m = rng.integers(0, 2, size=(4, k)).astype(np.int8)
-    got_mask = np.asarray(dot_bits_batch_i4(jnp.asarray(q), jnp.asarray(m)))
-    got_mask16 = np.asarray(
-        dot_bits_batch_i4(jnp.asarray(q), jnp.asarray(m), out_dtype=jnp.int16)
-    )
+
+    # Everything under ONE jit: eager int4 intermediates cannot cross some
+    # remote-transfer boundaries (and a single dispatch is cheaper anyway).
+    @jax.jit
+    def run(q, s, m):
+        lo, hi = shares_to_planes(s)
+        return jnp.stack([
+            dot_share_batch(q, lo, hi).astype(jnp.int32),
+            dot_bits_batch_i4(q, m),
+            dot_bits_batch_i4(q, m, out_dtype=jnp.int16).astype(jnp.int32),
+        ])
+
+    got, got_mask, got_mask16 = np.asarray(run(q, s, m))
     for i in range(4):
         for j in range(4):
             want = int(dot_u16_oracle(q[i], s[j]))
