@@ -1,0 +1,85 @@
+"""One-command TPU-path smoke: everything the CPU test suite CANNOT cover.
+
+Run on the real TPU (axon): engine construction (runtime kernel canary on the
+int4/int16 paths), fused-Pallas vs XLA selection parity, packed vs dense
+storage parity, and a self-match end-to-end check. ~2-3 minutes including
+compiles. Exits non-zero on any mismatch.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_smoke.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print(f"WARNING: backend is {jax.default_backend()}, not tpu — this "
+              "smoke only proves something on real hardware", file=sys.stderr)
+
+    from mpc_iris_tpu.models.engines import (
+        PlaintextEngine,
+        ShareEngine,
+        MasksEngine,
+        _match_scan,
+        _match_scan_fused,
+        prepare_query_planes,
+    )
+
+    t0 = time.monotonic()
+    rng = np.random.default_rng(3)
+    n, b = 4096, 8
+    dpat = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    idx = rng.integers(0, n, size=b)
+    qpat, qmsk = dpat[idx].copy(), dmsk[idx].copy()
+
+    # 1. engine construction runs the kernel canary (int4 + int16 wrap paths)
+    dense = PlaintextEngine(dpat, dmsk, chunk=2048, storage="dense")
+    print(f"[1] engines + kernel canary OK ({time.monotonic()-t0:.0f}s)")
+
+    # 2. fused Pallas selection == XLA selection on-device
+    q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+    ref = np.asarray(_match_scan(q_enc, q_mask, dense.db_enc, dense.db_mask))
+    got = np.asarray(_match_scan_fused(q_enc, q_mask, dense.db_enc, dense.db_mask))
+    assert np.array_equal(ref, got), "fused != XLA selection"
+    print(f"[2] fused == XLA selection OK ({time.monotonic()-t0:.0f}s)")
+
+    # 3. packed storage == dense end-to-end, and self-match correctness
+    packed = PlaintextEngine(dpat, dmsk, chunk=2048, storage="packed")
+    rd = dense.match(qpat, qmsk)
+    rp = packed.match(qpat, qmsk)
+    for want, a, c in zip(idx, rd, rp):
+        assert (a.index, a.distance) == (c.index, c.distance), "packed != dense"
+        assert a.index == want and a.distance == 0.0, "self-match failed"
+    print(f"[3] packed == dense, self-match exact OK ({time.monotonic()-t0:.0f}s)")
+
+    # 4. share + masks engines reconstruct one exact distance
+    from mpc_iris_tpu.ops.encode import encode_template
+    from mpc_iris_tpu.types import Bits, Template
+    from mpc_iris_tpu.ops.decode import decode_distance
+
+    db_t = [Template(Bits(p), Bits(m)) for p, m in zip(dpat[:64], dmsk[:64])]
+    mats = [np.zeros((64, 12800), np.uint16) for _ in range(2)]
+    for i, t in enumerate(db_t):
+        for pi, sh in enumerate(encode_template(t).share(2, rng)):
+            mats[pi][i] = sh.data
+    se = [ShareEngine(m, chunk=64) for m in mats]
+    me = MasksEngine(dmsk[:64], chunk=64)
+    dots = sum(e.dots(qpat[:1], qmsk[:1]).astype(np.uint16) for e in se)
+    dens = me.dots(qmsk[:1])
+    d_mpc = decode_distance(dots[0, 7], dens[0, 7])
+    d_ref = Template(Bits(qpat[0]), Bits(qmsk[0])).distance(db_t[7])
+    assert d_mpc == d_ref, (d_mpc, d_ref)
+    print(f"[4] 2-party reconstruction == scalar oracle OK "
+          f"({time.monotonic()-t0:.0f}s)")
+    print("TPU smoke: ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
