@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# End-to-end demo of the full MPC pipeline on one machine.
+#
+#   bash examples/quickstart.sh [workdir]
+#
+# generate -> prepare (3-party shares) -> decrypt roundtrip -> rerandomize ->
+# two participants + coordinator-holding-the-third-share over TCP -> local
+# TPU match. Uses small data (4,096 templates) so it finishes in minutes;
+# scale `COUNT` up on real hardware.
+set -euo pipefail
+
+DIR="${1:-$(mktemp -d)}"
+COUNT=4096
+PORT0=47001
+PORT1=47002
+CLI="python -m mpc_iris_tpu"
+cd "$DIR"
+echo "== workdir: $DIR"
+
+echo "== 1. generate $COUNT random templates"
+$CLI generate db.json "$COUNT" --replace --seed 7
+
+echo "== 2. prepare: split into 3 additive shares + public masks"
+$CLI prepare db.json 3 mpc --seed 1
+
+echo "== 3. decrypt: reconstruct and sanity-check the roundtrip"
+$CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip.json
+
+echo "== 4. rerandomize: refresh shares with pairwise zero-sum noise"
+$CLI rerandomize mpc.share-0 --index 0 --pair 1:1111 --pair 2:2222
+$CLI rerandomize mpc.share-1 --index 1 --pair 0:1111 --pair 2:3333
+$CLI rerandomize mpc.share-2 --index 2 --pair 0:2222 --pair 1:3333
+$CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip2.json
+cmp roundtrip.json roundtrip2.json && echo "   reconstruction unchanged ✓"
+
+echo "== 5. start two participant servers (third share stays local)"
+$CLI participant mpc.share-0 127.0.0.1:$PORT0 &
+P0=$!
+$CLI participant mpc.share-1 127.0.0.1:$PORT1 &
+P1=$!
+trap 'kill $P0 $P1 2>/dev/null || true' EXIT
+# wait for both to warm up and listen
+for _ in $(seq 1 120); do
+  if { exec 3<>/dev/tcp/127.0.0.1/$PORT0 && exec 3<&-; } 2>/dev/null \
+     && { exec 3<>/dev/tcp/127.0.0.1/$PORT1 && exec 3<&-; } 2>/dev/null; then
+    break
+  fi
+  sleep 5
+done
+
+echo "== 6. coordinator: 3 MPC uniqueness checks (resolver holds share-2)"
+$CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
+  --masks mpc.masks --share mpc.share-2 --queries 3 --threshold 0.36 --seed 5
+
+echo "== 7. local plaintext match on the accelerator (no MPC)"
+$CLI match db.json --batch 8 --seed 3 --threshold 0.36
+
+echo "== quickstart complete (artifacts in $DIR)"
