@@ -69,19 +69,35 @@ def records_to_bytes(records: np.ndarray) -> bytes:
 # ------------------------------------------------------------- batched wire
 
 
+# Magic prefix for the batched wire: a reference-wire client hitting a batched
+# server fails fast with a clear error instead of computing garbage. (The
+# reference wire has no framing by design — a raw template may begin with any
+# bytes — so only the extension can afford a magic, and the opposite mismatch,
+# a batched client on a reference server, remains undetectable: configure both
+# ends consistently.)
+BATCHED_MAGIC = b"IRB1"
+
+
 def batched_query_bytes(patterns: np.ndarray, masks: np.ndarray) -> bytes:
-    """[B, 1600] uint8 plane pairs -> u32 count + B raw templates."""
+    """[B, 1600] uint8 plane pairs -> magic + u32 count + B raw templates."""
     patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
     masks = np.ascontiguousarray(masks, dtype=np.uint8)
     b = patterns.shape[0]
     if not 0 < b <= 65536:
         raise ValueError(f"batched wire supports 1..65536 queries, got {b}")
     # One contiguous copy: per template, pattern plane then mask plane.
-    return struct.pack("<I", b) + np.hstack([patterns, masks]).tobytes()
+    return (BATCHED_MAGIC + struct.pack("<I", b)
+            + np.hstack([patterns, masks]).tobytes())
 
 
 async def read_batched_query(reader: asyncio.StreamReader):
     """Server side: (patterns u8 [B, 1600], masks u8 [B, 1600])."""
+    magic = await reader.readexactly(4)
+    if magic != BATCHED_MAGIC:
+        raise ValueError(
+            f"not a batched-wire query (magic {magic!r}); is the client running "
+            "--wire batched?"
+        )
     (b,) = struct.unpack("<I", await reader.readexactly(4))
     if not 0 < b <= 65536:
         raise ValueError(f"bad batched query count {b}")

@@ -252,3 +252,24 @@ class TestRobustness:
         coord = Coordinator(MasksEngine(masks, chunk=8), [("127.0.0.1", 1)])
         with pytest.raises(ConnectionError, match="cannot reach"):
             asyncio.run(coord.query(query))
+
+    def test_wire_mode_mismatch_fails_fast(self, world):
+        """A reference-wire client hitting a batched server gets a clean
+        rejection (magic mismatch) instead of garbage records."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            server = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                       "127.0.0.1", 0, wire="batched")
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())  # reference-wire bytes
+            await writer.drain()
+            data = await reader.read(62)  # server must close without records
+            writer.close()
+            await writer.wait_closed()
+            await server.close()
+            return data
+
+        assert asyncio.run(go()) == b""
