@@ -259,6 +259,13 @@ def _share_dots_chunk(q_enc, db_lo, db_hi):
 
 
 @jax.jit
+def _to_entry_major(block):
+    """[B, c, 31] -> [c, B, 31] on device (the batched wire's byte order) —
+    saves the host-side transpose copy on every streamed chunk."""
+    return jnp.transpose(block, (1, 0, 2))
+
+
+@jax.jit
 def _mask_dots_chunk(q_mask, db_mask):
     """Denominators for one chunk: uint16 [B, c, 31] in wire order.
 
@@ -284,10 +291,11 @@ def _mask_dots_chunk_packed(q_mask, db_mask_packed):
 
 
 def pipelined_stream(dispatch, num_chunks: int, count: int, chunk_entries: int,
-                     depth: int = 4):
+                     depth: int = 4, entry_axis: int = 1):
     """Yield host arrays from per-chunk device dispatches, ``depth`` in flight.
 
-    ``dispatch(c)`` returns an async device array [B, n_c, 31] for chunk c; this
+    ``dispatch(c)`` returns an async device array for chunk c with DB entries on
+    ``entry_axis`` ([B, n, 31] query-major or [n, B, 31] entry-major); this
     generator keeps up to ``depth`` dispatches pending so device compute and
     host transfer overlap (deeper than the reference's 1-deep mpsc pipeline —
     matters when per-dispatch latency is high). The final chunk is trimmed to
@@ -307,7 +315,10 @@ def pipelined_stream(dispatch, num_chunks: int, count: int, chunk_entries: int,
         host = np.asarray(dev)
         start = c * chunk_entries
         end = min(count, start + chunk_entries)
-        yield host[:, : end - start]
+        if entry_axis == 0:
+            yield host[: end - start]
+        else:
+            yield host[:, : end - start]
 
 
 # --------------------------------------------------------------------- results
@@ -464,16 +475,24 @@ class ShareEngine:
         parts = [self.dots_chunk(q_enc, c) for c in range(self.num_chunks())]
         return np.concatenate([np.asarray(p) for p in parts], axis=1)[:, : self.count]
 
-    def stream(self, patterns_packed, masks_packed):
-        """Yield per-chunk host uint16 [B, chunk, 31] arrays, pipelining device
-        compute with host transfer (== the participant's chunked reply stream,
-        src/main.rs:423-445). The final chunk is trimmed to the true DB size."""
+    def stream(self, patterns_packed, masks_packed, entry_major: bool = False):
+        """Yield per-chunk host uint16 arrays, pipelining device compute with
+        host transfer (== the participant's chunked reply stream,
+        src/main.rs:423-445). The final chunk is trimmed to the true DB size.
+
+        entry_major: yield [chunk, B, 31] (the batched wire's byte order,
+        transposed on device) instead of [B, chunk, 31].
+        """
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        if entry_major:
+            dispatch = lambda c: _to_entry_major(self.dots_chunk(q_enc, c))
+        else:
+            dispatch = lambda c: self.dots_chunk(q_enc, c)
         yield from pipelined_stream(
-            lambda c: self.dots_chunk(q_enc, c),
-            self.num_chunks(), self.count, self.chunk,
+            dispatch, self.num_chunks(), self.count, self.chunk,
+            entry_axis=0 if entry_major else 1,
         )
 
 
@@ -520,11 +539,16 @@ class MasksEngine:
         parts = [self.dots_chunk(q_mask, c) for c in range(self.num_chunks())]
         return np.concatenate([np.asarray(p) for p in parts], axis=1)[:, : self.count]
 
-    def stream(self, masks_packed):
-        """Yield per-chunk host uint16 [B, chunk, 31] arrays (trimmed at the end)."""
+    def stream(self, masks_packed, entry_major: bool = False):
+        """Yield per-chunk host uint16 arrays (trimmed at the end); see
+        ShareEngine.stream for the entry_major layout."""
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        if entry_major:
+            dispatch = lambda c: _to_entry_major(self.dots_chunk(q_mask, c))
+        else:
+            dispatch = lambda c: self.dots_chunk(q_mask, c)
         yield from pipelined_stream(
-            lambda c: self.dots_chunk(q_mask, c),
-            self.num_chunks(), self.count, self.chunk,
+            dispatch, self.num_chunks(), self.count, self.chunk,
+            entry_axis=0 if entry_major else 1,
         )

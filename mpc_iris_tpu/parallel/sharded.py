@@ -199,16 +199,21 @@ class ShardedShareEngine(_ShardedBase):
         """Global chunks j*D .. j*D+D-1: uint16 [B, D*chunk, 31] in DB order."""
         return self._block(q_enc, self.db_lo[j], self.db_hi[j])
 
-    def stream(self, patterns_packed, masks_packed):
-        """Yield host uint16 [B, <=D*chunk, 31] blocks in DB order, trimmed."""
-        from mpc_iris_tpu.models.engines import pipelined_stream
+    def stream(self, patterns_packed, masks_packed, entry_major: bool = False):
+        """Yield host uint16 blocks in DB order, trimmed ([B, n, 31] or
+        entry-major [n, B, 31])."""
+        from mpc_iris_tpu.models.engines import _to_entry_major, pipelined_stream
 
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        if entry_major:
+            dispatch = lambda j: _to_entry_major(self.block(q_enc, j))
+        else:
+            dispatch = lambda j: self.block(q_enc, j)
         yield from pipelined_stream(
-            lambda j: self.block(q_enc, j),
-            self.num_blocks(), self.count, self.chunk * self.n_shards,
+            dispatch, self.num_blocks(), self.count, self.chunk * self.n_shards,
+            entry_axis=0 if entry_major else 1,
         )
 
     def dots(self, patterns_packed, masks_packed) -> np.ndarray:
@@ -257,14 +262,18 @@ class ShardedMasksEngine(_ShardedBase):
     def num_blocks(self) -> int:
         return self.db_mask.shape[0]
 
-    def stream(self, masks_packed):
-        from mpc_iris_tpu.models.engines import pipelined_stream
+    def stream(self, masks_packed, entry_major: bool = False):
+        from mpc_iris_tpu.models.engines import _to_entry_major, pipelined_stream
 
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        if entry_major:
+            dispatch = lambda j: _to_entry_major(self._block(q_mask, self.db_mask[j]))
+        else:
+            dispatch = lambda j: self._block(q_mask, self.db_mask[j])
         yield from pipelined_stream(
-            lambda j: self._block(q_mask, self.db_mask[j]),
-            self.num_blocks(), self.count, self.chunk * self.n_shards,
+            dispatch, self.num_blocks(), self.count, self.chunk * self.n_shards,
+            entry_axis=0 if entry_major else 1,
         )
 
     def dots(self, masks_packed) -> np.ndarray:

@@ -32,14 +32,16 @@ log = logging.getLogger("mpc_iris_tpu.coordinator")
 
 @jax.jit
 def _decode_argmin_device_batch(dots, dens):
-    """Batched device decode: uint16 [B, n, 31] pairs -> int32 [3, B] winners
-    (same semantics as :func:`_decode_argmin_device`, vectorized over queries)."""
+    """Batched device decode: uint16 [n, B, 31] ENTRY-major pairs -> int32
+    [3, B] winners (same semantics as :func:`_decode_argmin_device`,
+    vectorized over queries; entry-major in = zero host transposes on the
+    batched path)."""
     import jax.numpy as jnp
 
     den = dens.astype(jnp.int32)
     num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
-    n_r, d_r, _ = fraction_min_rotations(num, den, axis=2)
-    n_b, d_b, i_b = fraction_argmin(n_r, d_r, axis=1)
+    n_r, d_r, _ = fraction_min_rotations(num, den, axis=2)  # [n, B]
+    n_b, d_b, i_b = fraction_argmin(n_r, d_r, axis=0)  # over entries -> [B]
     return jnp.stack([n_b, d_b, i_b])
 
 
@@ -91,13 +93,13 @@ class QueryOutcome:
     total: int  # entries compared
 
 
-def _rechunk(stream, size: int, axis: int = 0, squeeze: bool = True):
-    """Re-buffer a stream of u16 [B, n, 31] arrays into exactly-``size``-entry
-    batches along the entry axis (the final batch may be short). With
-    ``squeeze`` the leading B=1 axis is dropped (reference-wire layout)."""
+def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
+    """Re-buffer a stream of u16 arrays into exactly-``size``-entry batches
+    along the entry axis (the final batch may be short). With ``squeeze`` the
+    leading B=1 axis is dropped (reference-wire [1, n, 31] layout); batched
+    entry-major streams pass squeeze=False, entry_axis=0 ([n, B, 31])."""
     buf = []
     have = 0
-    entry_axis = 1
 
     def view(chunk):
         return chunk[0] if squeeze else chunk
@@ -259,14 +261,14 @@ class Coordinator:
 
         loop = asyncio.get_running_loop()
         denom_pump = StreamPump(
-            _rechunk(self.masks_engine.stream(qmsk), self.batch_records,
-                     squeeze=False),
+            _rechunk(self.masks_engine.stream(qmsk, entry_major=True),
+                     self.batch_records, squeeze=False, entry_axis=0),
             loop,
         )
         local_pump = (
             StreamPump(
-                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records,
-                         squeeze=False),
+                _rechunk(self.local_engine.stream(qpat, qmsk, entry_major=True),
+                         self.batch_records, squeeze=False, entry_axis=0),
                 loop,
             )
             if self.local_engine is not None
@@ -302,17 +304,18 @@ class Coordinator:
                 if local is not None:
                     share_batches.append(local)
                 if denom is None:
-                    denom = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+                    denom = np.zeros((0, b, N_ROTATIONS), dtype=np.uint16)
                 if local is None and local_pump is not None:
                     share_batches[-1] = np.zeros(
-                        (b, 0, N_ROTATIONS), dtype=np.uint16
+                        (0, b, N_ROTATIONS), dtype=np.uint16
                     )
 
-                n = min([denom.shape[1]] + [s.shape[1] for s in share_batches])
+                # Entry-major everywhere: align along axis 0 (entries).
+                n = min([denom.shape[0]] + [s.shape[0] for s in share_batches])
                 if n == 0:
                     break
-                denom = denom[:, :n]
-                share_batches = [s[:, :n] for s in share_batches]
+                denom = denom[:n]
+                share_batches = [s[:n] for s in share_batches]
 
                 from mpc_iris_tpu import native
 

@@ -71,8 +71,9 @@ class ParticipantServer:
                 raw = await read_template_bytes(reader)
                 qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
                 qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
+            batched = self.wire == "batched"
             to_bytes = (
-                batched_records_to_bytes if self.wire == "batched"
+                batched_records_to_bytes if batched
                 else lambda block: records_to_bytes(block[0])
             )
 
@@ -81,16 +82,20 @@ class ParticipantServer:
             # The pump is cancellable: a dropped client must not strand the
             # worker (and its device buffers) on a full queue forever.
             loop = asyncio.get_running_loop()
-            pump = StreamPump(self.engine.stream(qpat, qmsk), loop)
+            # Batched wire: entry-major layout comes straight from the device,
+            # so serialization is a straight copy (no host transpose).
+            pump = StreamPump(
+                self.engine.stream(qpat, qmsk, entry_major=batched), loop
+            )
             try:
                 sent = 0
                 while True:
                     item = await pump.next_item()
                     if item is None:
                         break
-                    writer.write(to_bytes(item))  # [B, n, 31] device chunk
+                    writer.write(to_bytes(item))
                     await writer.drain()
-                    sent += item.shape[1]
+                    sent += item.shape[0] if batched else item.shape[1]
                 log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
             finally:
                 pump.close()

@@ -107,12 +107,14 @@ async def read_batched_query(reader: asyncio.StreamReader):
     return arr[:, :half].copy(), arr[:, half:].copy()
 
 
-def batched_records_to_bytes(block: np.ndarray) -> bytes:
-    """u16 [B, n, 31] -> wire bytes, ENTRY-major: per DB entry, B consecutive
+def batched_records_to_bytes(block_entry_major: np.ndarray) -> bytes:
+    """u16 [n, B, 31] (entry-major) -> wire bytes: per DB entry, B consecutive
     [u16; 31] records. Entry-major keeps the stream a flat sequence of
     fixed-size per-entry groups, so blocks of any size concatenate seamlessly
-    and EOF truncation stays entry-granular (like the reference stream)."""
-    return np.ascontiguousarray(block.transpose(1, 0, 2)).astype("<u2").tobytes()
+    and EOF truncation stays entry-granular (like the reference stream).
+    Engines produce this layout on device (`stream(..., entry_major=True)`),
+    so no host transpose happens anywhere on the batched path."""
+    return np.ascontiguousarray(block_entry_major).astype("<u2", copy=False).tobytes()
 
 
 async def read_batched_records(
@@ -120,8 +122,9 @@ async def read_batched_records(
 ) -> tuple[np.ndarray, bool]:
     """Read up to ``max_records`` entry-groups of a batched reply; EOF-tolerant.
 
-    Returns (u16 [B, n, 31], eof); partial trailing entry-groups are dropped
-    (the batched analogue of the reference's whole-record truncation).
+    Returns (u16 [n, B, 31] entry-major, eof); partial trailing entry-groups
+    are dropped (the batched analogue of the reference's whole-record
+    truncation).
     """
     group = b * REPLY_RECORD_BYTES  # bytes per DB entry across the whole batch
     want = max_records * group
@@ -138,9 +141,5 @@ async def read_batched_records(
     raw = b"".join(chunks)
     n = len(raw) // group
     raw = raw[: n * group]
-    if n:
-        arr = np.frombuffer(raw, dtype="<u2").reshape(n, b, N_ROTATIONS)
-        arr = np.ascontiguousarray(arr.transpose(1, 0, 2))
-    else:
-        arr = np.zeros((b, 0, N_ROTATIONS), dtype=np.uint16)
+    arr = np.frombuffer(raw, dtype="<u2").reshape(n, b, N_ROTATIONS)
     return arr, eof
