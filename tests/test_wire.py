@@ -18,15 +18,16 @@ from mpc_iris_tpu.protocol.wire import (
 )
 
 
-def _feed(data: bytes) -> asyncio.StreamReader:
-    r = asyncio.StreamReader()
-    r.feed_data(data)
-    r.feed_eof()
-    return r
+def _run_with(data: bytes, fn):
+    """Build a fed StreamReader inside a running loop and await fn(reader)."""
 
+    async def go():
+        r = asyncio.StreamReader()
+        r.feed_data(data)
+        r.feed_eof()
+        return await fn(r)
 
-def _run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+    return asyncio.run(go())
 
 
 def test_batched_query_roundtrip(rng):
@@ -34,7 +35,7 @@ def test_batched_query_roundtrip(rng):
     msks = rng.integers(0, 256, (5, 1600), dtype=np.uint8)
     raw = batched_query_bytes(pats, msks)
     assert raw.startswith(BATCHED_MAGIC)
-    p2, m2 = _run(read_batched_query(_feed(raw)))
+    p2, m2 = _run_with(raw, read_batched_query)
     np.testing.assert_array_equal(p2, pats)
     np.testing.assert_array_equal(m2, msks)
 
@@ -42,7 +43,7 @@ def test_batched_query_roundtrip(rng):
 def test_batched_query_rejects_reference_bytes(rng):
     raw = rng.integers(0, 256, 3200, dtype=np.uint8).tobytes()
     with pytest.raises(ValueError, match="batched-wire"):
-        _run(read_batched_query(_feed(raw)))
+        _run_with(raw, read_batched_query)
 
 
 def test_batched_records_roundtrip_and_partial_group_truncation(rng):
@@ -51,13 +52,13 @@ def test_batched_records_roundtrip_and_partial_group_truncation(rng):
     raw = batched_records_to_bytes(block)
     assert len(raw) == n * b * 62
 
-    got, eof = _run(read_batched_records(_feed(raw), b, max_records=100))
+    got, eof = _run_with(raw, lambda r: read_batched_records(r, b, max_records=100))
     assert eof  # stream ended
     np.testing.assert_array_equal(got, block)
 
     # Drop half an entry-group: the partial group must be discarded whole.
     cut = raw[: (n - 1) * b * 62 + b * 31]  # mid-group
-    got, eof = _run(read_batched_records(_feed(cut), b, max_records=100))
+    got, eof = _run_with(cut, lambda r: read_batched_records(r, b, max_records=100))
     assert eof and got.shape == (n - 1, b, 31)
     np.testing.assert_array_equal(got, block[: n - 1])
 
@@ -65,7 +66,7 @@ def test_batched_records_roundtrip_and_partial_group_truncation(rng):
 def test_read_records_partial_record_truncation(rng):
     recs = rng.integers(0, 1 << 16, (4, 31), dtype=np.uint16)
     raw = recs.astype("<u2").tobytes()
-    got, eof = _run(read_records(_feed(raw[:-5]), max_records=100))
+    got, eof = _run_with(raw[:-5], lambda r: read_records(r, max_records=100))
     assert eof and got.shape == (3, 31)
     np.testing.assert_array_equal(got, recs[:3])
 
