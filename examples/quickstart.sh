@@ -21,7 +21,7 @@ echo "== 1. generate $COUNT random templates"
 $CLI generate db.json "$COUNT" --replace --seed 7
 
 echo "== 2. prepare: split into 3 additive shares + public masks"
-$CLI prepare db.json 3 mpc --seed 1
+$CLI prepare db.json 3 mpc --insecure-seed 1
 
 echo "== 3. decrypt: reconstruct and sanity-check the roundtrip"
 $CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip.json

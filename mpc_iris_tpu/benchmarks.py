@@ -154,7 +154,8 @@ def run_host_benches(n=2000, emit=print):
     results.append({"bench": f"etl/parse/{n}", "time_s": dt, "items_per_s": n / dt})
 
     enc = native.encode_u16_native(pats, msks)
-    dt = _timeit(lambda: native.share_split(enc[:256], 3, 1))
+    dt = _timeit(lambda: native.share_split(enc[:256], 3,
+                                            native.derive_insecure_key(1)))
     results.append({"bench": "etl/share_split3/256", "time_s": dt,
                     "items_per_s": 256 / dt})
 

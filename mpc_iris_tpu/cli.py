@@ -95,7 +95,16 @@ def cmd_prepare(args) -> int:
     with the hex/RNG hot loops in C++)."""
     from mpc_iris_tpu import native
 
-    seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(8), "little")
+    if args.insecure_seed is not None:
+        # Explicit testing path: brute-forceable key space, reproducible files.
+        share_key = native.derive_insecure_key(args.insecure_seed)
+        print("warning: --insecure-seed shares are NOT cryptographically "
+              "secure (testing only)", file=sys.stderr)
+    else:
+        # The security property of the whole system: share randomness is a
+        # ChaCha20 stream keyed from 256 bits of OS entropy (reference draws
+        # every share from thread_rng, src/encoded_bits.rs:27-33).
+        share_key = os.urandom(32)
     n_shares = args.count
     base = args.output
     masks_path = f"{base}.masks"
@@ -105,9 +114,14 @@ def cmd_prepare(args) -> int:
             os.remove(p)
 
     if args.backend == "device":
+        if args.insecure_seed is None:
+            print("error: --backend device uses the TPU threefry PRNG, which "
+                  "is not a CSPRNG; it requires an explicit --insecure-seed",
+                  file=sys.stderr)
+            return 1
         import jax
 
-        key = jax.random.key(seed & (2**63 - 1))
+        key = jax.random.key(args.insecure_seed & (2**63 - 1))
 
     progress = Progress("prepare", unit="templates")
     masks_f = open(masks_path, "ab")
@@ -126,7 +140,8 @@ def cmd_prepare(args) -> int:
                     )
                 else:
                     enc = native.encode_u16_native(pats, msks)  # [n, 12800] u16
-                    shares = native.share_split(enc, n_shares, seed, row_offset=row)
+                    shares = native.share_split(enc, n_shares, share_key,
+                                                row_offset=row)
                 masks_f.write(msks.tobytes())
                 for i in range(n_shares):
                     # native-endianness == little on all supported hosts; the
@@ -186,21 +201,26 @@ def cmd_decrypt(args) -> int:
 
 
 def cmd_rerandomize(args) -> int:
-    """Refresh a share file with pairwise zero-sum PRF streams (the reference
-    spec's "re-randomization via correlated PRNGs" — future work there,
-    implemented here as an offline pass). Each --pair J:SEED names another
-    party and the seed shared with it; the party with the LOWER index adds the
-    stream, the higher one subtracts, so the noise cancels in reconstruction.
-    All parties must run this with consistent pair seeds before serving again.
+    """Refresh a share file with pairwise zero-sum ChaCha20 streams (the
+    reference spec's "re-randomization via correlated PRNGs" — future work
+    there, implemented here as an offline pass). Each --pair J:KEY names
+    another party and the 256-bit key shared with it; the party with the LOWER
+    index adds the stream, the higher one subtracts, so the noise cancels in
+    reconstruction. All parties must run this with consistent pair keys before
+    serving again.
     """
     from mpc_iris_tpu import native
 
     pairs = []
     for spec in args.pair:
-        j_s, _, seed_s = spec.partition(":")
-        pairs.append((int(j_s), int(seed_s, 0)))
+        j_s, _, key_s = spec.partition(":")
+        key_int = int(key_s, 0)
+        if not 0 <= key_int < 2**256:
+            print(f"error: pair key {j_s}:... exceeds 256 bits", file=sys.stderr)
+            return 1
+        pairs.append((int(j_s), key_int.to_bytes(32, "little")))
     if not pairs:
-        print("error: at least one --pair J:SEED is required", file=sys.stderr)
+        print("error: at least one --pair J:KEY is required", file=sys.stderr)
         return 1
     if any(j == args.index for j, _ in pairs):
         print("error: --pair index equals own --index", file=sys.stderr)
@@ -217,9 +237,10 @@ def cmd_rerandomize(args) -> int:
             # Explicit copy: memmap slices are read-only views and rerandomize
             # mutates in place.
             block = np.array(share[start:end], dtype=np.uint16, copy=True)
-            for j, seed in pairs:
+            for j, pair_key in pairs:
                 native.rerandomize(
-                    block, seed, +1 if args.index < j else -1, row_offset=start
+                    block, pair_key, +1 if args.index < j else -1,
+                    row_offset=start,
                 )
             out.write(block.astype("<u2", copy=False).tobytes())
             progress.update(end - start, (end - start) * 2 * BITS)
@@ -562,12 +583,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("input")
     g.add_argument("count", nargs="?", type=int, default=3)
     g.add_argument("output", nargs="?", default="mpc")
-    g.add_argument("--seed", type=int, default=None)
+    g.add_argument(
+        "--insecure-seed", type=int, default=None, metavar="N",
+        help="TESTING ONLY: derive the share key from this small seed instead "
+        "of os.urandom(32); the resulting shares are brute-forceable",
+    )
     g.add_argument("--batch", type=int, default=1000)
     g.add_argument(
         "--backend", choices=["native", "device"], default="native",
-        help="device = encode + share-RNG on the accelerator (TPU PRNG); "
-        "native = multithreaded C++ on the host",
+        help="device = encode + share-RNG on the accelerator (TPU threefry "
+        "PRNG, NOT crypto-grade: requires --insecure-seed); native = "
+        "multithreaded C++ ChaCha20 on the host",
     )
     g.set_defaults(fn=cmd_prepare)
 
@@ -585,8 +611,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("share", help="share file to refresh")
     g.add_argument("--index", type=int, required=True, help="this party's index")
     g.add_argument(
-        "--pair", action="append", default=[], metavar="J:SEED",
-        help="peer party index and the pairwise seed shared with it (repeat)",
+        "--pair", action="append", default=[], metavar="J:KEY",
+        help="peer party index and the pairwise key shared with it (repeat). "
+        "KEY is an integer (0x-hex accepted) up to 256 bits; use a 256-bit "
+        "secret from a secure exchange — small keys are testing-only",
     )
     g.add_argument("--output", default=None, help="write here instead of in place")
     g.add_argument("--batch", type=int, default=1000)

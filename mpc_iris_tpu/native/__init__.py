@@ -81,7 +81,7 @@ def _load():
         lib.ic_render_templates.argtypes = [_u8p, _u8p, ctypes.c_int64, ctypes.c_char_p]
         lib.ic_share_split.restype = None
         lib.ic_share_split.argtypes = [
-            _u16p, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, ctypes.c_int64,
+            _u16p, ctypes.c_int64, ctypes.c_int, _u8p, ctypes.c_int64,
             _u16p,
         ]
         lib.ic_share_sum.restype = None
@@ -90,7 +90,11 @@ def _load():
         ]
         lib.ic_rerandomize.restype = None
         lib.ic_rerandomize.argtypes = [
-            _u16p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int, ctypes.c_int64,
+            _u16p, ctypes.c_int64, _u8p, ctypes.c_int, ctypes.c_int64,
+        ]
+        lib.ic_chacha20_stream.restype = None
+        lib.ic_chacha20_stream.argtypes = [
+            _u8p, ctypes.c_uint32, _u8p, ctypes.c_int64, _u8p,
         ]
         lib.ic_encode_u16.restype = None
         lib.ic_encode_u16.argtypes = [_u8p, _u8p, ctypes.c_int64, _u16p]
@@ -251,32 +255,132 @@ def render_templates(patterns: np.ndarray, masks: np.ndarray) -> bytes:
     return out.raw[:written]
 
 
-# ------------------------------------------------------------------ sharing
+# ---------------------------------------------------------------- ChaCha20
+# All share randomness comes from ChaCha20 (RFC 8439) keyed with >=256-bit OS
+# entropy — matching the reference's thread_rng CSPRNG (src/encoded_bits.rs:
+# 27-33). Streams are *addressable*: (key, stream_id, row) names an independent
+# keystream, so output is byte-reproducible regardless of batching/threading
+# and two parties can derive identical pairwise streams. The stream-id space is
+# partitioned: share index s in [0, 2^32-2] for share_split, 0xFFFFFFFF for
+# rerandomize — disjoint even under (discouraged) key reuse.
+
+RERAND_STREAM_ID = 0xFFFFFFFF
 
 
-def share_split(enc: np.ndarray, n_shares: int, seed: int, row_offset: int = 0):
+def _check_key(key) -> bytes:
+    key = bytes(key)
+    if len(key) != 32:
+        raise ValueError("key must be exactly 32 bytes (use os.urandom(32), "
+                         "or derive_insecure_key(seed) for testing)")
+    return key
+
+
+def derive_insecure_key(seed: int) -> bytes:
+    """Derive a 32-byte key from a small integer seed — TESTING ONLY.
+
+    A 64-bit seed space is brute-forceable; real share material must be keyed
+    from ``os.urandom(32)``. Kept so fixtures/benchmarks are reproducible.
+    """
+    import hashlib
+
+    return hashlib.sha256(
+        b"mpc-iris-tpu/insecure-seed/v1" + (seed & (2**64 - 1)).to_bytes(8, "little")
+    ).digest()
+
+
+_CHACHA_CONST = np.array([0x61707865, 0x3320646E, 0x79622D32, 0x6B206574],
+                         np.uint32)
+
+
+def _chacha20_blocks_np(key: bytes, counter0: int, nonce_words, n_blocks: int):
+    """n_blocks 64-byte ChaCha20 keystream blocks as uint8 [n_blocks*64].
+
+    Vectorized over blocks; bit-identical to the native ChaCha20 (RFC 8439).
+    """
+    kw = np.frombuffer(key, "<u4")
+    s = np.empty((16, n_blocks), np.uint32)
+    s[0:4] = _CHACHA_CONST[:, None]
+    s[4:12] = kw[:, None]
+    s[12] = (np.uint32(counter0) + np.arange(n_blocks, dtype=np.uint32))
+    s[13] = np.uint32(nonce_words[0])
+    s[14] = np.uint32(nonce_words[1])
+    s[15] = np.uint32(nonce_words[2])
+    x = s.copy()
+
+    def rotl(v, k):
+        return (v << np.uint32(k)) | (v >> np.uint32(32 - k))
+
+    def qr(a, b, c, d):
+        x[a] += x[b]; x[d] ^= x[a]; x[d] = rotl(x[d], 16)
+        x[c] += x[d]; x[b] ^= x[c]; x[b] = rotl(x[b], 12)
+        x[a] += x[b]; x[d] ^= x[a]; x[d] = rotl(x[d], 8)
+        x[c] += x[d]; x[b] ^= x[c]; x[b] = rotl(x[b], 7)
+
+    with np.errstate(over="ignore"):
+        for _ in range(10):
+            qr(0, 4, 8, 12); qr(1, 5, 9, 13); qr(2, 6, 10, 14); qr(3, 7, 11, 15)
+            qr(0, 5, 10, 15); qr(1, 6, 11, 12); qr(2, 7, 8, 13); qr(3, 4, 9, 14)
+        x += s
+    # Serialize: per block, 16 LE u32 words in order -> [n_blocks, 64] bytes.
+    return np.ascontiguousarray(x.T).astype("<u4").view(np.uint8).reshape(-1)
+
+
+def chacha20_stream(key, counter: int, nonce12: bytes, nbytes: int) -> np.ndarray:
+    """Raw ChaCha20 keystream bytes (RFC 8439; 12-byte nonce, 32-bit counter).
+
+    Native-accelerated with a bit-identical NumPy fallback; exposed so tests
+    can pin both against independent implementations and RFC vectors.
+    """
+    key = _check_key(key)
+    if len(nonce12) != 12:
+        raise ValueError("nonce must be 12 bytes")
+    lib = _load()
+    n_blocks = (nbytes + 63) // 64
+    if lib is None:
+        return _chacha20_blocks_np(
+            key, counter, np.frombuffer(nonce12, "<u4"), n_blocks
+        )[:nbytes].copy()
+    k = np.frombuffer(key, np.uint8)
+    nc = np.frombuffer(nonce12, np.uint8)
+    out = np.empty(nbytes, np.uint8)
+    lib.ic_chacha20_stream(_as_u8p(k), counter & 0xFFFFFFFF, _as_u8p(nc),
+                           nbytes, _as_u8p(out))
+    return out
+
+
+def _row_stream_u16(key: bytes, stream_id: int, row: int) -> np.ndarray:
+    """One row's share keystream as u16 [12800] (NumPy fallback path)."""
+    nonce = (stream_id & 0xFFFFFFFF, row & 0xFFFFFFFF, (row >> 32) & 0xFFFFFFFF)
+    return _chacha20_blocks_np(key, 0, nonce, (2 * BITS + 63) // 64)[
+        : 2 * BITS
+    ].view("<u2").astype(np.uint16)
+
+
+def share_split(enc: np.ndarray, n_shares: int, key, row_offset: int = 0):
     """Additive Z_2^16 share split: u16 [n, 12800] -> u16 [n_shares, n, 12800].
 
-    Deterministic per (seed, row_offset + row): batching/threading independent.
+    ``key`` is a 32-byte ChaCha20 key (OS entropy for real use). Deterministic
+    per (key, share index, row_offset + row): batching/threading independent.
+    Matches the reference's CSPRNG-backed share(n), src/encoded_bits.rs:22-38.
     """
+    key = _check_key(key)
     enc = np.ascontiguousarray(enc, np.uint16)
     n = enc.shape[0]
     lib = _load()
     if lib is None:
-        rng = np.random.default_rng(seed)
         out = np.empty((n_shares, n, BITS), np.uint16)
-        # (fallback stream differs from native — both are valid uniform splits)
-        for i, row in enumerate(enc):
-            r = np.random.default_rng((seed, row_offset + i))
-            total = np.zeros(BITS, np.uint16)
-            for s in range(n_shares - 1):
-                v = r.integers(0, 1 << 16, size=BITS, dtype=np.uint16)
-                out[s, i] = v
-                total += v
-            out[n_shares - 1, i] = row - total
+        with np.errstate(over="ignore"):
+            for i, row in enumerate(enc):
+                total = np.zeros(BITS, np.uint16)
+                for s in range(n_shares - 1):
+                    v = _row_stream_u16(key, s, row_offset + i)
+                    out[s, i] = v
+                    total += v
+                out[n_shares - 1, i] = row - total
         return out
     out = np.empty((n_shares, n, BITS), np.uint16)
-    lib.ic_share_split(_as_u16p(enc), n, n_shares, seed & (2**64 - 1),
+    kbuf = np.frombuffer(key, np.uint8)
+    lib.ic_share_split(_as_u16p(enc), n, n_shares, _as_u8p(kbuf),
                        row_offset, _as_u16p(out))
     return out
 
@@ -297,16 +401,21 @@ def share_sum(shares) -> np.ndarray:
     return out.reshape(arrs[0].shape)
 
 
-def rerandomize(shares: np.ndarray, pair_seed: int, sign: int,
+def rerandomize(shares: np.ndarray, pair_key, sign: int,
                 row_offset: int = 0) -> np.ndarray:
-    """Refresh a share matrix in place with a pairwise zero-sum PRF stream.
+    """Refresh a share matrix in place with a pairwise zero-sum ChaCha20 stream.
 
-    Two parties sharing ``pair_seed`` apply opposite ``sign``; the noise cancels
-    in reconstruction while each stored share becomes a fresh uniform value
-    (the reference spec's "re-randomization via correlated PRNGs" future work).
-    Streams are keyed by (seed, row_offset + row): batch-size independent.
-    Returns the (mutated) array.
+    Two parties sharing the 32-byte ``pair_key`` apply opposite ``sign``; the
+    noise cancels in reconstruction while each stored share becomes a fresh
+    uniform value (the reference spec's "re-randomization via correlated PRNGs"
+    future work). Streams are keyed by (key, RERAND_STREAM_ID, row_offset +
+    row): batch-size independent, and observed noise reveals nothing about
+    other rows' streams. Returns the (mutated) array.
+
+    The NumPy fallback is bit-identical to the native ChaCha20 (pinned by
+    tests), so mixed native/fallback parties still cancel exactly.
     """
+    pair_key = _check_key(pair_key)
     shares = np.ascontiguousarray(shares, np.uint16)
     if shares.ndim != 2 or shares.shape[1] != BITS:
         raise ValueError(f"expected [n, {BITS}] u16 shares, got {shares.shape}")
@@ -317,15 +426,17 @@ def rerandomize(shares: np.ndarray, pair_seed: int, sign: int,
                          "slices first)")
     lib = _load()
     if lib is None:
-        # No NumPy fallback on purpose: the two parties' streams must cancel
-        # bit-for-bit, so a differing fallback stream would silently corrupt
-        # the shared database.
-        raise RuntimeError(
-            "rerandomize requires the native library (streams must be "
-            "byte-identical across parties)"
-        )
+        with np.errstate(over="ignore"):
+            for i in range(shares.shape[0]):
+                ks = _row_stream_u16(pair_key, RERAND_STREAM_ID, row_offset + i)
+                if sign >= 0:
+                    shares[i] += ks
+                else:
+                    shares[i] -= ks
+        return shares
+    kbuf = np.frombuffer(pair_key, np.uint8)
     lib.ic_rerandomize(_as_u16p(shares), shares.shape[0],
-                       pair_seed & (2**64 - 1), 1 if sign >= 0 else -1,
+                       _as_u8p(kbuf), 1 if sign >= 0 else -1,
                        row_offset)
     return shares
 

@@ -95,11 +95,15 @@ _share_split_device_compiled = None
 def share_split_device(patterns_packed, masks_packed, n_shares: int, key):
     """Device-side prepare: packed planes -> additive Z_2^16 shares.
 
+    TESTING/BENCHMARK ONLY: the TPU PRNG (threefry) is not a CSPRNG, so
+    shares produced here do not carry the reference's security property
+    (src/encoded_bits.rs:27-33 uses a ChaCha-based thread_rng). The CLI gates
+    this backend behind --insecure-seed; secure prepare goes through
+    native.share_split (C++ ChaCha20, 256-bit OS-entropy key).
+
     One jit: unpack + ring-encode + n_shares-1 uniform u16 tensors from the
     TPU PRNG + wrapping difference (reference share semantics,
-    src/encoded_bits.rs:22-38 — the stream differs from the native C++
-    prepare, which is fine: shares only need uniformity and the sum property,
-    and prepare is a single-party operation).
+    src/encoded_bits.rs:22-38).
 
     Returns uint16 [n_shares, n, 12800] (device).
     """

@@ -97,40 +97,87 @@ void parallel_rows(int64_t n, F&& fn) {
   for (auto& th : ts) th.join();
 }
 
-// -------------------------------------------------------------------- RNG
-// xoshiro256++ seeded per row via splitmix64: reproducible and stream-splittable
-// without cross-thread contention (the prepare hot loop is RNG-bound,
-// reference src/main.rs:338 + src/encoded_bits.rs:27-33).
+// -------------------------------------------------------------------- CSPRNG
+// ChaCha20 (RFC 8439: 256-bit key, 96-bit nonce, 32-bit block counter) is the
+// only randomness source for share material. The reference draws every share
+// from a fresh-OS-seeded ChaCha-based CSPRNG (thread_rng, src/encoded_bits.rs:
+// 27-33); we match that security level while keeping streams *addressable*:
+// each (key, stream id, row) names an independent keystream, so output is
+// byte-reproducible regardless of threading or batching, and two parties can
+// derive identical pairwise streams for re-randomization. Keys must come from
+// OS entropy (>=256 bits) on the Python side; a low-entropy key is only
+// acceptable for explicitly-insecure testing.
 
-struct Splitmix64 {
-  uint64_t s;
-  uint64_t next() {
-    uint64_t z = (s += 0x9e3779b97f4a7c15ull);
-    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
-    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
-    return z ^ (z >> 31);
+inline uint32_t le32_load(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+
+struct ChaCha20 {
+  uint32_t key[8];
+  explicit ChaCha20(const uint8_t* k32) {
+    for (int i = 0; i < 8; ++i) key[i] = le32_load(k32 + 4 * i);
+  }
+  static inline uint32_t rotl(uint32_t x, int k) {
+    return (x << k) | (x >> (32 - k));
+  }
+  static inline void qr(uint32_t& a, uint32_t& b, uint32_t& c, uint32_t& d) {
+    a += b; d ^= a; d = rotl(d, 16);
+    c += d; b ^= c; b = rotl(b, 12);
+    a += b; d ^= a; d = rotl(d, 8);
+    c += d; b ^= c; b = rotl(b, 7);
+  }
+  // One 64-byte keystream block, serialized little-endian (RFC 8439 sec 2.3).
+  void block(uint32_t counter, const uint32_t nonce[3], uint8_t out[64]) const {
+    uint32_t s[16] = {0x61707865u, 0x3320646eu, 0x79622d32u, 0x6b206574u,
+                      key[0], key[1], key[2], key[3],
+                      key[4], key[5], key[6], key[7],
+                      counter, nonce[0], nonce[1], nonce[2]};
+    uint32_t x[16];
+    memcpy(x, s, sizeof(s));
+    for (int i = 0; i < 10; ++i) {
+      qr(x[0], x[4], x[8], x[12]);
+      qr(x[1], x[5], x[9], x[13]);
+      qr(x[2], x[6], x[10], x[14]);
+      qr(x[3], x[7], x[11], x[15]);
+      qr(x[0], x[5], x[10], x[15]);
+      qr(x[1], x[6], x[11], x[12]);
+      qr(x[2], x[7], x[8], x[13]);
+      qr(x[3], x[4], x[9], x[14]);
+    }
+    for (int i = 0; i < 16; ++i) {
+      uint32_t v = x[i] + s[i];
+      out[4 * i] = (uint8_t)v;
+      out[4 * i + 1] = (uint8_t)(v >> 8);
+      out[4 * i + 2] = (uint8_t)(v >> 16);
+      out[4 * i + 3] = (uint8_t)(v >> 24);
+    }
+  }
+  // Fill `out` with `nbytes` keystream bytes starting at block `counter`.
+  void stream(uint32_t counter, const uint32_t nonce[3], uint8_t* out,
+              int64_t nbytes) const {
+    while (nbytes >= 64) {
+      block(counter++, nonce, out);
+      out += 64;
+      nbytes -= 64;
+    }
+    if (nbytes > 0) {
+      uint8_t tmp[64];
+      block(counter, nonce, tmp);
+      memcpy(out, tmp, (size_t)nbytes);
+    }
   }
 };
 
-struct Xoshiro256pp {
-  uint64_t s[4];
-  explicit Xoshiro256pp(uint64_t seed) {
-    Splitmix64 sm{seed};
-    for (auto& x : s) x = sm.next();
-  }
-  static uint64_t rotl(uint64_t x, int k) { return (x << k) | (x >> (64 - k)); }
-  uint64_t next() {
-    uint64_t r = rotl(s[0] + s[3], 23) + s[0];
-    uint64_t t = s[1] << 17;
-    s[2] ^= s[0];
-    s[3] ^= s[1];
-    s[1] ^= s[2];
-    s[0] ^= s[3];
-    s[2] ^= t;
-    s[3] = rotl(s[3], 45);
-    return r;
-  }
-};
+// One row's worth of keystream as native u16 lanes (little-endian pairs; all
+// supported hosts are little-endian, matching the <u2 file format).
+constexpr int64_t kRowBytes = kBits * 2;  // 25,600 B = 400 ChaCha blocks
+
+inline void row_nonce(uint32_t stream_id, int64_t row, uint32_t nonce[3]) {
+  nonce[0] = stream_id;
+  nonce[1] = (uint32_t)((uint64_t)row);
+  nonce[2] = (uint32_t)(((uint64_t)row) >> 32);
+}
 
 }  // namespace
 
@@ -308,68 +355,71 @@ int64_t ic_render_templates(const uint8_t* patterns, const uint8_t* masks,
 
 // ------------------------------------------------------------------ sharing
 
+// Raw ChaCha20 keystream (RFC 8439) — exported so tests can pin the generator
+// against independent implementations and published test vectors.
+void ic_chacha20_stream(const uint8_t* key32, uint32_t counter,
+                        const uint8_t* nonce12, int64_t nbytes, uint8_t* out) {
+  ChaCha20 c(key32);
+  uint32_t nonce[3] = {le32_load(nonce12), le32_load(nonce12 + 4),
+                       le32_load(nonce12 + 8)};
+  c.stream(counter, nonce, out, nbytes);
+}
+
 // Additive share split over Z_2^16 (reference src/encoded_bits.rs:22-38):
-// out[s] for s < n_shares-1 are uniform u16 streams; the last share makes the
-// column sums equal enc. Layout: enc [n, 12800] u16; out [n_shares, n, 12800].
-// Per-row RNG stream keyed by (seed, global row index) => byte-reproducible
-// independent of threading or batching.
-void ic_share_split(const uint16_t* enc, int64_t n, int n_shares, uint64_t seed,
-                    int64_t row_offset, uint16_t* out) {
+// out[s] for s < n_shares-1 are uniform u16 ChaCha20 keystreams; the last
+// share makes the column sums equal enc. Layout: enc [n, 12800] u16;
+// out [n_shares, n, 12800]. The keystream for share s of global row R is
+// ChaCha20(key, nonce=[s, R_lo, R_hi], counter from 0) => byte-reproducible
+// independent of threading or batching, and cryptographically secure given a
+// >=256-bit OS-entropy key (matches the reference's thread_rng CSPRNG,
+// src/encoded_bits.rs:27-33).
+void ic_share_split(const uint16_t* enc, int64_t n, int n_shares,
+                    const uint8_t* key32, int64_t row_offset, uint16_t* out) {
   const int64_t stride = n * kBits;
+  ChaCha20 c(key32);
   parallel_rows(n, [&](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; ++r) {
-      Splitmix64 mix{seed ^ (0x9e3779b97f4a7c15ull * (uint64_t)(row_offset + r))};
       uint16_t* last = out + (int64_t)(n_shares - 1) * stride + r * kBits;
       const uint16_t* e = enc + r * kBits;
       for (int64_t i = 0; i < kBits; ++i) last[i] = e[i];
       for (int s = 0; s < n_shares - 1; ++s) {
-        Xoshiro256pp rng(mix.next());
+        uint32_t nonce[3];
+        row_nonce((uint32_t)s, row_offset + r, nonce);
         uint16_t* o = out + (int64_t)s * stride + r * kBits;
-        for (int64_t i = 0; i < kBits; i += 4) {
-          uint64_t v = rng.next();
-          uint16_t a = (uint16_t)v, b = (uint16_t)(v >> 16),
-                   c = (uint16_t)(v >> 32), d = (uint16_t)(v >> 48);
-          o[i] = a; o[i + 1] = b; o[i + 2] = c; o[i + 3] = d;
-          last[i] = (uint16_t)(last[i] - a);
-          last[i + 1] = (uint16_t)(last[i + 1] - b);
-          last[i + 2] = (uint16_t)(last[i + 2] - c);
-          last[i + 3] = (uint16_t)(last[i + 3] - d);
-        }
+        c.stream(0, nonce, (uint8_t*)o, kRowBytes);
+        for (int64_t i = 0; i < kBits; ++i)
+          last[i] = (uint16_t)(last[i] - o[i]);
       }
     }
   });
 }
 
 // Share re-randomization: add (sign=+1) or subtract (sign=-1) a deterministic
-// pairwise PRF stream to a share matrix in place. Two parties holding the same
-// pairwise seed apply opposite signs, so the added noise sums to zero across
-// the party set and the reconstructed secrets are unchanged while each stored
-// share is refreshed to a fresh uniform value. (The reference's specification
-// notebook describes this as future work — "re-randomization via correlated
-// PRNGs" — with no implementation.) Stream is keyed by (seed, absolute row),
-// so files can be processed in batches.
-void ic_rerandomize(uint16_t* data, int64_t n, uint64_t seed, int sign,
+// pairwise keystream to a share matrix in place. Two parties holding the same
+// pairwise 256-bit key apply opposite signs, so the added noise sums to zero
+// across the party set and the reconstructed secrets are unchanged while each
+// stored share is refreshed to a fresh uniform value. (The reference's
+// specification notebook describes this as future work — "re-randomization via
+// correlated PRNGs" — with no implementation.) The stream for global row R is
+// ChaCha20(key, nonce=[0xFFFFFFFF, R_lo, R_hi]) — the stream id is disjoint
+// from any share index, so a key reused across both operations still yields
+// independent streams; observed noise values reveal nothing about other rows.
+void ic_rerandomize(uint16_t* data, int64_t n, const uint8_t* key32, int sign,
                     int64_t row_offset) {
+  ChaCha20 c(key32);
   parallel_rows(n, [&](int64_t lo, int64_t hi) {
+    uint16_t ks[kBits];
     for (int64_t r = lo; r < hi; ++r) {
-      Splitmix64 mix{seed ^ (0x9e3779b97f4a7c15ull * (uint64_t)(row_offset + r))};
-      Xoshiro256pp rng(mix.next());
+      uint32_t nonce[3];
+      row_nonce(0xFFFFFFFFu, row_offset + r, nonce);
+      c.stream(0, nonce, (uint8_t*)ks, kRowBytes);
       uint16_t* row = data + r * kBits;
-      for (int64_t i = 0; i < kBits; i += 4) {
-        uint64_t v = rng.next();
-        uint16_t a = (uint16_t)v, b = (uint16_t)(v >> 16),
-                 c = (uint16_t)(v >> 32), d = (uint16_t)(v >> 48);
-        if (sign >= 0) {
-          row[i] = (uint16_t)(row[i] + a);
-          row[i + 1] = (uint16_t)(row[i + 1] + b);
-          row[i + 2] = (uint16_t)(row[i + 2] + c);
-          row[i + 3] = (uint16_t)(row[i + 3] + d);
-        } else {
-          row[i] = (uint16_t)(row[i] - a);
-          row[i + 1] = (uint16_t)(row[i + 1] - b);
-          row[i + 2] = (uint16_t)(row[i + 2] - c);
-          row[i + 3] = (uint16_t)(row[i + 3] - d);
-        }
+      if (sign >= 0) {
+        for (int64_t i = 0; i < kBits; ++i)
+          row[i] = (uint16_t)(row[i] + ks[i]);
+      } else {
+        for (int64_t i = 0; i < kBits; ++i)
+          row[i] = (uint16_t)(row[i] - ks[i]);
       }
     }
   });
@@ -413,6 +463,6 @@ void ic_encode_u16(const uint8_t* patterns, const uint8_t* masks, int64_t n,
   });
 }
 
-int ic_version() { return 1; }
+int ic_version() { return 2; }  // 2: ChaCha20 share/rerandomize streams
 
 }  // extern "C"

@@ -37,7 +37,7 @@ def test_generate_prepare_decrypt_roundtrip(workdir):
     objs = json.loads(raw)
     assert len(objs) == 24 and set(objs[0]) == {"pattern", "mask"}
 
-    assert main(["prepare", "db.json", "2", "mpc", "--seed", "9"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "9"]) == 0
     masks = open_masks("mpc.masks")
     assert masks.shape == (24, 1600)
     s0, s1 = open_share("mpc.share-0"), open_share("mpc.share-1")
@@ -77,7 +77,7 @@ def test_rerandomize_cli_roundtrip(workdir):
     """CLI-level regression for the memmap segfault: share files must actually
     change on disk while reconstruction stays identical."""
     assert main(["generate", "db.json", "8", "--seed", "4"]) == 0
-    assert main(["prepare", "db.json", "2", "mpc", "--seed", "6"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "6"]) == 0
     before0 = (workdir / "mpc.share-0").read_bytes()
     before1 = (workdir / "mpc.share-1").read_bytes()
     assert main(["decrypt", "mpc.share-0", "mpc.share-1",

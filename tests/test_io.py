@@ -104,7 +104,7 @@ class TestCliPipeline:
         assert len(templates) == 12
 
         base = tmp_path / "mpc"
-        assert main(["prepare", str(db), "3", str(base), "--seed", "4",
+        assert main(["prepare", str(db), "3", str(base), "--insecure-seed", "4",
                      "--batch", "5"]) == 0
         masks = open_masks(f"{base}.masks")
         assert masks.shape[0] == 12
