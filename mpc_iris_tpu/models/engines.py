@@ -259,6 +259,29 @@ def _share_dots_chunk(q_enc, db_lo, db_hi):
 
 
 @jax.jit
+def _shares_reformat(chunk_u16):
+    """Raw u16 share chunk [c, K] -> stacked int8 [2, c, K] (lo, hi) planes.
+
+    Runs on device so engine construction never byte-munges on the host: the
+    memmap'd file is `device_put` as-is and split into MXU-ready planes here
+    (the host on this class of machine is bandwidth-starved; see DESIGN.md)."""
+    from mpc_iris_tpu.ops.dot import shares_to_planes
+
+    lo, hi = shares_to_planes(chunk_u16)
+    return jnp.stack([lo, hi])
+
+
+@jax.jit
+def _share_dots_chunk_u16(q_enc, chunk_u16):
+    """Dot shares straight from a raw u16 chunk (streamed out-of-core path):
+    the lo/hi byte split happens inline in the same dispatch."""
+    from mpc_iris_tpu.ops.dot import shares_to_planes
+
+    lo, hi = shares_to_planes(chunk_u16)
+    return _share_dots_chunk(q_enc, lo, hi)
+
+
+@jax.jit
 def _to_entry_major(block):
     """[B, c, 31] -> [c, B, 31] on device (the batched wire's byte order) —
     saves the host-side transpose copy on every streamed chunk."""
@@ -433,39 +456,97 @@ class PlaintextEngine:
         return np.concatenate(out, axis=1)[:, : self.count]
 
 
+def default_hbm_budget() -> int:
+    """Device bytes the share engine may pin resident (lo/hi planes).
+
+    Overridable via MPC_IRIS_HBM_BUDGET (bytes). Default 13.5 GiB of the
+    v5e's 16 GiB, leaving headroom for per-chunk workspace + query planes."""
+    import os
+
+    env = os.environ.get("MPC_IRIS_HBM_BUDGET")
+    if env:
+        return int(env)
+    return int(13.5 * (1 << 30))
+
+
 class ShareEngine:
     """Participant-side engine: dot shares of queries against a u16 share DB
-    (== reference `DistanceEngine`, src/lib.rs:28-52)."""
+    (== reference `DistanceEngine`, src/lib.rs:28-52).
 
-    def __init__(self, shares_u16: np.ndarray, chunk: int = DEFAULT_CHUNK, device=None):
-        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap).
+    Capacity model (SURVEY.md hard part #3): shares are full-entropy u16 —
+    25.6 KB/entry of HBM with no packed representation possible. Chunks that
+    fit ``hbm_budget`` stay resident as int8 lo/hi planes; the remainder is
+    served **out-of-core**: raw u16 chunks are `device_put` straight from the
+    (memmap'd) source per query batch and byte-split on device — the
+    equivalent of the reference's mmap-streaming participant
+    (src/main.rs:386-400), where DB size is bounded by the file system, not
+    memory. Peak host RAM = one chunk; peak extra HBM = one streamed chunk
+    (u16 + planes)."""
 
-        The lo/hi byte-plane conversion streams chunk-by-chunk so a memmap'd
-        share file never materializes in host RAM (peak extra = one chunk)."""
+    def __init__(self, shares_u16: np.ndarray, chunk: int = DEFAULT_CHUNK,
+                 device=None, hbm_budget: int | None = None):
+        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap)."""
         kernel_self_test()
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, n))
         num_chunks = max(1, -(-n // chunk))
-        lo_c = np.zeros((num_chunks, chunk, BITS), dtype=np.int8)
-        hi_c = np.zeros((num_chunks, chunk, BITS), dtype=np.int8)
-        for c in range(num_chunks):
-            start = c * chunk
-            end = min(n, start + chunk)
-            s = np.asarray(shares_u16[start:end], dtype=np.uint16)
-            lo_c[c, : end - start] = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
-            hi_c[c, : end - start] = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
+        if hbm_budget is None:
+            hbm_budget = default_hbm_budget()
+        # int8 lo+hi planes cost 2*BITS bytes per entry when resident.
+        max_resident = max(0, int(hbm_budget // (2 * BITS * chunk)))
+        self._n_resident = min(num_chunks, max_resident)
+        self._num_chunks = num_chunks
+        self._put = functools.partial(jax.device_put, device=device)
+        self._source = shares_u16
         self.count = n
-        put = functools.partial(jax.device_put, device=device)
-        self.db_lo = put(lo_c)
-        self.db_hi = put(hi_c)
         self.chunk = chunk
+        self._resident = []
+        for c in range(self._n_resident):
+            self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
+        if self._n_resident < num_chunks:
+            import sys
+
+            print(
+                f"ShareEngine: {self._n_resident}/{num_chunks} chunks resident "
+                f"({self._n_resident * chunk} of {n} entries); the rest stream "
+                "host->device per query batch (out-of-core)", file=sys.stderr,
+            )
+
+    def _chunk_u16(self, c: int) -> np.ndarray:
+        """Host u16 [chunk, K] view for chunk c, zero-padded at the tail.
+
+        Full chunks are returned as direct views (a memmap slice feeds
+        `device_put` without an extra host copy — host passes are the
+        bottleneck on bandwidth-starved hosts)."""
+        start = c * self.chunk
+        end = min(self.count, start + self.chunk)
+        s = self._source[start:end]
+        if (isinstance(s, np.ndarray) and s.dtype == np.uint16
+                and s.flags.c_contiguous and end - start == self.chunk):
+            return s
+        s = np.ascontiguousarray(s, dtype=np.uint16)
+        if end - start < self.chunk:
+            s = np.pad(s, [(0, self.chunk - (end - start)), (0, 0)])
+        return s
 
     def num_chunks(self) -> int:
-        return self.db_lo.shape[0]
+        return self._num_chunks
+
+    @property
+    def resident_entries(self) -> int:
+        return min(self.count, self._n_resident * self.chunk)
 
     def dots_chunk(self, q_enc, chunk_index: int):
-        """uint16 [B, chunk, 31] for one DB chunk (device array, async)."""
-        return _share_dots_chunk(q_enc, self.db_lo[chunk_index], self.db_hi[chunk_index])
+        """uint16 [B, chunk, 31] for one DB chunk (device array, async).
+
+        Resident chunks dispatch immediately; out-of-core chunks pay a
+        host->device transfer of the raw u16 rows first (the hot loop is then
+        transfer-bound, exactly like the reference's mmap-streaming
+        participant on a memory-bandwidth-starved host)."""
+        if chunk_index < self._n_resident:
+            planes = self._resident[chunk_index]
+            return _share_dots_chunk(q_enc, planes[0], planes[1])
+        return _share_dots_chunk_u16(q_enc, self._put(self._chunk_u16(chunk_index)))
 
     def dots(self, patterns_packed, masks_packed) -> np.ndarray:
         """Full reply tensor uint16 [B, N, 31] in reference wire order."""

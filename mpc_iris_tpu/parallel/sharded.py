@@ -38,6 +38,7 @@ from mpc_iris_tpu.models.engines import (
     prepare_query_planes,
 )
 from mpc_iris_tpu.models.engines import _fused_ok as _fused_ok_local
+from mpc_iris_tpu.ops.dot import shares_to_planes
 from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
 
@@ -154,50 +155,60 @@ class ShardedShareEngine(_ShardedBase):
     """Participant dot-share engine over a share DB sharded across chips."""
 
     def __init__(self, shares_u16, mesh, chunk: int = DEFAULT_CHUNK):
+        """shares_u16: uint16 [N, 12800] (host, e.g. np.memmap).
+
+        Loading is out-of-core on the host side: raw u16 rows are `device_put`
+        one *block* (= one chunk per shard) at a time directly onto the
+        sharded mesh and byte-split into int8 lo/hi planes on device — the
+        host never materializes converted planes (peak host RAM = one block;
+        the reference mmaps its share file the same way, src/main.rs:386-400).
+        Device HBM must hold the full shard (25.6 KB/entry/shard); for a DB
+        past the mesh's combined HBM use the single-chip ShareEngine's
+        streamed mode per party or a bigger mesh."""
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)
-        # Chunk-by-chunk lo/hi conversion (shared with ShareEngine semantics,
-        # ops/dot.py shares_to_planes): a memmap'd share file never
-        # materializes in host RAM beyond one slice.
         n, k = shares_u16.shape
-        block = chunk * self.n_shards
+        d = self.n_shards
+        block = chunk * d
         g_blocks = max(1, -(-n // block))
-        lo_b = np.zeros((g_blocks * block, k), dtype=np.int8)
-        hi_b = np.zeros((g_blocks * block, k), dtype=np.int8)
-        step = max(chunk, 8192)
-        for start in range(0, n, step):
-            end = min(n, start + step)
-            s = np.asarray(shares_u16[start:end], dtype=np.uint16)
-            lo_b[start:end] = ((s & 0xFF).astype(np.int16) - 128).astype(np.int8)
-            hi_b[start:end] = ((s >> 8).astype(np.int16) - 128).astype(np.int8)
         self.count = n
-        lo_b = lo_b.reshape(g_blocks, self.n_shards, chunk, k)
-        hi_b = hi_b.reshape(g_blocks, self.n_shards, chunk, k)
-        self.db_lo = self._put_db(lo_b)
-        self.db_hi = self._put_db(hi_b)
+        u16_sharding = NamedSharding(mesh, P("db", None, None))
+        planes_sharding = NamedSharding(mesh, P("db", None, None, None))
+        reformat = jax.jit(
+            lambda s: jnp.stack(shares_to_planes(s), axis=1),
+            out_shardings=planes_sharding,
+        )
+        self._blocks = []  # per block: int8 [D, 2, chunk, K], sharded on "db"
+        for j in range(g_blocks):
+            start = j * block
+            end = min(n, start + block)
+            rows = np.ascontiguousarray(shares_u16[start:end], dtype=np.uint16)
+            if end - start < block:
+                rows = np.pad(rows, [(0, block - (end - start)), (0, 0)])
+            dev = jax.device_put(rows.reshape(d, chunk, k), u16_sharding)
+            self._blocks.append(reformat(dev))
 
-        def spmd(q_enc, lo_j, hi_j):
-            # local: lo_j/hi_j [1, c, K] -> [B, c, 31]
-            return _share_dots_chunk(q_enc, lo_j[0], hi_j[0])
+        def spmd(q_enc, planes_j):
+            # local: planes_j [1, 2, c, K] -> [B, c, 31]
+            return _share_dots_chunk(q_enc, planes_j[0, 0], planes_j[0, 1])
 
         self._block = jax.jit(
             shard_map(
                 spmd,
                 mesh=self.mesh,
-                in_specs=(P(None, None, None), P("db", None, None),
-                          P("db", None, None)),
+                in_specs=(P(None, None, None), P("db", None, None, None)),
                 out_specs=P(None, "db", None),
                 check_vma=False,
             ),
         )
 
     def num_blocks(self) -> int:
-        return self.db_lo.shape[0]
+        return len(self._blocks)
 
     def block(self, q_enc, j: int):
         """Global chunks j*D .. j*D+D-1: uint16 [B, D*chunk, 31] in DB order."""
-        return self._block(q_enc, self.db_lo[j], self.db_hi[j])
+        return self._block(q_enc, self._blocks[j])
 
     def stream(self, patterns_packed, masks_packed, entry_major: bool = False):
         """Yield host uint16 blocks in DB order, trimmed ([B, n, 31] or

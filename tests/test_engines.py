@@ -152,6 +152,33 @@ class TestShareMasksEngines:
         assert streamed.shape == bulk.shape  # padding trimmed
         np.testing.assert_array_equal(streamed, bulk)
 
+    def test_out_of_core_share_engine_matches_resident(self, setup):
+        """DB-larger-than-HBM path: with a budget that pins only one chunk
+        resident, the remaining chunks stream host->device per query batch
+        with bit-identical results (== the reference's mmap-streaming
+        participant, src/main.rs:386-400)."""
+        rng, queries, db = setup
+        share = np.stack([EncodedBits.random(rng).data for _ in range(21)])
+        resident = ShareEngine(share, chunk=8)
+        # budget for exactly one 8-entry chunk of lo/hi planes
+        ooc = ShareEngine(share, chunk=8, hbm_budget=2 * 12800 * 8)
+        assert ooc.resident_entries == 8 and resident.resident_entries == 21
+        qpat, qmsk = packed(queries)
+        np.testing.assert_array_equal(
+            ooc.dots(qpat, qmsk), resident.dots(qpat, qmsk)
+        )
+        np.testing.assert_array_equal(
+            np.concatenate(list(ooc.stream(qpat, qmsk, entry_major=True)), axis=0),
+            np.concatenate(list(resident.stream(qpat, qmsk, entry_major=True)),
+                           axis=0),
+        )
+        # zero-resident (pure streaming) also works
+        pure = ShareEngine(share, chunk=8, hbm_budget=0)
+        assert pure.resident_entries == 0
+        np.testing.assert_array_equal(
+            pure.dots(qpat, qmsk), resident.dots(qpat, qmsk)
+        )
+
     def test_masks_stream_equals_bulk(self, setup):
         rng, queries, db = setup
         eng = MasksEngine(np.stack([t.mask.data for t in db]), chunk=8)
