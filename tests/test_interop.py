@@ -1,0 +1,365 @@
+"""Cross-implementation byte-interop vectors (VERDICT missing #3 / next #6).
+
+No byte produced by the Rust reference binary is available in this
+environment, so this module pins interop the next-strongest way: every
+``_spec_*`` helper below is an INDEPENDENT from-scratch implementation of the
+reference's byte semantics, written in plain Python ints directly against the
+cited reference lines, importing nothing from ``mpc_iris_tpu``. The fixture
+files/wire bytes are hand-constructed from closed-form byte formulas, and the
+expected values the spec implementation produces are additionally FROZEN as
+literals in this file — so the repo code, the spec implementation, and the
+frozen vectors must all agree three ways. Any byte-layout drift in the repo's
+readers, writers, engines or wire breaks this file.
+
+Reference byte semantics implemented here:
+- Bits: 1600 bytes; bit i at byte i//8, bit i%8 LSB-first
+  (src/bits.rs:44-57, pinned by the reference's own test_index
+  src/bits.rs:219-232); 64 rows x 200 cols; 25 bytes per row.
+- Bits rotation: per 25-byte row, row-bit p -> (p + r) mod 200
+  (src/bits.rs:17-28,178-205: positive amounts byte-rotate right +
+  bit-shift left with carry chain == +r bit rotation).
+- EncodedBits: 12,800 u16 little-endian (Pod cast, src/main.rs:338,428);
+  rotation per 200-u16 row, index i -> (i + r) mod 200
+  (src/encoded_bits.rs:40-57).
+- encode(): pattern &= mask; enc = mask - 2*pattern mod 2^16, giving
+  {1, 0, 0xFFFF} for unset/masked/set (src/lib.rs:15-26).
+- dot_u16: wrapping sum of wrapping products mod 2^16
+  (src/arch/generic.rs:11-16); dot_bool: popcount of AND
+  (src/arch/generic.rs:4-9).
+- Distance record: [dot(rot(enc(q), r), entry) for r in -15..=15]
+  (src/lib.rs:28-52); denominator record likewise over mask Bits
+  (src/lib.rs:55-80).
+- decode_distance: min over rotations of ((d - n) mod 2^16 / 2) / d as f64,
+  d == 0 contributing NaN which f64::min skips (src/lib.rs:96-107).
+- Files: masks = concatenated raw Bits, share-i = concatenated raw
+  EncodedBits (src/main.rs:294-309,338); wire query = pattern||mask raw
+  Template (src/main.rs:417-420); reply = [u16; 31] LE records in DB order
+  (src/main.rs:428-445).
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+BITS = 12_800
+COLS = 200
+ROWS = 64
+ROW_BYTES = COLS // 8  # 25
+
+
+# --------------------------------------------------------------- spec impl
+# Plain-int reimplementation of the reference semantics. Deliberately slow and
+# simple; shares no code with mpc_iris_tpu.
+
+
+def _spec_bit(raw: bytes, i: int) -> int:
+    return (raw[i // 8] >> (i % 8)) & 1
+
+
+def _spec_bits_from_bools(bools) -> bytes:
+    out = bytearray(BITS // 8)
+    for i, b in enumerate(bools):
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+def _spec_rotate_bits(raw: bytes, r: int) -> bytes:
+    bools = [0] * BITS
+    for row in range(ROWS):
+        for p in range(COLS):
+            src = row * COLS + p
+            dst = row * COLS + (p + r) % COLS
+            bools[dst] = _spec_bit(raw, src)
+    return _spec_bits_from_bools(bools)
+
+
+def _spec_encode(pattern: bytes, mask: bytes) -> list:
+    enc = []
+    for i in range(BITS):
+        m = _spec_bit(mask, i)
+        p = _spec_bit(pattern, i) & m
+        enc.append((m - 2 * p) % 65536)
+    return enc
+
+
+def _spec_rotate_encoded(enc: list, r: int) -> list:
+    out = [0] * BITS
+    for row in range(ROWS):
+        for i in range(COLS):
+            out[row * COLS + (i + r) % COLS] = enc[row * COLS + i]
+    return out
+
+
+def _spec_dot_u16(a: list, b: list) -> int:
+    acc = 0
+    for x, y in zip(a, b):
+        acc = (acc + x * y) % 65536
+    return acc
+
+
+def _spec_dot_bool(a: bytes, b: bytes) -> int:
+    return sum(bin(x & y).count("1") for x, y in zip(a, b)) % 65536
+
+
+def _spec_distance_record(q_pattern: bytes, q_mask: bytes, entry_enc: list):
+    q_enc = _spec_encode(q_pattern, q_mask)
+    return [_spec_dot_u16(_spec_rotate_encoded(q_enc, r), entry_enc)
+            for r in range(-15, 16)]
+
+
+def _spec_denominator_record(q_mask: bytes, e_mask: bytes):
+    return [_spec_dot_bool(_spec_rotate_bits(q_mask, r), e_mask)
+            for r in range(-15, 16)]
+
+
+def _spec_decode(dists, dens) -> float:
+    best = float("inf")
+    for n, d in zip(dists, dens):
+        if d == 0:
+            continue  # n/0 -> NaN; f64::min skips NaN (src/lib.rs:105)
+        best = min(best, ((d - n) % 65536) // 2 / d)
+    return best
+
+
+# ------------------------------------------------------------ fixture bytes
+# Closed-form byte formulas — dense, irregular, and independent of any RNG.
+
+
+def fx_pattern(e: int) -> bytes:
+    return bytes((37 * e + 11 * j + 5) % 256 for j in range(BITS // 8))
+
+
+def fx_mask(e: int) -> bytes:
+    # Mostly-set masks with entry-dependent holes (masked-out bits exercise
+    # the 0 lanes of the encoding).
+    return bytes(255 - ((j * (e + 3)) % 7 == 0) * (1 << (j % 8))
+                 for j in range(BITS // 8))
+
+
+def fx_share0(e: int) -> list:
+    return [(12_345 * e + 7 * i + 1) % 65536 for i in range(BITS)]
+
+
+N_ENTRIES = 4
+QUERY_PATTERN = fx_pattern(9)
+QUERY_MASK = fx_mask(9)
+
+# ------------------------------------------------------ frozen known answers
+# Produced once by the spec implementation above and frozen; guards both the
+# repo and the spec impl against silent drift. Entry 1's full distance and
+# denominator records for the fixture query, plus the decoded distances of all
+# four entries.
+FROZEN_DIST_RECORD_E1 = [
+    64, 20, 65522, 65500, 4, 30, 65432, 62662, 6, 50, 10, 16, 12, 65474, 58,
+    2559, 66, 65472, 6, 65532, 65528, 48, 6, 64468, 65436, 66, 32, 30, 18,
+    65506, 36,
+]
+FROZEN_DEN_RECORD_E1 = [
+    12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342,
+    12342, 12342, 12342, 12342, 12342, 12571, 12342, 12342, 12342, 12342,
+    12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342, 12342,
+    12342,
+]
+FROZEN_DISTANCES = [
+    0.43550478042456653, 0.3982181210723093, 0.2532004537352131,
+    0.4519926815686898,
+]
+
+
+@pytest.fixture(scope="module")
+def spec_world():
+    """Per-entry spec-side data: encodings, share pairs, expected records."""
+    entries = []
+    for e in range(N_ENTRIES):
+        pat, msk = fx_pattern(e), fx_mask(e)
+        enc = _spec_encode(pat, msk)
+        s0 = fx_share0(e)
+        s1 = [(v - w) % 65536 for v, w in zip(enc, s0)]
+        entries.append({
+            "pattern": pat, "mask": msk, "enc": enc, "s0": s0, "s1": s1,
+            "dists": _spec_distance_record(QUERY_PATTERN, QUERY_MASK, enc),
+            "dens": _spec_denominator_record(QUERY_MASK, msk),
+        })
+    return entries
+
+
+def _u16s_to_le_bytes(vals) -> bytes:
+    return b"".join(int(v).to_bytes(2, "little") for v in vals)
+
+
+class TestFrozenVectors:
+    """The spec implementation must reproduce its own frozen literals."""
+
+    def test_records_frozen(self, spec_world):
+        assert spec_world[1]["dists"] == FROZEN_DIST_RECORD_E1
+        assert spec_world[1]["dens"] == FROZEN_DEN_RECORD_E1
+
+    def test_decoded_distances_frozen(self, spec_world):
+        got = [_spec_decode(e["dists"], e["dens"]) for e in spec_world]
+        assert got == FROZEN_DISTANCES
+
+
+class TestTypesAgainstSpec:
+    def test_bits_indexing_and_rotation(self):
+        from mpc_iris_tpu.types import Bits
+
+        raw = fx_pattern(2)
+        b = Bits.from_bytes(raw)
+        assert b.to_bytes() == raw
+        arr = np.unpackbits(
+            np.frombuffer(raw, np.uint8), bitorder="little"
+        )
+        for i in (0, 1, 7, 8, 63, 64, 199, 200, 12_799):
+            assert int(arr[i]) == _spec_bit(raw, i)
+        for r in (-15, -8, -1, 0, 1, 7, 8, 15):
+            assert b.rotated(r).to_bytes() == _spec_rotate_bits(raw, r)
+
+    def test_encoded_rotation_and_encode(self):
+        from mpc_iris_tpu.ops.encode import encode_template
+        from mpc_iris_tpu.types import EncodedBits, Template
+
+        pat, msk = fx_pattern(0), fx_mask(0)
+        t = Template.from_bytes(pat + msk)
+        enc = encode_template(t)
+        assert enc.data.tolist() == _spec_encode(pat, msk)
+        eb = EncodedBits.from_bytes(_u16s_to_le_bytes(enc.data))
+        for r in (-15, -3, 0, 4, 15):
+            assert eb.rotated(r).data.tolist() == _spec_rotate_encoded(
+                _spec_encode(pat, msk), r
+            )
+
+    def test_template_wire_bytes(self):
+        """Wire query = raw pattern||mask (src/main.rs:417-420; #[repr(C)]
+        field order src/template.rs:26-29)."""
+        from mpc_iris_tpu.types import Template
+
+        raw = QUERY_PATTERN + QUERY_MASK
+        t = Template.from_bytes(raw)
+        assert t.to_bytes() == raw
+        assert t.pattern.to_bytes() == QUERY_PATTERN
+        assert t.mask.to_bytes() == QUERY_MASK
+
+
+class TestFilesAgainstSpec:
+    def test_masks_file(self, spec_world, tmp_path):
+        from mpc_iris_tpu.io.formats import open_masks, write_masks
+
+        path = tmp_path / "mpc.masks"
+        path.write_bytes(b"".join(e["mask"] for e in spec_world))
+        masks = open_masks(path)
+        assert masks.shape == (N_ENTRIES, 1600)
+        for e, row in zip(spec_world, masks):
+            assert row.tobytes() == e["mask"]
+        # writer round-trips the same bytes
+        out = tmp_path / "rt.masks"
+        write_masks(out, np.asarray(masks))
+        assert out.read_bytes() == path.read_bytes()
+
+    def test_share_files_reconstruct(self, spec_world, tmp_path):
+        from mpc_iris_tpu import native
+        from mpc_iris_tpu.io.formats import open_share, write_share
+
+        p0, p1 = tmp_path / "mpc.share-0", tmp_path / "mpc.share-1"
+        p0.write_bytes(b"".join(_u16s_to_le_bytes(e["s0"]) for e in spec_world))
+        p1.write_bytes(b"".join(_u16s_to_le_bytes(e["s1"]) for e in spec_world))
+        s0, s1 = open_share(p0), open_share(p1)
+        assert s0.shape == s1.shape == (N_ENTRIES, BITS)
+        total = native.share_sum([np.asarray(s0), np.asarray(s1)])
+        for e, row in zip(spec_world, total):
+            assert row.tolist() == e["enc"]
+        out = tmp_path / "rt.share-0"
+        write_share(out, np.asarray(s0))
+        assert out.read_bytes() == p0.read_bytes()
+
+
+class TestEnginesAgainstSpec:
+    def test_share_engine_records(self, spec_world):
+        """Participant dot records == independent spec, via both share DBs
+        summed mod 2^16 (src/main.rs:597-612)."""
+        from mpc_iris_tpu.models import ShareEngine
+
+        db0 = np.array([e["s0"] for e in spec_world], dtype=np.uint16)
+        db1 = np.array([e["s1"] for e in spec_world], dtype=np.uint16)
+        qpat = np.frombuffer(QUERY_PATTERN, np.uint8)[None]
+        qmsk = np.frombuffer(QUERY_MASK, np.uint8)[None]
+        d0 = ShareEngine(db0, chunk=4).dots(qpat, qmsk)[0]
+        d1 = ShareEngine(db1, chunk=4).dots(qpat, qmsk)[0]
+        total = (d0.astype(np.uint32) + d1) % 65536
+        for e, rec in zip(spec_world, total):
+            assert rec.tolist() == e["dists"]
+
+    def test_masks_engine_records(self, spec_world):
+        from mpc_iris_tpu.models import MasksEngine
+
+        db = np.stack([np.frombuffer(e["mask"], np.uint8) for e in spec_world])
+        qmsk = np.frombuffer(QUERY_MASK, np.uint8)[None]
+        dens = MasksEngine(db, chunk=4).dots(qmsk)[0]
+        for e, rec in zip(spec_world, dens):
+            assert rec.tolist() == e["dens"]
+
+
+class TestProtocolAgainstSpec:
+    def test_raw_wire_reply_bytes(self, spec_world):
+        """Drive a participant server with hand-built query bytes and check
+        the raw reply stream byte-for-byte against the spec records."""
+        from mpc_iris_tpu.models import ShareEngine
+        from mpc_iris_tpu.protocol import ParticipantServer
+
+        db0 = np.array([e["s0"] for e in spec_world], dtype=np.uint16)
+
+        async def go():
+            server = ParticipantServer(ShareEngine(db0, chunk=4),
+                                       "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(QUERY_PATTERN + QUERY_MASK)
+            await writer.drain()
+            data = await reader.read(-1)
+            writer.close()
+            await writer.wait_closed()
+            await server.close()
+            return data
+
+        data = asyncio.run(go())
+        assert len(data) == N_ENTRIES * 62
+        recs = np.frombuffer(data, "<u2").reshape(N_ENTRIES, 31)
+        q_enc = _spec_encode(QUERY_PATTERN, QUERY_MASK)
+        for e, rec in zip(spec_world, recs):
+            expect = [_spec_dot_u16(_spec_rotate_encoded(q_enc, r), e["s0"])
+                      for r in range(-15, 16)]
+            assert rec.tolist() == expect
+
+    def test_end_to_end_distance(self, spec_world):
+        """Full 2-party protocol from the hand-built byte world: the decoded
+        winner equals the frozen spec distances."""
+        from mpc_iris_tpu.models import MasksEngine, ShareEngine
+        from mpc_iris_tpu.protocol import Coordinator, ParticipantServer
+        from mpc_iris_tpu.types import Template
+
+        db0 = np.array([e["s0"] for e in spec_world], dtype=np.uint16)
+        db1 = np.array([e["s1"] for e in spec_world], dtype=np.uint16)
+        masks = np.stack(
+            [np.frombuffer(e["mask"], np.uint8) for e in spec_world]
+        )
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=4), "127.0.0.1", 0)
+                for m in (db0, db1)
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=4), addrs)
+            try:
+                return await coord.query(
+                    Template.from_bytes(QUERY_PATTERN + QUERY_MASK)
+                )
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outcome = asyncio.run(go())
+        assert outcome.total == N_ENTRIES
+        assert outcome.index == int(np.argmin(FROZEN_DISTANCES))
+        assert outcome.distance == min(FROZEN_DISTANCES)
