@@ -337,10 +337,10 @@ def cmd_coordinator(args) -> int:
 
     if args.warmup:
         from mpc_iris_tpu.protocol.coordinator import (
-            _decode_argmin_device,
-            _decode_argmin_device_batch,
+            _sum_decode_argmin_device,
+            _sum_decode_argmin_device_batch,
         )
-        from mpc_iris_tpu.protocol.wire import BATCH_RECORDS
+        from mpc_iris_tpu.protocol.wire import records_per_read
 
         t0 = time.monotonic()
         wb = args.batch if args.wire == "batched" else 1
@@ -350,17 +350,25 @@ def cmd_coordinator(args) -> int:
         if local_engine is not None:
             qp = wrng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
             next(iter(local_engine.stream(qp, qm)))
-        # Warm the per-batch decode jit at the first-batch shape.
-        n0 = min(BATCH_RECORDS, masks.shape[0])
-        dots = np.zeros((n0, 31), dtype=np.uint16)
-        dens = np.ones((n0, 31), dtype=np.uint16)
+        # Warm the fused per-batch dispatch at the first-round shape: P share
+        # sources (participants + optional local share), entry count from the
+        # byte-budgeted read size.
+        n_parties = len(participants) + (local_engine is not None)
+        n0 = min(records_per_read(wb), masks.shape[0])
         if args.wire == "batched":
-            np.asarray(_decode_argmin_device_batch(
-                np.broadcast_to(dots, (wb, n0, 31)).copy(),
-                np.broadcast_to(dens, (wb, n0, 31)).copy(),
+            shares = tuple(
+                np.zeros((n0, wb, 31), dtype=np.uint16) for _ in range(n_parties)
+            )
+            np.asarray(_sum_decode_argmin_device_batch(
+                shares, np.ones((n0, wb, 31), dtype=np.uint16)
             ))
         else:
-            np.asarray(_decode_argmin_device(dots, dens))
+            shares = tuple(
+                np.zeros((n0, 31), dtype=np.uint16) for _ in range(n_parties)
+            )
+            np.asarray(_sum_decode_argmin_device(
+                shares, np.ones((n0, 31), dtype=np.uint16)
+            ))
         print(f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     async def run():

@@ -2,11 +2,13 @@
 (reference src/main.rs:453-644).
 
 Per query: connect to every participant, send the 3,200-byte template, then per
-20,000-record batch (a) read each party's dot-share stream, (b) pull locally computed
-denominators from the masks engine (device compute overlapping network reads — the
-reference's `join!`, src/main.rs:560), (c) wrapping-sum the shares, decode f64
-distances, and fold the running argmin. EOF-tolerant: streams are truncated to whole
-records and all sources aligned to the shortest prefix (src/main.rs:538-569).
+read round (20,000 records, byte-budgeted down for large batches — wire.py
+``records_per_read``) (a) read each party's dot-share stream, (b) pull locally
+computed denominators from the masks engine (device compute overlapping network
+reads — the reference's `join!`, src/main.rs:560), (c) one fused device dispatch:
+wrapping share sum + distance decode + rotation-min + entry-argmin. EOF-tolerant:
+streams are truncated to whole records and all sources aligned to the shortest
+prefix (src/main.rs:538-569).
 
 Optionally the coordinator also holds a share itself (``local_engine``) — the
 reference declares this but leaves it unimplemented (src/main.rs:136, 482).
@@ -24,20 +26,23 @@ import numpy as np
 from mpc_iris_tpu.constants import N_ROTATIONS
 from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
 from mpc_iris_tpu.protocol.pump import StreamPump
-from mpc_iris_tpu.protocol.wire import BATCH_RECORDS, read_records
+from mpc_iris_tpu.protocol.wire import read_records, records_per_read
 from mpc_iris_tpu.types import Template
 
 log = logging.getLogger("mpc_iris_tpu.coordinator")
 
 
 @jax.jit
-def _decode_argmin_device_batch(dots, dens):
-    """Batched device decode: uint16 [n, B, 31] ENTRY-major pairs -> int32
-    [3, B] winners (same semantics as :func:`_decode_argmin_device`,
-    vectorized over queries; entry-major in = zero host transposes on the
-    batched path)."""
+def _sum_decode_argmin_device_batch(shares, dens):
+    """Batched single-dispatch step: tuple of P uint16 [n, B, 31] ENTRY-major
+    dot-share batches + denominators -> int32 [3, B] winners (same semantics
+    as :func:`_sum_decode_argmin_device`, vectorized over queries; entry-major
+    in = zero host transposes on the batched path)."""
     import jax.numpy as jnp
 
+    dots = shares[0]
+    for s in shares[1:]:  # additive reconstruction wraps mod 2^16 (uint16 add)
+        dots = dots + s
     den = dens.astype(jnp.int32)
     num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
     n_r, d_r, _ = fraction_min_rotations(num, den, axis=2)  # [n, B]
@@ -46,18 +51,25 @@ def _decode_argmin_device_batch(dots, dens):
 
 
 @jax.jit
-def _decode_argmin_device(dots, dens):
-    """Device decode of one received batch: uint16 [n, 31] dot-sums and
-    denominators -> stacked int32 [3] winner (num, den, batch-local index).
+def _sum_decode_argmin_device(shares, dens):
+    """Single-dispatch step for one received batch: tuple of P uint16 [n, 31]
+    per-party dot-share batches + denominators -> stacked int32 [3] winner
+    (num, den, batch-local index).
 
+    Share reconstruction (wrapping sum mod 2^16, reference src/main.rs:597-612),
     numerator = ((d - dot) mod 2^16) >> 1 (the wrapping sub of reference
-    src/lib.rs:104); selection is the exact rational argmin with d == 0 as +inf
-    — a refinement of the reference's f64 compare chain (identical results
-    except when two *distinct* rationals round to the same f64, i.e. sub-ulp
-    index ties; the reported distance is the same to 1 ulp either way).
+    src/lib.rs:104), rotation-min and entry-argmin all fuse into ONE device
+    dispatch per batch — the 1-vCPU host only moves bytes. Selection is the
+    exact rational argmin with d == 0 as +inf — a refinement of the
+    reference's f64 compare chain (identical results except when two
+    *distinct* rationals round to the same f64, i.e. sub-ulp index ties; the
+    reported distance is the same to 1 ulp either way — see docs/SPEC.md).
     """
     import jax.numpy as jnp
 
+    dots = shares[0]
+    for s in shares[1:]:
+        dots = dots + s
     den = dens.astype(jnp.int32)
     num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
     n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)
@@ -121,10 +133,13 @@ def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
 
 class Coordinator:
     def __init__(self, masks_engine, participants: list[tuple[str, int]],
-                 local_engine=None, batch_records: int = BATCH_RECORDS):
+                 local_engine=None, batch_records: int | None = None):
         """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
+        batch_records: optional override of entry-groups per read round; by
+        default sized per batch from the wire's byte budget
+        (:func:`records_per_read`) so per-round memory stays bounded for any B.
         """
         if not participants and local_engine is None:
             raise ValueError(
@@ -150,6 +165,7 @@ class Coordinator:
     async def query(self, template: Template) -> QueryOutcome:
         qmsk = template.mask.data[None]
         qpat = template.pattern.data[None]
+        records = self.batch_records or records_per_read(1)
 
         # Fan out to participants.
         conns = await self._connect_all()
@@ -162,11 +178,11 @@ class Coordinator:
         # worker threads feeding bounded cancellable queues.
         loop = asyncio.get_running_loop()
         denom_pump = StreamPump(
-            _rechunk(self.masks_engine.stream(qmsk), self.batch_records), loop
+            _rechunk(self.masks_engine.stream(qmsk), records), loop
         )
         local_pump = (
             StreamPump(
-                _rechunk(self.local_engine.stream(qpat, qmsk), self.batch_records),
+                _rechunk(self.local_engine.stream(qpat, qmsk), records),
                 loop,
             )
             if self.local_engine is not None
@@ -176,13 +192,12 @@ class Coordinator:
         best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
         pending = []  # (batch offset, async device winner triple)
         processed = 0
-        eofs = [False] * len(conns)
 
         try:
             while True:
                 # Read one batch from every source concurrently (join!,
                 # main.rs:560).
-                reads = [read_records(r, self.batch_records) for (r, _w) in conns]
+                reads = [read_records(r, records) for (r, _w) in conns]
                 gathered = await asyncio.gather(
                     denom_pump.next_item(),
                     *( [local_pump.next_item()] if local_pump is not None else [] ),
@@ -194,10 +209,7 @@ class Coordinator:
                 if local_pump is not None:
                     local = gathered[1]
                     off = 2
-                share_batches = []
-                for i, (arr, eof) in enumerate(gathered[off:]):
-                    share_batches.append(arr)
-                    eofs[i] = eofs[i] or eof
+                share_batches = [arr for arr, _eof in gathered[off:]]
                 if local is not None:
                     share_batches.append(local)
                 if denom is None:
@@ -209,24 +221,20 @@ class Coordinator:
                 n = min([denom.shape[0]] + [b.shape[0] for b in share_batches])
                 if n == 0:
                     break
-                denom = denom[:n]
-                share_batches = [b[:n] for b in share_batches]
 
-                # Reconstruct share sums mod 2^16 (main.rs:597-612) with the
-                # native C++ wrapping sum, then decode + argmin on device.
-                from mpc_iris_tpu import native
-
-                total = native.share_sum(
-                    [b.astype(np.uint16) for b in share_batches]
-                )
-                # Dispatch is async: the device winner is fetched after the
-                # stream drains, so decode overlaps the next batch's reads.
+                # ONE device dispatch per batch: wrapping share reconstruction
+                # (main.rs:597-612), decode and argmin fused — the host never
+                # touches the payload bytes. Dispatch is async: the winner is
+                # fetched after the stream drains, so decode overlaps the next
+                # batch's reads.
                 pending.append(
                     (processed,
-                     _decode_argmin_device(total, denom.astype(np.uint16)))
+                     _sum_decode_argmin_device(
+                         tuple(b[:n] for b in share_batches),
+                         denom[:n].astype(np.uint16, copy=False)))
                 )
                 processed += n
-                if n < self.batch_records:
+                if n < records:
                     break
         finally:
             await _close_all(conns, [denom_pump, local_pump])
@@ -252,6 +260,9 @@ class Coordinator:
             raise ValueError(f"batch size {b} outside the wire's 1..65536 range")
         qpat = np.stack([t.pattern.data for t in templates])
         qmsk = np.stack([t.mask.data for t in templates])
+        # Byte-budgeted read rounds: one round buffers ≤ READ_BYTE_BUDGET per
+        # party regardless of B (B=65,536 would otherwise buffer ~81 GB).
+        records = self.batch_records or records_per_read(b)
 
         conns = await self._connect_all()
         payload = batched_query_bytes(qpat, qmsk)
@@ -262,13 +273,13 @@ class Coordinator:
         loop = asyncio.get_running_loop()
         denom_pump = StreamPump(
             _rechunk(self.masks_engine.stream(qmsk, entry_major=True),
-                     self.batch_records, squeeze=False, entry_axis=0),
+                     records, squeeze=False, entry_axis=0),
             loop,
         )
         local_pump = (
             StreamPump(
                 _rechunk(self.local_engine.stream(qpat, qmsk, entry_major=True),
-                         self.batch_records, squeeze=False, entry_axis=0),
+                         records, squeeze=False, entry_axis=0),
                 loop,
             )
             if self.local_engine is not None
@@ -278,12 +289,11 @@ class Coordinator:
         best = [(0, 0, -1)] * b
         pending = []
         processed = 0
-        eofs = [False] * len(conns)
 
         try:
             while True:
                 reads = [
-                    read_batched_records(r, b, self.batch_records)
+                    read_batched_records(r, b, records)
                     for (r, _w) in conns
                 ]
                 gathered = await asyncio.gather(
@@ -297,10 +307,7 @@ class Coordinator:
                 if local_pump is not None:
                     local = gathered[1]
                     off = 2
-                share_batches = []
-                for i, (arr, eof) in enumerate(gathered[off:]):
-                    share_batches.append(arr)
-                    eofs[i] = eofs[i] or eof
+                share_batches = [arr for arr, _eof in gathered[off:]]
                 if local is not None:
                     share_batches.append(local)
                 if denom is None:
@@ -314,20 +321,16 @@ class Coordinator:
                 n = min([denom.shape[0]] + [s.shape[0] for s in share_batches])
                 if n == 0:
                     break
-                denom = denom[:n]
-                share_batches = [s[:n] for s in share_batches]
 
-                from mpc_iris_tpu import native
-
-                total = native.share_sum(
-                    [s.astype(np.uint16) for s in share_batches]
-                )
+                # Single fused dispatch: share reconstruction + decode + argmin.
                 pending.append(
                     (processed,
-                     _decode_argmin_device_batch(total, denom.astype(np.uint16)))
+                     _sum_decode_argmin_device_batch(
+                         tuple(s[:n] for s in share_batches),
+                         denom[:n].astype(np.uint16, copy=False)))
                 )
                 processed += n
-                if n < self.batch_records:
+                if n < records:
                     break
         finally:
             await _close_all(conns, [denom_pump, local_pump])

@@ -27,6 +27,22 @@ from mpc_iris_tpu.constants import N_ROTATIONS, REPLY_RECORD_BYTES, TEMPLATE_BYT
 # Records per network batch (reference BATCH_SIZE, src/main.rs:473).
 BATCH_RECORDS = 20_000
 
+# Per-party byte budget for one read round. The batched wire buffers
+# B × 62 bytes per entry-group, so a fixed group count would scale per-round
+# memory linearly with B (20,000 groups × B=65,536 ≈ 81 GB). Budgeting in
+# bytes keeps coordinator memory bounded for any B.
+READ_BYTE_BUDGET = 32 << 20
+
+
+def records_per_read(b: int, budget: int | None = None) -> int:
+    """Entry-groups per read round for batch size ``b``: the reference's
+    20,000-record batches, capped so one round buffers at most ``budget``
+    bytes (default ``READ_BYTE_BUDGET``) per party (b == 1 keeps the
+    reference's exact batching)."""
+    if budget is None:
+        budget = READ_BYTE_BUDGET
+    return max(1, min(BATCH_RECORDS, budget // (b * REPLY_RECORD_BYTES)))
+
 
 async def read_records(
     reader: asyncio.StreamReader, max_records: int

@@ -173,6 +173,59 @@ class TestBatchedWire:
             assert outcome.index == int(np.argmin(oracle))
             assert outcome.distance == oracle.min()
 
+    def test_byte_budgeted_records_per_read(self):
+        """Read rounds are sized in bytes, not entry-groups: large B shrinks
+        the per-round group count so coordinator memory stays bounded
+        (VERDICT weak #3 / ADVICE coordinator.py:286)."""
+        from mpc_iris_tpu.constants import REPLY_RECORD_BYTES
+        from mpc_iris_tpu.protocol.wire import (
+            BATCH_RECORDS, READ_BYTE_BUDGET, records_per_read,
+        )
+
+        assert records_per_read(1) == BATCH_RECORDS  # reference batching kept
+        for b in (256, 4096, 65536):
+            r = records_per_read(b)
+            assert 1 <= r <= BATCH_RECORDS
+            assert r * b * REPLY_RECORD_BYTES <= READ_BYTE_BUDGET
+        assert records_per_read(65536) >= 1  # never stalls at the B cap
+
+    def test_batched_b256_multi_round(self, world, monkeypatch):
+        """B=256 end-to-end with a budget that forces multiple byte-budgeted
+        read rounds; every winner matches the scalar oracle."""
+        import mpc_iris_tpu.protocol.wire as wire_mod
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        qrng = np.random.default_rng(11)
+        queries = [query] + [Template.random(qrng) for _ in range(255)]
+        queries[100] = db[4]  # plant a mid-batch exact hit
+        # 7 entry-groups per round at B=256 -> 4 rounds over the 23-entry DB.
+        monkeypatch.setattr(
+            wire_mod, "READ_BYTE_BUDGET", 7 * 256 * 62, raising=True
+        )
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs)
+            try:
+                return await coord.query_batch(queries)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outcomes = asyncio.run(go())
+        assert len(outcomes) == 256
+        for q, outcome in zip(queries, outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
+
     def test_batched_with_local_share(self, world):
         rng, db, query, masks = world
         mats = build_party_data(rng, db, 3)
