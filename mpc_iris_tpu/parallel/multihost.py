@@ -61,13 +61,24 @@ def party_info() -> dict:
     }
 
 
-def local_rows(total_rows: int) -> tuple[int, int]:
-    """[start, end) slice of the party's DB this host should load.
+def local_entry_spans(total_rows: int, chunk: int, mesh) -> list[tuple[int, int]]:
+    """Contiguous [start, end) DB-row spans THIS process loads under the
+    sharded engines' strided-by-chunk layout (one span per global block).
 
-    Hosts feed `jax.make_array_from_process_local_data` / device_put per local
-    shard; the strided-by-chunk global layout is handled by the sharded engines.
+    The engines already read only these spans when handed the full
+    (memmap'd) source; this helper exists for callers that must *fetch* rows
+    from remote storage before construction. Empty/clamped spans at the DB
+    tail are omitted.
     """
-    p, np_ = jax.process_index(), jax.process_count()
-    per = -(-total_rows // np_)
-    start = min(p * per, total_rows)
-    return start, min(start + per, total_rows)
+    from mpc_iris_tpu.parallel.sharded import local_db_span
+
+    lo, hi = local_db_span(mesh)
+    d = mesh.shape["db"]
+    block = chunk * d
+    spans = []
+    for j in range(max(1, -(-total_rows // block))):
+        start = (j * d + lo) * chunk
+        end = min(total_rows, start + (hi - lo) * chunk)
+        if end > start:
+            spans.append((start, end))
+    return spans

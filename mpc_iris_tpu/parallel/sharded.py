@@ -43,16 +43,43 @@ from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
 
 
-def _blocked(arr: np.ndarray, chunk: int, n_shards: int):
-    """Host: [N, ...] -> ([C_local, D, chunk, ...], true_count) with zero padding."""
-    n = arr.shape[0]
-    block = chunk * n_shards
+def local_db_span(mesh) -> tuple[int, int]:
+    """Contiguous [lo, hi) range of the mesh's ``"db"`` axis whose devices are
+    addressable from this process.
+
+    Multi-host loading contract (SURVEY §7 hard part 5): each process loads
+    ONLY the DB rows its own devices serve. Requires the ``"db"`` axis to
+    group devices by process — true for meshes built from the default
+    ``jax.devices()`` order (make_mesh); raises otherwise, since a
+    process-interleaved axis has no contiguous local slab."""
+    pid = jax.process_index()
+    grid = np.atleast_2d(mesh.devices)
+    mine = [
+        i for i in range(grid.shape[0])
+        if any(d.process_index == pid for d in grid[i].flat)
+    ]
+    if not mine:
+        raise ValueError("this process addresses no devices on the 'db' axis")
+    lo, hi = mine[0], mine[-1] + 1
+    if mine != list(range(lo, hi)):
+        raise ValueError(
+            "mesh 'db' axis interleaves processes; build the mesh over the "
+            "default jax.devices() order so each host's shards are contiguous"
+        )
+    return lo, hi
+
+
+def _local_chunk_iter(n: int, chunk: int, d: int, lo: int, hi: int):
+    """Yield (block j, local row li, src start, src end) for every DB chunk
+    this process loads under the strided-by-chunk layout (global chunk of
+    (j, li) = j*D + lo + li; tail chunks may be empty/short)."""
+    block = chunk * d
     g_blocks = max(1, -(-n // block))
-    padded = g_blocks * block
-    if padded != n:
-        pad = [(0, padded - n)] + [(0, 0)] * (arr.ndim - 1)
-        arr = np.pad(arr, pad, constant_values=0)
-    return arr.reshape(g_blocks, n_shards, chunk, *arr.shape[1:]), n
+    for j in range(g_blocks):
+        for li in range(hi - lo):
+            start = (j * d + lo + li) * chunk
+            end = min(n, start + chunk)
+            yield j, li, start, max(start, end)
 
 
 class _ShardedBase:
@@ -61,12 +88,61 @@ class _ShardedBase:
         self.n_shards = mesh.shape["db"]
         self.chunk = chunk
         self.db_sharding = NamedSharding(mesh, P(None, "db", None, None))
+        # [lo, hi) of the "db" axis this process loads (multi-host: a strict
+        # subset — each host touches only its own slice of the source, so a
+        # memmap'd share/masks file never pages in other hosts' rows).
+        self.db_span = local_db_span(mesh)
 
-    def _put_db(self, arr: np.ndarray):
-        return jax.device_put(arr, self.db_sharding)
+    def _put_db_local(self, local: np.ndarray):
+        """Local blocked slab [G, hi-lo, chunk, ...] -> global sharded array
+        [G, D, chunk, ...] on the mesh (device_put when single-process)."""
+        if jax.process_count() == 1:
+            return jax.device_put(local, self.db_sharding)
+        global_shape = (local.shape[0], self.n_shards) + local.shape[2:]
+        return jax.make_array_from_process_local_data(
+            self.db_sharding, local, global_shape
+        )
+
+    def _blocked_local(self, src, transform=None, dtype=None, tail_shape=None):
+        """Build this process's blocked slab [G, hi-lo, chunk, ...] by reading
+        ONLY local chunks from ``src`` (host RAM peak = the local shard; a
+        memmap source is the DB-larger-than-host-RAM path, matching the
+        reference's mmap'd DB, src/main.rs:386-400)."""
+        n = src.shape[0]
+        lo, hi = self.db_span
+        block = self.chunk * self.n_shards
+        g_blocks = max(1, -(-n // block))
+        if transform is None:
+            probe = np.asarray(src[:1])
+        else:
+            probe = transform(np.asarray(src[:1]))
+        out = np.zeros(
+            (g_blocks, hi - lo, self.chunk) + probe.shape[1:],
+            dtype=dtype or probe.dtype,
+        )
+        for j, li, s, e in _local_chunk_iter(n, self.chunk, self.n_shards, lo, hi):
+            if e > s:
+                rows = np.asarray(src[s:e])
+                out[j, li, : e - s] = transform(rows) if transform else rows
+        return out, n
 
     def _query_sharding(self):
         return NamedSharding(self.mesh, P("batch", None, None))
+
+    def _fetchable(self, arr):
+        """Make a device result fetchable on THIS host. Single-process: no-op.
+        Multi-process: one all-gather over ICI to a fully-replicated layout
+        (a host can only fetch addressable shards; reply blocks leave the
+        party through one host's TCP socket, so it must see the whole block)."""
+        if jax.process_count() == 1:
+            return arr
+        rep = getattr(self, "_rep_jit", None)
+        if rep is None:
+            rep = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(self.mesh, P())
+            )
+            self._rep_jit = rep
+        return rep(arr)
 
 
 class ShardedPlaintextEngine(_ShardedBase):
@@ -84,24 +160,35 @@ class ShardedPlaintextEngine(_ShardedBase):
             storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
         self.storage = storage
         if storage == "packed":
-            pat_b, self.count = _blocked(
-                np.ascontiguousarray(patterns_packed, dtype=np.uint8),
-                chunk, self.n_shards,
+            pat_b, self.count = self._blocked_local(
+                np.asarray(patterns_packed, dtype=np.uint8)
             )
-            msk_b, _ = _blocked(
-                np.ascontiguousarray(masks_packed, dtype=np.uint8),
-                chunk, self.n_shards,
+            msk_b, _ = self._blocked_local(
+                np.asarray(masks_packed, dtype=np.uint8)
             )
-            self.db_enc = self._put_db(pat_b)  # packed pattern planes
-            self.db_mask = self._put_db(msk_b)  # packed mask planes
+            self.db_enc = self._put_db_local(pat_b)  # packed pattern planes
+            self.db_mask = self._put_db_local(msk_b)  # packed mask planes
         else:
-            p = unpack_bits(np.asarray(patterns_packed), xp=np).astype(np.int8)
-            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-            enc = encode_grid_i8(p, m, xp=np)
-            enc_b, self.count = _blocked(enc, chunk, self.n_shards)
-            mask_b, _ = _blocked(m, chunk, self.n_shards)
-            self.db_enc = self._put_db(enc_b)
-            self.db_mask = self._put_db(mask_b)
+            # Per-chunk unpack+encode of LOCAL rows only (no full-DB host
+            # materialization; other hosts' rows are never touched).
+            pats = np.asarray(patterns_packed)
+            msks = np.asarray(masks_packed)
+            lo, hi = self.db_span
+            g_blocks = max(1, -(-n // (chunk * self.n_shards)))
+            enc_b = np.zeros((g_blocks, hi - lo, chunk, 12_800), np.int8)
+            mask_b = np.zeros_like(enc_b)
+            for j, li, s, e in _local_chunk_iter(
+                n, chunk, self.n_shards, lo, hi
+            ):
+                if e <= s:
+                    continue
+                p = unpack_bits(pats[s:e], xp=np).astype(np.int8)
+                m = unpack_bits(msks[s:e], xp=np).astype(np.int8)
+                enc_b[j, li, : e - s] = encode_grid_i8(p, m, xp=np)
+                mask_b[j, li, : e - s] = m
+            self.count = n
+            self.db_enc = self._put_db_local(enc_b)
+            self.db_mask = self._put_db_local(mask_b)
 
         c, d = self.chunk, self.n_shards
         packed = storage == "packed"
@@ -157,14 +244,16 @@ class ShardedShareEngine(_ShardedBase):
     def __init__(self, shares_u16, mesh, chunk: int = DEFAULT_CHUNK):
         """shares_u16: uint16 [N, 12800] (host, e.g. np.memmap).
 
-        Loading is out-of-core on the host side: raw u16 rows are `device_put`
-        one *block* (= one chunk per shard) at a time directly onto the
-        sharded mesh and byte-split into int8 lo/hi planes on device — the
-        host never materializes converted planes (peak host RAM = one block;
-        the reference mmaps its share file the same way, src/main.rs:386-400).
-        Device HBM must hold the full shard (25.6 KB/entry/shard); for a DB
-        past the mesh's combined HBM use the single-chip ShareEngine's
-        streamed mode per party or a bigger mesh."""
+        Loading is out-of-core AND process-local: each host reads only its own
+        devices' slice of each block (one contiguous source slice per block —
+        a shared memmap'd file never pages in other hosts' rows), transfers
+        the raw u16 rows, and byte-splits into int8 lo/hi planes on device.
+        Peak host RAM = one local block slice; multi-process universes go
+        through `jax.make_array_from_process_local_data`. Device HBM must
+        hold the full shard (25.6 KB/entry/shard); for a DB past the mesh's
+        combined HBM use the single-chip ShareEngine's streamed mode per
+        party or a bigger mesh. The reference mmaps its share file the same
+        way (src/main.rs:386-400), minus the multi-host axis it lacks."""
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)
@@ -173,20 +262,33 @@ class ShardedShareEngine(_ShardedBase):
         block = chunk * d
         g_blocks = max(1, -(-n // block))
         self.count = n
+        lo, hi = self.db_span
+        span_rows = (hi - lo) * chunk  # this process's slice of one block
         u16_sharding = NamedSharding(mesh, P("db", None, None))
         planes_sharding = NamedSharding(mesh, P("db", None, None, None))
         reformat = jax.jit(
             lambda s: jnp.stack(shares_to_planes(s), axis=1),
             out_shardings=planes_sharding,
         )
+        single = jax.process_count() == 1
         self._blocks = []  # per block: int8 [D, 2, chunk, K], sharded on "db"
         for j in range(g_blocks):
-            start = j * block
-            end = min(n, start + block)
-            rows = np.ascontiguousarray(shares_u16[start:end], dtype=np.uint16)
-            if end - start < block:
-                rows = np.pad(rows, [(0, block - (end - start)), (0, 0)])
-            dev = jax.device_put(rows.reshape(d, chunk, k), u16_sharding)
+            # Within one block, this process's chunks are consecutive in
+            # global entry order: ONE contiguous source slice per block.
+            start = (j * d + lo) * chunk
+            end = min(n, start + span_rows)
+            rows = np.ascontiguousarray(
+                shares_u16[start:end], dtype=np.uint16
+            ) if end > start else np.zeros((0, k), np.uint16)
+            if rows.shape[0] < span_rows:
+                rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
+            local = rows.reshape(hi - lo, chunk, k)
+            if single:
+                dev = jax.device_put(local, u16_sharding)
+            else:
+                dev = jax.make_array_from_process_local_data(
+                    u16_sharding, local, (d, chunk, k)
+                )
             self._blocks.append(reformat(dev))
 
         def spmd(q_enc, planes_j):
@@ -208,7 +310,7 @@ class ShardedShareEngine(_ShardedBase):
 
     def block(self, q_enc, j: int):
         """Global chunks j*D .. j*D+D-1: uint16 [B, D*chunk, 31] in DB order."""
-        return self._block(q_enc, self._blocks[j])
+        return self._fetchable(self._block(q_enc, self._blocks[j]))
 
     def stream(self, patterns_packed, masks_packed, entry_major: bool = False):
         """Yield host uint16 blocks in DB order, trimmed ([B, n, 31] or
@@ -243,14 +345,15 @@ class ShardedMasksEngine(_ShardedBase):
             storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
         self.storage = storage
         if storage == "packed":
-            mask_b, self.count = _blocked(
-                np.ascontiguousarray(masks_packed, dtype=np.uint8),
-                chunk, self.n_shards,
+            mask_b, self.count = self._blocked_local(
+                np.asarray(masks_packed, dtype=np.uint8)
             )
         else:
-            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-            mask_b, self.count = _blocked(m, chunk, self.n_shards)
-        self.db_mask = self._put_db(mask_b)
+            mask_b, self.count = self._blocked_local(
+                np.asarray(masks_packed),
+                transform=lambda r: unpack_bits(r, xp=np).astype(np.int8),
+            )
+        self.db_mask = self._put_db_local(mask_b)
         packed = storage == "packed"
 
         def spmd(q_mask, mask_j):
@@ -279,9 +382,11 @@ class ShardedMasksEngine(_ShardedBase):
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
         if entry_major:
-            dispatch = lambda j: _to_entry_major(self._block(q_mask, self.db_mask[j]))
+            dispatch = lambda j: self._fetchable(
+                _to_entry_major(self._block(q_mask, self.db_mask[j]))
+            )
         else:
-            dispatch = lambda j: self._block(q_mask, self.db_mask[j])
+            dispatch = lambda j: self._fetchable(self._block(q_mask, self.db_mask[j]))
         yield from pipelined_stream(
             dispatch, self.num_blocks(), self.count, self.chunk * self.n_shards,
             entry_axis=0 if entry_major else 1,
