@@ -380,9 +380,15 @@ def cmd_coordinator(args) -> int:
                 outcomes = await coord.query_batch(queries)
                 dt = time.monotonic() - t0
                 for outcome in outcomes:
+                    verdict = ""
+                    if args.threshold is not None:
+                        verdict = (
+                            "  DUPLICATE" if outcome.distance < args.threshold
+                            else "  unique"
+                        )
                     print(
                         f"query {n}: closest entry {outcome.index} of "
-                        f"{outcome.total} at distance {outcome.distance}"
+                        f"{outcome.total} at distance {outcome.distance}{verdict}"
                     )
                     n += 1
                 total = outcomes[0].total * len(outcomes)
@@ -488,9 +494,16 @@ def cmd_match(args) -> int:
                 qm.append(m)
         qpat, qmsk = np.concatenate(qp), np.concatenate(qm)
     else:
-        # self-match smoke: rotated noisy copies of random DB entries
+        # self-match smoke: rotated copies of random DB entries — exercises
+        # the rotation-min (distance must still come back exactly 0.0)
+        from mpc_iris_tpu.types import Bits
+
         idx = rng.integers(0, dpat.shape[0], size=args.batch)
-        qpat, qmsk = dpat[idx], dmsk[idx]
+        rots = rng.integers(-15, 16, size=args.batch)
+        qpat = np.stack([Bits(dpat[i]).rotated(int(r)).data
+                         for i, r in zip(idx, rots)])
+        qmsk = np.stack([Bits(dmsk[i]).rotated(int(r)).data
+                         for i, r in zip(idx, rots)])
 
     n_dev = len(jax.devices())
     if n_dev > 1:
