@@ -131,3 +131,26 @@ def test_sharded_masks_packed_matches_dense(data):
     dense = ShardedMasksEngine(dmsk, mesh, chunk=4, storage="dense")
     packed = ShardedMasksEngine(dmsk, mesh, chunk=4, storage="packed")
     np.testing.assert_array_equal(dense.dots(qmsk), packed.dots(qmsk))
+
+
+def test_local_spans_tile_strided_layout():
+    """Single-process: local_db_span covers the whole "db" axis and
+    local_entry_spans enumerates exactly the strided-by-chunk blocks, tiling
+    [0, N) without gaps or overlap (the multi-host loading contract)."""
+    from mpc_iris_tpu.parallel import multihost
+    from mpc_iris_tpu.parallel.sharded import local_db_span
+
+    mesh = make_mesh(db=4, batch=2)
+    lo, hi = local_db_span(mesh)
+    assert (lo, hi) == (0, 4)  # one process addresses everything
+
+    n, chunk = 37, 4  # deliberately ragged tail
+    spans = multihost.local_entry_spans(n, chunk, mesh)
+    seen = np.zeros(n, dtype=int)
+    for s, e in spans:
+        assert 0 <= s < e <= n
+        seen[s:e] += 1
+    assert (seen == 1).all()
+    # block structure: spans start at multiples of chunk*D
+    d = mesh.shape["db"]
+    assert all(s % (chunk * d) == 0 for s, _ in spans)
