@@ -79,12 +79,15 @@ def main():
     p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument(
-        "--mode", choices=["plaintext", "packed", "share"], default="packed",
+        "--mode", choices=["plaintext", "packed", "share", "share-keyed"],
+        default="packed",
         help="packed (default) = bit-packed HBM storage (3.2 KB/entry; the "
         "north-star 1M-entry DB fits on one chip) with on-device unpack per "
         "chunk; plaintext = dense int8 storage; share = MPC participant path "
         "(HBM-resident when it fits, out-of-core streamed from a share file "
-        "beyond that — shares are incompressible at 25.6 KB/entry)",
+        "beyond that — shares are incompressible at 25.6 KB/entry); "
+        "share-keyed = PRF-backed participant regenerating its share DB on "
+        "device from a 32-byte key (zero share I/O, any DB size)",
     )
     p.add_argument(
         "--share-file", default="/root/mpc_bench_shares.dat",
@@ -110,7 +113,7 @@ def main():
     from mpc_iris_tpu.models.engines import default_hbm_budget
 
     if args.db is None:
-        args.db = 1048576 if args.mode == "packed" else 262144
+        args.db = 262144 if args.mode in ("plaintext", "share") else 1048576
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "
@@ -159,7 +162,32 @@ def main():
             _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=True)
         )
         macs_per_pass = 2 * (31 * b) * n * BITS
-    elif share_resident:
+    elif args.mode == "share-keyed":
+        # PRF-backed participant: every chunk's share rows are regenerated on
+        # device from the 32-byte key inside the dot dispatch — zero share
+        # I/O, DB size unbounded by HBM (models.KeyedShareEngine; the
+        # reference must mmap a 25.6 GB file for the same DB).
+        from mpc_iris_tpu.models.engines import _share_dots_chunk_keyed
+        from mpc_iris_tpu.ops.chacha import key_words
+
+        kw = jnp.asarray(key_words(bytes(range(32))))
+        fold = jax.jit(lambda x: x.astype(jnp.uint32).sum())
+
+        def run():
+            total = np.uint64(0)
+            for c in range(n_chunks):
+                total += np.asarray(fold(_share_dots_chunk_keyed(
+                    q_enc, kw, 0, c * chunk, chunk
+                )))
+            return total
+
+        # 2 share matmuls; ChaCha regen is elementwise VPU work not counted
+        # as MACs (reported rate is end-to-end regardless).
+        macs_per_pass = 2 * (31 * b) * n * BITS
+        warm = lambda: np.asarray(fold(_share_dots_chunk_keyed(
+            q_enc, kw, 0, 0, chunk
+        )))
+    elif share_resident and args.mode == "share":
         # random.bits avoids randint's int32 temporaries (4x the final footprint).
         gen = jax.jit(
             lambda k: jax.lax.bitcast_convert_type(

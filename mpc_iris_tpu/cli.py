@@ -105,6 +105,17 @@ def cmd_prepare(args) -> int:
         # ChaCha20 stream keyed from 256 bits of OS entropy (reference draws
         # every share from thread_rng, src/encoded_bits.rs:27-33).
         share_key = os.urandom(32)
+    if args.save_key:
+        # The key regenerates every share s < n-1 (SPEC §4.1 addressable
+        # streams) — exactly as sensitive as those share files. Enables
+        # keyed participants (zero share I/O; models.KeyedShareEngine).
+        fd = os.open(args.save_key, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                     0o600)
+        with os.fdopen(fd, "w") as kf:
+            kf.write(share_key.hex() + "\n")
+        print(f"share key written to {args.save_key} (0600): keep it as "
+              "secret as the share files — it regenerates shares 0.."
+              f"{args.count - 2}", file=sys.stderr)
     n_shares = args.count
     base = args.output
     masks_path = f"{base}.masks"
@@ -270,13 +281,32 @@ def cmd_participant(args) -> int:
     from mpc_iris_tpu.protocol import ParticipantServer
 
     print(device_banner(), file=sys.stderr)
-    share = open_share(args.input)
-    print(
-        f"opened share {args.input}: {share.shape[0]} encrypted patterns "
-        f"({os.path.getsize(args.input)} bytes)",
-        file=sys.stderr,
-    )
-    engine = _make_share_engine(share, args.chunk)
+    if args.input.startswith("keyed:"):
+        # keyed:<share-index>:<count>:<keyfile> — serve a PRF-backed share
+        # (s < n-1) regenerated on device from the prepare key: zero share
+        # I/O (models.KeyedShareEngine; key from `prepare --save-key`).
+        from mpc_iris_tpu.models import KeyedShareEngine
+
+        try:
+            _, s_idx, s_count, key_path = args.input.split(":", 3)
+            key = bytes.fromhex(open(key_path).read().strip())
+        except (ValueError, OSError) as e:
+            print(f"error: bad keyed share spec {args.input!r} "
+                  f"(want keyed:<share-index>:<count>:<keyfile>): {e}",
+                  file=sys.stderr)
+            return 1
+        count = parse_si(s_count)
+        engine = KeyedShareEngine(key, int(s_idx), count, chunk=args.chunk)
+        print(f"keyed participant: share {s_idx}, {count} entries "
+              "regenerated on device (no share file)", file=sys.stderr)
+    else:
+        share = open_share(args.input)
+        print(
+            f"opened share {args.input}: {share.shape[0]} encrypted patterns "
+            f"({os.path.getsize(args.input)} bytes)",
+            file=sys.stderr,
+        )
+        engine = _make_share_engine(share, args.chunk)
 
     if args.warmup:
         # Compile + run the per-chunk shapes once so the first real query is
@@ -616,6 +646,13 @@ def build_parser() -> argparse.ArgumentParser:
         "PRNG, NOT crypto-grade: requires --insecure-seed); native = "
         "multithreaded C++ ChaCha20 on the host",
     )
+    g.add_argument(
+        "--save-key", default=None, metavar="PATH",
+        help="also write the 32-byte share key (hex, mode 0600): enables "
+        "keyed participants that regenerate shares 0..n-2 on device with "
+        "zero share I/O (see `participant keyed:...`). The key is exactly "
+        "as sensitive as those share files",
+    )
     g.set_defaults(fn=cmd_prepare)
 
     g = sub.add_parser("decrypt", help="combine secret shares back to json")
@@ -642,7 +679,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=cmd_rerandomize)
 
     g = sub.add_parser("participant", help="start share-holding participant server")
-    g.add_argument("input")
+    g.add_argument(
+        "input",
+        help="share file (mpc.share-i), or keyed:<share-index>:<count>:"
+        "<keyfile> to regenerate a PRF-backed share (index < n-1) on device "
+        "from the `prepare --save-key` key — no share file needed",
+    )
     g.add_argument("bind", nargs="?", default="127.0.0.1:1234")
     g.add_argument("--chunk", type=parse_si, default=8192)
     g.add_argument(

@@ -8,10 +8,12 @@ chunks under `lax.scan` so intermediates stay bounded at any DB size.
 """
 
 from mpc_iris_tpu.models.engines import (
+    KeyedShareEngine,
     MasksEngine,
     PlaintextEngine,
     ShareEngine,
     prepare_query_planes,
 )
 
-__all__ = ["MasksEngine", "PlaintextEngine", "ShareEngine", "prepare_query_planes"]
+__all__ = ["KeyedShareEngine", "MasksEngine", "PlaintextEngine", "ShareEngine",
+           "prepare_query_planes"]

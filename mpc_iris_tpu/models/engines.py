@@ -281,6 +281,19 @@ def _share_dots_chunk_u16(q_enc, chunk_u16):
     return _share_dots_chunk(q_enc, lo, hi)
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _share_dots_chunk_keyed(q_enc, kw, stream_id, row0, n_rows):
+    """Dot shares against rows REGENERATED on device from the share key:
+    ChaCha20 keystream -> lo/hi planes -> matmuls, one dispatch, zero DB I/O
+    (see ops/chacha.py and KeyedShareEngine)."""
+    from mpc_iris_tpu.ops.chacha import share_rows
+    from mpc_iris_tpu.ops.dot import shares_to_planes
+
+    rows = share_rows(kw, stream_id, row0, n_rows)
+    lo, hi = shares_to_planes(rows)
+    return _share_dots_chunk(q_enc, lo, hi)
+
+
 @jax.jit
 def _to_entry_major(block):
     """[B, c, 31] -> [c, B, 31] on device (the batched wire's byte order) —
@@ -575,6 +588,54 @@ class ShareEngine:
             dispatch, self.num_chunks(), self.count, self.chunk,
             entry_axis=0 if entry_major else 1,
         )
+
+
+class KeyedShareEngine:
+    """Participant engine for a party whose share is pure PRF output — the DB
+    is REGENERATED on device from the 32-byte share key instead of stored.
+
+    `prepare` derives every share s < n-1 of row R as the ChaCha20 keystream
+    addressed by (key, s, R) (docs/SPEC.md §4.1; the last share carries the
+    data and cannot be keyed). For those parties this engine serves queries
+    with zero share I/O: no 25.6 KB/entry file on disk, in host RAM, or in
+    HBM — each chunk's rows are regenerated inside the same dispatch as the
+    byte-split and matmuls (`_share_dots_chunk_keyed`), bit-identical to
+    serving the share file. This turns the DB-larger-than-HBM participant
+    from host-transfer-bound into compute-bound, and the DB size is bounded
+    only by u64 row addressing.
+
+    Caveats (documented in SPEC §4.1): valid only for the ORIGINAL prepare
+    output — `rerandomize`d share files are no longer pure keystreams; and
+    holding the key is exactly as sensitive as holding the share file.
+
+    The reference has no analogue (it always stores shares,
+    src/main.rs:294-309).
+    """
+
+    def __init__(self, key: bytes, stream_id: int, count: int,
+                 chunk: int = DEFAULT_CHUNK):
+        from mpc_iris_tpu.ops.chacha import key_words
+
+        kernel_self_test()
+        if stream_id >= 0xFFFFFFFF:
+            raise ValueError("stream id must be a share index < 2^32-1")
+        self._kw = jnp.asarray(key_words(key))
+        self._sid = int(stream_id)
+        self.count = int(count)
+        self.chunk = min(chunk, max(128, self.count))
+
+    def num_chunks(self) -> int:
+        return max(1, -(-self.count // self.chunk))
+
+    def dots_chunk(self, q_enc, chunk_index: int):
+        """uint16 [B, chunk, 31] for one regenerated DB chunk (async)."""
+        return _share_dots_chunk_keyed(
+            q_enc, self._kw, self._sid, chunk_index * self.chunk, self.chunk
+        )
+
+    # Same streaming surface as ShareEngine (participant/pipeline compatible).
+    dots = ShareEngine.dots
+    stream = ShareEngine.stream
 
 
 class MasksEngine:

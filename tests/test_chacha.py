@@ -1,0 +1,139 @@
+"""Pin the jittable ChaCha20 (ops/chacha.py) three ways: RFC 8439 test vector,
+the `cryptography` package, and the native C++ core — then pin the share-row
+generator against the share files `prepare`'s C++ path writes."""
+
+import numpy as np
+import pytest
+
+from mpc_iris_tpu import native
+from mpc_iris_tpu.ops import chacha
+
+
+def test_rfc8439_keystream_vector():
+    """RFC 8439 section 2.3.2 test vector (block counter 1)."""
+    key = bytes(range(32))
+    nonce = bytes.fromhex("000000090000004a00000000")
+    got = chacha.keystream_bytes(key, 1, nonce, 64)
+    want = bytes.fromhex(
+        "10f1e7e4d13b5915500fdd1fa32071c4c7d1f4c733c068030422aa9ac3d46c4e"
+        "d2826446079faa0914c2d705d98b02a2b5129cd1de164eb9cbd083e8a2503c4e"
+    )
+    assert got == want
+
+
+def test_matches_cryptography_package():
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
+
+    key = bytes(range(1, 33))
+    nonce12 = b"\x07" * 12
+    counter = 5
+    n = 1000
+    got = chacha.keystream_bytes(key, counter, nonce12, n)
+    full_nonce = counter.to_bytes(4, "little") + nonce12
+    enc = Cipher(algorithms.ChaCha20(key, full_nonce), mode=None).encryptor()
+    assert got == enc.update(b"\x00" * n)
+
+
+def test_matches_native_core():
+    key = bytes(range(2, 34))
+    nonce12 = (123).to_bytes(4, "little") + (2**33 + 7).to_bytes(8, "little")
+    got = chacha.keystream_bytes(key, 0, nonce12, 777)
+    want = bytes(memoryview(native.chacha20_stream(key, 0, nonce12, 777)))
+    assert got == want
+
+
+def test_share_rows_match_prepared_files():
+    """share_rows regenerates exactly the rows ic_share_split writes for
+    shares s < n-1 (same key, any row offset)."""
+    rng = np.random.default_rng(3)
+    enc = rng.integers(0, 1 << 16, size=(5, 12800), dtype=np.uint16)
+    key = native.derive_insecure_key(42)
+    out = native.share_split(enc, 3, key, row_offset=7)  # shares 0,1 = PRF
+    kw = chacha.key_words(key)
+    for s in range(2):
+        got = np.asarray(chacha.share_rows(kw, s, 7, 5))
+        np.testing.assert_array_equal(got, out[s])
+    # and the last share is NOT a pure stream (it carries the data)
+    got2 = np.asarray(chacha.share_rows(kw, 2, 7, 5))
+    assert not np.array_equal(got2, out[2])
+    # reconstruction sanity: sum of all shares is the encoding
+    np.testing.assert_array_equal(native.share_sum(list(out)), enc)
+
+
+def test_share_rows_row_addressing_is_stable():
+    """Row streams are independent of batching: one call for rows [3, 7) equals
+    two calls for [3, 5) + [5, 7)."""
+    kw = chacha.key_words(bytes(range(32)))
+    whole = np.asarray(chacha.share_rows(kw, 1, 3, 4))
+    a = np.asarray(chacha.share_rows(kw, 1, 3, 2))
+    b = np.asarray(chacha.share_rows(kw, 1, 5, 2))
+    np.testing.assert_array_equal(whole, np.concatenate([a, b]))
+
+
+def test_keyed_engine_matches_file_engine():
+    """KeyedShareEngine (DB regenerated on device from the key) produces
+    bit-identical reply streams to ShareEngine over the prepared share file."""
+    from mpc_iris_tpu.models import KeyedShareEngine, ShareEngine
+    from mpc_iris_tpu.ops.encode import encode_template
+    from mpc_iris_tpu.types import Template
+
+    rng = np.random.default_rng(17)
+    db = [Template.random(rng) for _ in range(21)]
+    enc = np.stack([encode_template(t).data for t in db])
+    key = native.derive_insecure_key(99)
+    shares = native.share_split(enc, 3, key)  # [3, 21, 12800]
+
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    for s in range(2):  # PRF-backed parties only (last share carries data)
+        file_eng = ShareEngine(shares[s], chunk=8)
+        keyed = KeyedShareEngine(key, s, count=21, chunk=8)
+        np.testing.assert_array_equal(
+            keyed.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
+        )
+        np.testing.assert_array_equal(
+            np.concatenate(list(keyed.stream(qpat, qmsk, entry_major=True))),
+            np.concatenate(list(file_eng.stream(qpat, qmsk, entry_major=True))),
+        )
+
+
+def test_keyed_participant_protocol():
+    """Full 3-party protocol where parties 0 and 1 are KEYED (no share files
+    at all) and party 2 serves its file: winner == plaintext oracle."""
+    import asyncio
+
+    from mpc_iris_tpu.models import KeyedShareEngine, MasksEngine, ShareEngine
+    from mpc_iris_tpu.ops.encode import encode_template
+    from mpc_iris_tpu.protocol import Coordinator, ParticipantServer
+    from mpc_iris_tpu.types import Template
+
+    rng = np.random.default_rng(23)
+    db = [Template.random(rng) for _ in range(17)]
+    query = Template.random(rng)
+    db[11] = query.rotated(-4)  # plant the winner
+    enc = np.stack([encode_template(t).data for t in db])
+    key = native.derive_insecure_key(7)
+    shares = native.share_split(enc, 3, key)
+    masks = np.stack([t.mask.data for t in db])
+
+    async def go():
+        servers = [
+            ParticipantServer(KeyedShareEngine(key, 0, 17, chunk=8),
+                              "127.0.0.1", 0),
+            ParticipantServer(KeyedShareEngine(key, 1, 17, chunk=8),
+                              "127.0.0.1", 0),
+            ParticipantServer(ShareEngine(shares[2], chunk=8), "127.0.0.1", 0),
+        ]
+        addrs = [await s.start() for s in servers]
+        coord = Coordinator(MasksEngine(masks, chunk=8), addrs)
+        try:
+            return await coord.query(query)
+        finally:
+            for s in servers:
+                await s.close()
+
+    outcome = asyncio.run(go())
+    oracle = np.array([query.distance(t) for t in db])
+    assert outcome.total == 17
+    assert outcome.index == 11
+    assert outcome.distance == oracle.min() == 0.0
