@@ -296,9 +296,20 @@ def cmd_participant(args) -> int:
                   file=sys.stderr)
             return 1
         count = parse_si(s_count)
-        engine = KeyedShareEngine(key, int(s_idx), count, chunk=args.chunk)
+        import jax
+
+        if len(jax.devices()) > 1:
+            from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+
+            mesh = make_mesh(db=len(jax.devices()), batch=1)
+            engine = ShardedKeyedShareEngine(
+                key, int(s_idx), count, mesh, chunk=args.chunk
+            )
+        else:
+            engine = KeyedShareEngine(key, int(s_idx), count, chunk=args.chunk)
         print(f"keyed participant: share {s_idx}, {count} entries "
-              "regenerated on device (no share file)", file=sys.stderr)
+              f"regenerated on {len(jax.devices())} device(s) (no share "
+              "file)", file=sys.stderr)
     else:
         share = open_share(args.input)
         print(

@@ -16,6 +16,7 @@ from mpc_iris_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from mpc_iris_tpu.parallel.sharded import (
     ShardedMasksEngine,
     ShardedPlaintextEngine,
+    ShardedKeyedShareEngine,
     ShardedShareEngine,
 )
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
@@ -25,6 +26,7 @@ __all__ = [
     "make_mesh",
     "mesh_shape_for",
     "ShardedPlaintextEngine",
+    "ShardedKeyedShareEngine",
     "ShardedShareEngine",
     "ShardedMasksEngine",
     "fraction_allmin",

@@ -333,6 +333,65 @@ class ShardedShareEngine(_ShardedBase):
         return np.concatenate(list(self.stream(patterns_packed, masks_packed)), axis=1)
 
 
+class ShardedKeyedShareEngine(_ShardedBase):
+    """Multi-chip participant for a PRF-backed share (s < n-1): every shard
+    REGENERATES its own rows on device from the 32-byte key.
+
+    The purest form of the keyed design (models.KeyedShareEngine): there is no
+    DB to distribute at all — each device derives its global chunk's rows from
+    its own axis index via the addressable ChaCha20 stream (SPEC §4.1), so
+    scaling a keyed party to more chips moves ZERO bytes of share data over
+    host, ICI, or DCN. Replies stream in DB order exactly like
+    ShardedShareEngine."""
+
+    def __init__(self, key: bytes, stream_id: int, count: int, mesh,
+                 chunk: int = DEFAULT_CHUNK):
+        from mpc_iris_tpu.models.engines import kernel_self_test
+        from mpc_iris_tpu.ops.chacha import key_words, share_rows
+
+        kernel_self_test()
+        if stream_id >= 0xFFFFFFFF:
+            raise ValueError("stream id must be a share index < 2^32-1")
+        n = int(count)
+        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        super().__init__(mesh, chunk)
+        self.count = n
+        d = self.n_shards
+        self._g_blocks = max(1, -(-n // (chunk * d)))
+        kw = jnp.asarray(key_words(key))
+        sid = int(stream_id)
+
+        def spmd(q_enc, kw_, j):
+            i = lax.axis_index("db").astype(jnp.int32)
+            row0 = (j * d + i) * chunk
+            rows = share_rows(kw_, sid, row0, chunk)
+            lo, hi = shares_to_planes(rows)
+            return _share_dots_chunk(q_enc, lo, hi)
+
+        self._kw = kw
+        self._block_fn = jax.jit(
+            shard_map(
+                spmd,
+                mesh=self.mesh,
+                in_specs=(P(None, None, None), P(None), P()),
+                out_specs=P(None, "db", None),
+                check_vma=False,
+            ),
+        )
+
+    def num_blocks(self) -> int:
+        return self._g_blocks
+
+    def block(self, q_enc, j: int):
+        return self._fetchable(
+            self._block_fn(q_enc, self._kw, jnp.int32(j))
+        )
+
+    # Reply streaming is identical to the data-holding sharded engine.
+    stream = ShardedShareEngine.stream
+    dots = ShardedShareEngine.dots
+
+
 class ShardedMasksEngine(_ShardedBase):
     """Coordinator denominator engine over a masks DB sharded across chips."""
 

@@ -137,3 +137,27 @@ def test_keyed_participant_protocol():
     assert outcome.total == 17
     assert outcome.index == 11
     assert outcome.distance == oracle.min() == 0.0
+
+
+def test_sharded_keyed_engine_matches_file(monkeypatch):
+    """ShardedKeyedShareEngine: every shard regenerates its rows on device;
+    results equal the single-chip file-based engine over the prepared file."""
+    import jax
+
+    from mpc_iris_tpu.models import ShareEngine
+    from mpc_iris_tpu.ops.encode import encode_template
+    from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+    from mpc_iris_tpu.types import Template
+
+    rng = np.random.default_rng(31)
+    db = [Template.random(rng) for _ in range(21)]  # ragged vs 4x8 blocks
+    enc = np.stack([encode_template(t).data for t in db])
+    key = native.derive_insecure_key(5)
+    shares = native.share_split(enc, 2, key)
+
+    mesh = make_mesh(db=4, batch=2)
+    keyed = ShardedKeyedShareEngine(key, 0, 21, mesh, chunk=4)
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    want = ShareEngine(shares[0], chunk=4).dots(qpat, qmsk)
+    np.testing.assert_array_equal(keyed.dots(qpat, qmsk), want)
