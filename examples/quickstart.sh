@@ -20,11 +20,30 @@ echo "== workdir: $DIR"
 echo "== 1. generate $COUNT random templates"
 $CLI generate db.json "$COUNT" --replace --seed 7
 
-echo "== 2. prepare: split into 3 additive shares + public masks"
-$CLI prepare db.json 3 mpc --insecure-seed 1
+echo "== 2. prepare: split into 3 additive shares + public masks (+ key)"
+$CLI prepare db.json 3 mpc --insecure-seed 1 --save-key mpc.key
 
 echo "== 3. decrypt: reconstruct and sanity-check the roundtrip"
 $CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip.json
+
+echo "== 3b. keyed participant: party 0 serves with NO share file (regenerated"
+echo "       on device from mpc.key; must run before rerandomize — SPEC 4.2)"
+$CLI participant "keyed:0:$COUNT:mpc.key" 127.0.0.1:$PORT0 &
+K0=$!
+$CLI participant mpc.share-1 127.0.0.1:$PORT1 &
+K1=$!
+trap 'kill $K0 $K1 2>/dev/null || true' EXIT
+for _ in $(seq 1 120); do
+  if { exec 3<>/dev/tcp/127.0.0.1/$PORT0 && exec 3<&-; } 2>/dev/null \
+     && { exec 3<>/dev/tcp/127.0.0.1/$PORT1 && exec 3<&-; } 2>/dev/null; then
+    break
+  fi
+  sleep 5
+done
+$CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
+  --masks mpc.masks --share mpc.share-2 --queries 1 --seed 5
+kill $K0 $K1 2>/dev/null || true
+wait $K0 $K1 2>/dev/null || true
 
 echo "== 4. rerandomize: refresh shares with pairwise zero-sum noise"
 $CLI rerandomize mpc.share-0 --index 0 --pair 1:1111 --pair 2:2222
