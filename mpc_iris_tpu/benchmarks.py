@@ -128,6 +128,24 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
             "pairs_per_s": cmps / dt,
             "tmacs": 2 * cmps * BITS / dt / 1e12,
         })
+
+    # Keyed-share regeneration: on-device ChaCha20 rows/s (the KeyedShareEngine
+    # hot path; pairs here = regenerated share u16 lanes, not dot pairs).
+    from mpc_iris_tpu.ops.chacha import share_rows
+
+    kw = jnp.zeros(8, jnp.uint32)
+    for rows in (4096, 32768):
+        gen = jax.jit(
+            lambda kw, r0: share_rows(kw, 0, r0, rows).astype(jnp.uint32).sum()
+        )
+        dt = max(_timeit(lambda: np.asarray(gen(kw, 0))) - overhead, 1e-9)
+        results.append({
+            "bench": f"chacha_regen/{rows}",
+            "time_s": dt,
+            "pairs_per_s": rows / dt,  # rows/s
+            "tmacs": None,
+            "bytes_per_s": rows * 2 * BITS / dt,
+        })
     return results
 
 

@@ -93,9 +93,13 @@ def share_rows(kw, stream_id, row0, n_rows: int):
       keystream; iris_codec.cpp row_nonce/ic_share_split).
     """
     kw = jnp.asarray(kw, jnp.uint32)
-    rows = jnp.asarray(row0, jnp.int64) + jnp.arange(n_rows, dtype=jnp.int64)
-    n_lo = rows.astype(jnp.uint32)[:, None]  # [R, 1]
-    n_hi = (rows >> jnp.int64(32)).astype(jnp.uint32)[:, None]
+    # u64 row addressing via u32 + carry (no x64 dependency): callers index
+    # < 2^32 rows (a 110 PB share DB); the nonce hi-word carries wraps.
+    r0 = jnp.asarray(row0, jnp.uint32)
+    idx = jnp.arange(n_rows, dtype=jnp.uint32)
+    lo = r0 + idx
+    n_lo = lo[:, None]  # [R, 1]
+    n_hi = (lo < idx).astype(jnp.uint32)[:, None]  # carry into bits 32..63
     ctr = jnp.arange(BLOCKS_PER_ROW, dtype=jnp.uint32)[None, :]  # [1, B]
     sid = jnp.asarray(stream_id, jnp.uint32)
 
