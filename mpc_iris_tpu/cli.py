@@ -174,11 +174,46 @@ def cmd_prepare(args) -> int:
 # ------------------------------------------------------------------ decrypt
 
 
+class _KeyedShareView:
+    """Host-side lazy view of a PRF-backed share (SPEC §4.2): rows are
+    regenerated from the key on slice access via the native ChaCha20 core.
+    Lets `decrypt` reconstruct with keyed:<s>:<count>:<keyfile> specs in
+    place of share files."""
+
+    def __init__(self, key: bytes, stream_id: int, count: int):
+        self._key = key
+        self._sid = int(stream_id)
+        self.shape = (int(count), BITS)
+
+    def __getitem__(self, sl):
+        from mpc_iris_tpu import native
+
+        start, stop, step = sl.indices(self.shape[0])
+        rows = range(start, stop, step)
+        out = np.empty((len(rows), BITS), np.uint16)
+        for i, r in enumerate(rows):
+            nonce = self._sid.to_bytes(4, "little") + r.to_bytes(8, "little")
+            out[i] = np.frombuffer(
+                bytes(memoryview(native.chacha20_stream(
+                    self._key, 0, nonce, 2 * BITS
+                ))), dtype="<u2",
+            )
+        return out
+
+
+def _open_share_or_keyed(spec):
+    if isinstance(spec, str) and spec.startswith("keyed:"):
+        _, s_idx, s_count, key_path = spec.split(":", 3)
+        key = bytes.fromhex(open(key_path).read().strip())
+        return _KeyedShareView(key, int(s_idx), parse_si(s_count))
+    return open_share(spec)
+
+
 def cmd_decrypt(args) -> int:
     from mpc_iris_tpu import native
     from mpc_iris_tpu.ops.encode import pack_bits
 
-    mats = [open_share(p) for p in args.shares]
+    mats = [_open_share_or_keyed(p) for p in args.shares]
     n = min(m.shape[0] for m in mats)
     if any(m.shape[0] != n for m in mats):
         print("warning: share files differ in length; truncating", file=sys.stderr)
@@ -667,7 +702,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.set_defaults(fn=cmd_prepare)
 
     g = sub.add_parser("decrypt", help="combine secret shares back to json")
-    g.add_argument("shares", nargs="+")
+    g.add_argument(
+        "shares", nargs="+",
+        help="share files; any PRF-backed share (index < n-1, original "
+        "prepare output) may instead be keyed:<index>:<count>:<keyfile>",
+    )
     g.add_argument("--output", default="decrypted.json")
     g.add_argument("--batch", type=int, default=1000)
     g.set_defaults(fn=cmd_decrypt)

@@ -161,3 +161,21 @@ def test_sharded_keyed_engine_matches_file(monkeypatch):
     qpat, qmsk = q.pattern.data[None], q.mask.data[None]
     want = ShareEngine(shares[0], chunk=4).dots(qpat, qmsk)
     np.testing.assert_array_equal(keyed.dots(qpat, qmsk), want)
+
+
+def test_keyed_share_view_matches_file(tmp_path):
+    """cli._KeyedShareView (host-side lazy keyed share for decrypt) slices
+    bit-identical rows to the prepared share file."""
+    from mpc_iris_tpu.cli import _KeyedShareView
+    from mpc_iris_tpu.io.formats import open_share, write_share
+
+    rng = np.random.default_rng(41)
+    enc = rng.integers(0, 1 << 16, size=(9, 12800), dtype=np.uint16)
+    key = native.derive_insecure_key(13)
+    out = native.share_split(enc, 2, key)
+    p = tmp_path / "mpc.share-0"
+    write_share(p, out[0])
+    view = _KeyedShareView(key, 0, 9)
+    file = open_share(p)
+    np.testing.assert_array_equal(view[0:9], np.asarray(file[0:9]))
+    np.testing.assert_array_equal(view[3:7], np.asarray(file[3:7]))
