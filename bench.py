@@ -158,8 +158,13 @@ def main():
         )
         db_pat = jax.block_until_ready(genp(kdb))
         db_msk = jax.block_until_ready(genp(kq))
+        from mpc_iris_tpu.models.engines import _fused_ok
+
+        fused = _fused_ok(b, chunk)  # Pallas tile alignment (B%8, chunk%2048)
+        interp = fused and jax.default_backend() != "tpu"
         run = lambda: np.asarray(
-            _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=True)
+            _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=fused,
+                               interpret=interp)
         )
         macs_per_pass = 2 * (31 * b) * n * BITS
     elif args.mode == "share-keyed":
