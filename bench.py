@@ -172,26 +172,29 @@ def main():
         # device from the 32-byte key inside the dot dispatch — zero share
         # I/O, DB size unbounded by HBM (models.KeyedShareEngine; the
         # reference must mmap a 25.6 GB file for the same DB).
-        from mpc_iris_tpu.models.engines import _share_dots_chunk_keyed
-        from mpc_iris_tpu.ops.chacha import key_words
+        from mpc_iris_tpu.models.engines import KeyedShareEngine
 
-        kw = jnp.asarray(key_words(bytes(range(32))))
+        log("building KeyedShareEngine (resident head regenerates once)...")
+        t0 = time.monotonic()
+        eng = KeyedShareEngine(bytes(range(32)), 0, n, chunk=chunk)
+        log(f"engine built in {time.monotonic() - t0:.0f}s; "
+            f"{eng.resident_entries}/{n} entries resident")
         fold = jax.jit(lambda x: x.astype(jnp.uint32).sum())
 
         def run():
             total = np.uint64(0)
-            for c in range(n_chunks):
-                total += np.asarray(fold(_share_dots_chunk_keyed(
-                    q_enc, kw, 0, c * chunk, chunk
-                )))
+            for c in range(eng.num_chunks()):
+                total += np.asarray(fold(eng.dots_chunk(q_enc, c)))
             return total
 
         # 2 share matmuls; ChaCha regen is elementwise VPU work not counted
         # as MACs (reported rate is end-to-end regardless).
         macs_per_pass = 2 * (31 * b) * n * BITS
-        warm = lambda: np.asarray(fold(_share_dots_chunk_keyed(
-            q_enc, kw, 0, 0, chunk
-        )))
+
+        def warm():
+            np.asarray(fold(eng.dots_chunk(q_enc, 0)))
+            if eng.num_chunks() > eng._n_resident:
+                np.asarray(fold(eng.dots_chunk(q_enc, eng.num_chunks() - 1)))
     elif share_resident and args.mode == "share":
         # random.bits avoids randint's int32 temporaries (4x the final footprint).
         gen = jax.jit(

@@ -282,6 +282,17 @@ def _share_dots_chunk_u16(q_enc, chunk_u16):
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
+def _keyed_planes_chunk(kw, stream_id, row0, n_rows):
+    """Regenerate one chunk's rows and return stacked int8 [2, n, K] lo/hi
+    planes (for the keyed engine's resident head)."""
+    from mpc_iris_tpu.ops.chacha import share_rows
+    from mpc_iris_tpu.ops.dot import shares_to_planes
+
+    lo, hi = shares_to_planes(share_rows(kw, stream_id, row0, n_rows))
+    return jnp.stack([lo, hi])
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
 def _share_dots_chunk_keyed(q_enc, kw, stream_id, row0, n_rows):
     """Dot shares against rows REGENERATED on device from the share key:
     ChaCha20 keystream -> lo/hi planes -> matmuls, one dispatch, zero DB I/O
@@ -613,7 +624,12 @@ class KeyedShareEngine:
     """
 
     def __init__(self, key: bytes, stream_id: int, count: int,
-                 chunk: int = DEFAULT_CHUNK):
+                 chunk: int = DEFAULT_CHUNK, hbm_budget: int | None = None):
+        """hbm_budget: device bytes for a RESIDENT head of pre-regenerated
+        lo/hi planes (default = ShareEngine's budget). Head chunks pay the
+        ChaCha cost once at construction; only the tail regenerates per
+        query batch — the keyed analogue of ShareEngine's resident/streamed
+        split, except the 'streaming' is on-device compute, not host I/O."""
         from mpc_iris_tpu.ops.chacha import key_words
 
         kernel_self_test()
@@ -623,12 +639,29 @@ class KeyedShareEngine:
         self._sid = int(stream_id)
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
+        if hbm_budget is None:
+            hbm_budget = default_hbm_budget()
+        max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
+        self._n_resident = min(self.num_chunks(), max_resident)
+        self._resident = [
+            _keyed_planes_chunk(self._kw, self._sid, c * self.chunk, self.chunk)
+            for c in range(self._n_resident)
+        ]
 
     def num_chunks(self) -> int:
         return max(1, -(-self.count // self.chunk))
 
+    @property
+    def resident_entries(self) -> int:
+        return min(self.count, self._n_resident * self.chunk)
+
     def dots_chunk(self, q_enc, chunk_index: int):
-        """uint16 [B, chunk, 31] for one regenerated DB chunk (async)."""
+        """uint16 [B, chunk, 31] for one DB chunk (async): resident head
+        planes dispatch straight into the matmuls; tail chunks regenerate
+        inside the dispatch."""
+        if chunk_index < self._n_resident:
+            planes = self._resident[chunk_index]
+            return _share_dots_chunk(q_enc, planes[0], planes[1])
         return _share_dots_chunk_keyed(
             q_enc, self._kw, self._sid, chunk_index * self.chunk, self.chunk
         )

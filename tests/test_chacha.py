@@ -88,12 +88,24 @@ def test_keyed_engine_matches_file_engine():
     for s in range(2):  # PRF-backed parties only (last share carries data)
         file_eng = ShareEngine(shares[s], chunk=8)
         keyed = KeyedShareEngine(key, s, count=21, chunk=8)
+        assert keyed.resident_entries == 21  # default budget: all resident
         np.testing.assert_array_equal(
             keyed.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
         )
         np.testing.assert_array_equal(
             np.concatenate(list(keyed.stream(qpat, qmsk, entry_major=True))),
             np.concatenate(list(file_eng.stream(qpat, qmsk, entry_major=True))),
+        )
+        # resident-head + regenerated-tail split, and pure regen, both match
+        head = KeyedShareEngine(key, s, 21, chunk=8, hbm_budget=2 * 12800 * 8)
+        assert head.resident_entries == 8
+        pure = KeyedShareEngine(key, s, 21, chunk=8, hbm_budget=0)
+        assert pure.resident_entries == 0
+        np.testing.assert_array_equal(
+            head.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
+        )
+        np.testing.assert_array_equal(
+            pure.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
         )
 
 
