@@ -284,25 +284,35 @@ def _share_dots_chunk_u16(q_enc, chunk_u16):
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def _keyed_planes_chunk(kw, stream_id, row0, n_rows):
     """Regenerate one chunk's rows and return stacked int8 [2, n, K] lo/hi
-    planes (for the keyed engine's resident head)."""
-    from mpc_iris_tpu.ops.chacha import share_rows
-    from mpc_iris_tpu.ops.dot import shares_to_planes
+    planes in NATURAL K order (for the keyed engine's resident head; pair
+    with `_queries_to_natural_k`)."""
+    from mpc_iris_tpu.ops.chacha import share_planes_natural
 
-    lo, hi = shares_to_planes(share_rows(kw, stream_id, row0, n_rows))
+    lo, hi = share_planes_natural(kw, stream_id, row0, n_rows)
     return jnp.stack([lo, hi])
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def _share_dots_chunk_keyed(q_enc, kw, stream_id, row0, n_rows):
-    """Dot shares against rows REGENERATED on device from the share key:
-    ChaCha20 keystream -> lo/hi planes -> matmuls, one dispatch, zero DB I/O
-    (see ops/chacha.py and KeyedShareEngine)."""
-    from mpc_iris_tpu.ops.chacha import share_rows
-    from mpc_iris_tpu.ops.dot import shares_to_planes
+@jax.jit
+def _queries_to_natural_k(q_enc):
+    """[B, 31, K] file-order query planes -> the keyed kernels' natural K
+    order (ops.chacha.k_permutation): the share dot is K-permutation
+    invariant when both operands agree, and permuting the small query side
+    once per batch is ~free while emitting keystream planes in natural order
+    skips a serialization pass as costly as the ChaCha rounds themselves."""
+    from mpc_iris_tpu.ops.chacha import k_permutation
 
-    rows = share_rows(kw, stream_id, row0, n_rows)
-    lo, hi = shares_to_planes(rows)
-    return _share_dots_chunk(q_enc, lo, hi)
+    return q_enc[..., jnp.asarray(k_permutation())]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _share_dots_chunk_keyed(q_nat, kw, stream_id, row0, n_rows):
+    """Dot shares against rows REGENERATED on device from the share key:
+    ChaCha20 -> natural-order planes -> matmuls, one dispatch, zero DB I/O.
+    ``q_nat`` must be natural-K-order queries (`_queries_to_natural_k`)."""
+    from mpc_iris_tpu.ops.chacha import share_planes_natural
+
+    lo, hi = share_planes_natural(kw, stream_id, row0, n_rows)
+    return _share_dots_chunk(q_nat, lo, hi)
 
 
 @jax.jit
@@ -572,11 +582,17 @@ class ShareEngine:
             return _share_dots_chunk(q_enc, planes[0], planes[1])
         return _share_dots_chunk_u16(q_enc, self._put(self._chunk_u16(chunk_index)))
 
+    # Hook: engines whose DB lives in a transformed K order (KeyedShareEngine)
+    # override this to transform the query planes once per batch.
+    def _q_transform(self, q_enc):
+        return q_enc
+
     def dots(self, patterns_packed, masks_packed) -> np.ndarray:
         """Full reply tensor uint16 [B, N, 31] in reference wire order."""
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        q_enc = self._q_transform(q_enc)
         parts = [self.dots_chunk(q_enc, c) for c in range(self.num_chunks())]
         return np.concatenate([np.asarray(p) for p in parts], axis=1)[:, : self.count]
 
@@ -591,6 +607,7 @@ class ShareEngine:
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        q_enc = self._q_transform(q_enc)
         if entry_major:
             dispatch = lambda c: _to_entry_major(self.dots_chunk(q_enc, c))
         else:
@@ -640,7 +657,11 @@ class KeyedShareEngine:
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:
-            hbm_budget = default_hbm_budget()
+            # The per-chunk regen dispatch holds ~3-4 GB of fused ChaCha
+            # working state + matmul output; leave that headroom out of the
+            # resident-plane budget (measured OOM at the full ShareEngine
+            # budget on a 16 GB v5e).
+            hbm_budget = max(0, default_hbm_budget() - (9 * (1 << 30)) // 2)
         max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
         self._n_resident = min(self.num_chunks(), max_resident)
         self._resident = [
@@ -655,15 +676,19 @@ class KeyedShareEngine:
     def resident_entries(self) -> int:
         return min(self.count, self._n_resident * self.chunk)
 
-    def dots_chunk(self, q_enc, chunk_index: int):
+    def _q_transform(self, q_enc):
+        # All keyed planes (resident and regenerated) live in natural K order.
+        return _queries_to_natural_k(q_enc)
+
+    def dots_chunk(self, q_nat, chunk_index: int):
         """uint16 [B, chunk, 31] for one DB chunk (async): resident head
         planes dispatch straight into the matmuls; tail chunks regenerate
-        inside the dispatch."""
+        inside the dispatch. ``q_nat`` = `_q_transform`'d query planes."""
         if chunk_index < self._n_resident:
             planes = self._resident[chunk_index]
-            return _share_dots_chunk(q_enc, planes[0], planes[1])
+            return _share_dots_chunk(q_nat, planes[0], planes[1])
         return _share_dots_chunk_keyed(
-            q_enc, self._kw, self._sid, chunk_index * self.chunk, self.chunk
+            q_nat, self._kw, self._sid, chunk_index * self.chunk, self.chunk
         )
 
     # Same streaming surface as ShareEngine (participant/pipeline compatible).

@@ -122,6 +122,65 @@ def share_rows(kw, stream_id, row0, n_rows: int):
     return lanes.reshape(n_rows, 2 * BITS // 2)
 
 
+def k_permutation() -> np.ndarray:
+    """π mapping NATURAL plane columns to file-order K indices.
+
+    The u16 serialization in :func:`share_rows` (interleaving 16 word arrays
+    into block-major lane order) costs as much as all 20 ChaCha rounds
+    (scripts/chacha_probe.py). The share dot is invariant under any fixed
+    permutation applied to BOTH operands' K axis, so the fast path emits
+    planes in the rounds' natural order — concatenating per-word byte
+    planes, column j = l*6400 + w*400 + b for u16 lane l, word w, block b —
+    and the engines permute the query side once per batch instead:
+    q_natural[..., j] = q_file[..., π[j]] with π[j] = b*32 + 2w + l.
+    """
+    j = np.arange(BITS)  # 12,800 u16 lanes per row
+    l, rem = np.divmod(j, 16 * BLOCKS_PER_ROW)  # lane l in {0, 1}
+    w, b = np.divmod(rem, BLOCKS_PER_ROW)
+    return (b * 32 + 2 * w + l).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def share_planes_natural(kw, stream_id, row0, n_rows: int):
+    """Regenerated share rows as MXU-ready int8 (lo, hi) planes [n, 12,800]
+    in NATURAL K order (see :func:`k_permutation`), offset -128 exactly like
+    ops.dot.shares_to_planes. Skips the u16 serialization entirely: each
+    plane is a cheap concatenation of per-word byte extracts."""
+    kw = jnp.asarray(kw, jnp.uint32)
+    r0 = jnp.asarray(row0, jnp.uint32)
+    idx = jnp.arange(n_rows, dtype=jnp.uint32)
+    lo32 = r0 + idx
+    n_lo = lo32[:, None]
+    n_hi = (lo32 < idx).astype(jnp.uint32)[:, None]
+    ctr = jnp.arange(BLOCKS_PER_ROW, dtype=jnp.uint32)[None, :]
+    sid = jnp.asarray(stream_id, jnp.uint32)
+
+    shape = jnp.broadcast_shapes(n_lo.shape, ctr.shape)
+    init = [jnp.broadcast_to(jnp.uint32(c), shape) for c in _CONSTS]
+    init += [jnp.broadcast_to(kw[i], shape) for i in range(8)]
+    init += [
+        jnp.broadcast_to(ctr, shape),
+        jnp.broadcast_to(sid, shape),
+        jnp.broadcast_to(n_lo, shape),
+        jnp.broadcast_to(n_hi, shape),
+    ]
+    words = _block_words(init)  # 16 x uint32 [R, B]
+
+    lo_parts, hi_parts = [], []
+    for lane_shift in (0, 16):  # u16 lane l = 0, 1
+        for w in words:
+            v = w >> jnp.uint32(lane_shift)
+            lo_parts.append(
+                ((v & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(jnp.int8)
+            )
+            hi_parts.append(
+                (((v >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                 - 128).astype(jnp.int8)
+            )
+    return (jnp.concatenate(lo_parts, axis=1),
+            jnp.concatenate(hi_parts, axis=1))
+
+
 def keystream_bytes(key: bytes, counter: int, nonce12: bytes, nbytes: int) -> bytes:
     """Raw keystream for test pinning (mirrors native.chacha20_stream)."""
     kw = jnp.asarray(key_words(key))

@@ -129,6 +129,10 @@ class _ShardedBase:
     def _query_sharding(self):
         return NamedSharding(self.mesh, P("batch", None, None))
 
+    def _q_transform(self, q_enc):
+        """Hook: engines with a transformed DB K-order override (keyed)."""
+        return q_enc
+
     def _fetchable(self, arr):
         """Make a device result fetchable on THIS host. Single-process: no-op.
         Multi-process: one all-gather over ICI to a fully-replicated layout
@@ -320,6 +324,7 @@ class ShardedShareEngine(_ShardedBase):
         q_enc, _ = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        q_enc = self._q_transform(q_enc)
         if entry_major:
             dispatch = lambda j: _to_entry_major(self.block(q_enc, j))
         else:
@@ -347,7 +352,7 @@ class ShardedKeyedShareEngine(_ShardedBase):
     def __init__(self, key: bytes, stream_id: int, count: int, mesh,
                  chunk: int = DEFAULT_CHUNK):
         from mpc_iris_tpu.models.engines import kernel_self_test
-        from mpc_iris_tpu.ops.chacha import key_words, share_rows
+        from mpc_iris_tpu.ops.chacha import key_words, share_planes_natural
 
         kernel_self_test()
         if stream_id >= 0xFFFFFFFF:
@@ -361,12 +366,13 @@ class ShardedKeyedShareEngine(_ShardedBase):
         kw = jnp.asarray(key_words(key))
         sid = int(stream_id)
 
-        def spmd(q_enc, kw_, j):
+        def spmd(q_nat, kw_, j):
             i = lax.axis_index("db").astype(jnp.int32)
             row0 = (j * d + i) * chunk
-            rows = share_rows(kw_, sid, row0, chunk)
-            lo, hi = shares_to_planes(rows)
-            return _share_dots_chunk(q_enc, lo, hi)
+            # Natural-K-order planes; queries arrive pre-permuted via
+            # _q_transform (the dot is K-permutation invariant).
+            lo, hi = share_planes_natural(kw_, sid, row0, chunk)
+            return _share_dots_chunk(q_nat, lo, hi)
 
         self._kw = kw
         self._block_fn = jax.jit(
@@ -382,9 +388,14 @@ class ShardedKeyedShareEngine(_ShardedBase):
     def num_blocks(self) -> int:
         return self._g_blocks
 
-    def block(self, q_enc, j: int):
+    def _q_transform(self, q_enc):
+        from mpc_iris_tpu.models.engines import _queries_to_natural_k
+
+        return _queries_to_natural_k(q_enc)
+
+    def block(self, q_nat, j: int):
         return self._fetchable(
-            self._block_fn(q_enc, self._kw, jnp.int32(j))
+            self._block_fn(q_nat, self._kw, jnp.int32(j))
         )
 
     # Reply streaming is identical to the data-holding sharded engine.

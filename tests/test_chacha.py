@@ -191,3 +191,22 @@ def test_keyed_share_view_matches_file(tmp_path):
     file = open_share(p)
     np.testing.assert_array_equal(view[0:9], np.asarray(file[0:9]))
     np.testing.assert_array_equal(view[3:7], np.asarray(file[3:7]))
+
+
+def test_natural_planes_are_permuted_file_planes():
+    """share_planes_natural == shares_to_planes(file rows) under
+    k_permutation, and pi is a true permutation of [0, 12800)."""
+    import jax.numpy as jnp
+
+    from mpc_iris_tpu.ops.dot import shares_to_planes
+
+    pi = chacha.k_permutation()
+    assert sorted(pi.tolist()) == list(range(12800))
+
+    kw = chacha.key_words(bytes(range(32)))
+    rows = np.asarray(chacha.share_rows(jnp.asarray(kw), 2, 5, 3))
+    lo_f, hi_f = (np.asarray(x) for x in shares_to_planes(rows))
+    lo_n, hi_n = (np.asarray(x) for x in
+                  chacha.share_planes_natural(jnp.asarray(kw), 2, 5, 3))
+    np.testing.assert_array_equal(lo_n, lo_f[:, pi])
+    np.testing.assert_array_equal(hi_n, hi_f[:, pi])
