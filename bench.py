@@ -76,7 +76,9 @@ def main():
         "modes — dense int8 storage for 1M entries would exceed HBM)",
     )
     p.add_argument("--batch", type=int, default=256, help="queries per batch")
-    p.add_argument("--chunk", type=int, default=32768, help="DB chunk per scan step")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="DB chunk per scan step (default 32768; 65536 for "
+                   "share-keyed — halves per-chunk dispatch overhead)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument(
         "--mode", choices=["plaintext", "packed", "share", "share-keyed"],
@@ -114,6 +116,8 @@ def main():
 
     if args.db is None:
         args.db = 262144 if args.mode in ("plaintext", "share") else 1048576
+    if args.chunk is None:
+        args.chunk = 65536 if args.mode == "share-keyed" else 32768
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "

@@ -95,3 +95,55 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def stacked3d():
+    """(e) parts stacked on a LEADING axis (no interleave) + 2-contracting-dim
+    dot_general: does XLA lower [M,32,400]x[32,R,400] onto the MXU well?"""
+    oh = overhead()
+    kw = jnp.zeros(8, jnp.uint32)
+    kq = jax.random.key(2)
+    q = jax.random.randint(kq, (M, 12800), -1, 2, dtype=jnp.int8)
+
+    @jax.jit
+    def run(q, kw):
+        idx = jnp.arange(R, dtype=jnp.uint32)
+        ctr = jnp.arange(chacha.BLOCKS_PER_ROW, dtype=jnp.uint32)
+        n_lo, c = idx[:, None], ctr[None, :]
+        shape = jnp.broadcast_shapes(n_lo.shape, c.shape)
+        init = [jnp.broadcast_to(jnp.uint32(x), shape) for x in chacha._CONSTS]
+        init += [jnp.broadcast_to(kw[i], shape) for i in range(8)]
+        init += [jnp.broadcast_to(c, shape),
+                 jnp.broadcast_to(jnp.uint32(0), shape),
+                 jnp.broadcast_to(n_lo, shape),
+                 jnp.broadcast_to(jnp.uint32(0), shape)]
+        words = chacha._block_words(init)
+        lo_parts, hi_parts = [], []
+        for sh in (0, 16):
+            for w in words:
+                v = w >> jnp.uint32(sh)
+                lo_parts.append(((v & jnp.uint32(0xFF)).astype(jnp.int32) - 128
+                                 ).astype(jnp.int8))
+                hi_parts.append((((v >> jnp.uint32(8)) & jnp.uint32(0xFF))
+                                 .astype(jnp.int32) - 128).astype(jnp.int8))
+        lo3 = jnp.stack(lo_parts, axis=0)   # [32, R, 400] contiguous parts
+        hi3 = jnp.stack(hi_parts, axis=0)
+        q3 = q.reshape(M, 32, 400)          # natural order grouping
+        dims = (((1, 2), (0, 2)), ((), ()))
+        d_lo = lax.dot_general(q3, lo3, dimension_numbers=dims,
+                               preferred_element_type=jnp.int16)
+        d_hi = lax.dot_general(q3, hi3, dimension_numbers=dims,
+                               preferred_element_type=jnp.int16)
+        rowsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)
+        corr = (jnp.int32(128) * rowsum).astype(jnp.int16)
+        total = (d_lo + corr) + ((d_hi + corr) << 8)
+        return total.astype(jnp.uint16).astype(jnp.uint32).sum()
+
+    dt = timeit(run, q, kw) - oh
+    macs = 2 * M * R * 12800
+    print(f"(e) stacked-3D dot_general:     {dt*1e3:7.1f}ms "
+          f"({macs/dt/1e12:5.0f} TMAC/s-equiv)")
+
+
+if __name__ == "__main__":
+    stacked3d()
