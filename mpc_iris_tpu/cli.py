@@ -124,15 +124,9 @@ def cmd_prepare(args) -> int:
         if os.path.exists(p):
             os.remove(p)
 
-    if args.backend == "device":
-        if args.insecure_seed is None:
-            print("error: --backend device uses the TPU threefry PRNG, which "
-                  "is not a CSPRNG; it requires an explicit --insecure-seed",
-                  file=sys.stderr)
-            return 1
-        import jax
-
-        key = jax.random.key(args.insecure_seed & (2**63 - 1))
+    # --backend device draws from the SAME addressable ChaCha20 streams as
+    # the host path (ops/encode.py::share_split_device), so both backends are
+    # crypto-grade, byte-identical for the same key, and --save-key works.
 
     progress = Progress("prepare", unit="templates")
     masks_f = open(masks_path, "ab")
@@ -145,9 +139,9 @@ def cmd_prepare(args) -> int:
                 if args.backend == "device":
                     from mpc_iris_tpu.ops.encode import share_split_device
 
-                    key, sub = jax.random.split(key)
                     shares = np.asarray(
-                        share_split_device(pats, msks, n_shares, sub)
+                        share_split_device(pats, msks, n_shares, share_key,
+                                           row_offset=row)
                     )
                 else:
                     enc = native.encode_u16_native(pats, msks)  # [n, 12800] u16
@@ -174,6 +168,30 @@ def cmd_prepare(args) -> int:
 # ------------------------------------------------------------------ decrypt
 
 
+def parse_keyed_spec(spec: str) -> tuple[int, int, bytes]:
+    """Parse ``keyed:<share-index>:<count>:<keyfile>`` -> (index, count, key).
+
+    Single parser for every role that accepts keyed shares (participant,
+    decrypt) so format evolution and validation cannot drift. Raises
+    ValueError with a usage hint on any malformed part."""
+    from mpc_iris_tpu.ops.chacha import check_stream_id
+    from mpc_iris_tpu.utils.config import parse_si
+
+    try:
+        _, s_idx, s_count, key_path = spec.split(":", 3)
+        sid = check_stream_id(int(s_idx))
+        count = parse_si(s_count)
+        key = bytes.fromhex(open(key_path).read().strip())
+        if len(key) != 32:
+            raise ValueError(f"key file holds {len(key)} bytes, want 32")
+    except (ValueError, OSError) as e:
+        raise ValueError(
+            f"bad keyed share spec {spec!r} "
+            f"(want keyed:<share-index>:<count>:<keyfile>): {e}"
+        ) from e
+    return sid, count, key
+
+
 class _KeyedShareView:
     """Host-side lazy view of a PRF-backed share (SPEC §4.2): rows are
     regenerated from the key on slice access via the native ChaCha20 core.
@@ -181,8 +199,10 @@ class _KeyedShareView:
     place of share files."""
 
     def __init__(self, key: bytes, stream_id: int, count: int):
+        from mpc_iris_tpu.ops.chacha import check_stream_id
+
         self._key = key
-        self._sid = int(stream_id)
+        self._sid = check_stream_id(stream_id)
         self.shape = (int(count), BITS)
 
     def __getitem__(self, sl):
@@ -203,9 +223,8 @@ class _KeyedShareView:
 
 def _open_share_or_keyed(spec):
     if isinstance(spec, str) and spec.startswith("keyed:"):
-        _, s_idx, s_count, key_path = spec.split(":", 3)
-        key = bytes.fromhex(open(key_path).read().strip())
-        return _KeyedShareView(key, int(s_idx), parse_si(s_count))
+        sid, count, key = parse_keyed_spec(spec)
+        return _KeyedShareView(key, sid, count)
     return open_share(spec)
 
 
@@ -323,14 +342,10 @@ def cmd_participant(args) -> int:
         from mpc_iris_tpu.models import KeyedShareEngine
 
         try:
-            _, s_idx, s_count, key_path = args.input.split(":", 3)
-            key = bytes.fromhex(open(key_path).read().strip())
-        except (ValueError, OSError) as e:
-            print(f"error: bad keyed share spec {args.input!r} "
-                  f"(want keyed:<share-index>:<count>:<keyfile>): {e}",
-                  file=sys.stderr)
+            sid, count, key = parse_keyed_spec(args.input)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
             return 1
-        count = parse_si(s_count)
         import jax
 
         if len(jax.devices()) > 1:
@@ -338,11 +353,11 @@ def cmd_participant(args) -> int:
 
             mesh = make_mesh(db=len(jax.devices()), batch=1)
             engine = ShardedKeyedShareEngine(
-                key, int(s_idx), count, mesh, chunk=args.chunk
+                key, sid, count, mesh, chunk=args.chunk
             )
         else:
-            engine = KeyedShareEngine(key, int(s_idx), count, chunk=args.chunk)
-        print(f"keyed participant: share {s_idx}, {count} entries "
+            engine = KeyedShareEngine(key, sid, count, chunk=args.chunk)
+        print(f"keyed participant: share {sid}, {count} entries "
               f"regenerated on {len(jax.devices())} device(s) (no share "
               "file)", file=sys.stderr)
     else:
@@ -688,9 +703,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--batch", type=int, default=1000)
     g.add_argument(
         "--backend", choices=["native", "device"], default="native",
-        help="device = encode + share-RNG on the accelerator (TPU threefry "
-        "PRNG, NOT crypto-grade: requires --insecure-seed); native = "
-        "multithreaded C++ ChaCha20 on the host",
+        help="where encode + share-keystream run: native = multithreaded C++ "
+        "ChaCha20 on the host; device = the same addressable ChaCha20 "
+        "streams generated on the accelerator — both crypto-grade and "
+        "byte-identical for the same key",
     )
     g.add_argument(
         "--save-key", default=None, metavar="PATH",

@@ -647,13 +647,11 @@ class KeyedShareEngine:
         ChaCha cost once at construction; only the tail regenerates per
         query batch — the keyed analogue of ShareEngine's resident/streamed
         split, except the 'streaming' is on-device compute, not host I/O."""
-        from mpc_iris_tpu.ops.chacha import key_words
+        from mpc_iris_tpu.ops.chacha import check_stream_id, key_words
 
         kernel_self_test()
-        if stream_id >= 0xFFFFFFFF:
-            raise ValueError("stream id must be a share index < 2^32-1")
         self._kw = jnp.asarray(key_words(key))
-        self._sid = int(stream_id)
+        self._sid = check_stream_id(stream_id)
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:

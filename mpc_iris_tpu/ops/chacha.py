@@ -36,6 +36,17 @@ _CONSTS = (0x61707865, 0x3320646E, 0x79622D32, 0x6B206574)  # "expand 32-byte k"
 BLOCKS_PER_ROW = (2 * BITS) // 64  # 400 x 64-byte blocks = 25,600 B = one row
 
 
+def check_stream_id(stream_id) -> int:
+    """Validate a share stream index (SPEC §4.1): [0, 2^32-2]; 2^32-1 is the
+    re-randomization stream and negatives would wrap silently on device."""
+    sid = int(stream_id)
+    if not 0 <= sid < 0xFFFFFFFF:
+        raise ValueError(
+            f"share stream id must be in [0, 2^32-2], got {stream_id}"
+        )
+    return sid
+
+
 def key_words(key: bytes) -> np.ndarray:
     """32-byte key -> uint32[8] little-endian words (RFC 8439 sec 2.3)."""
     key = bytes(key)
@@ -77,24 +88,13 @@ def _block_words(init):
     return [a + b for a, b in zip(x, init)]
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def share_rows(kw, stream_id, row0, n_rows: int):
-    """Regenerate share rows [row0, row0 + n_rows) of one share stream.
-
-    Args:
-      kw:        uint32[8] key words (see :func:`key_words`).
-      stream_id: uint32 scalar — the share index s (SPEC §4.1 stream address).
-      row0:      int64-ish scalar — first global DB row.
-      n_rows:    static row count.
-
-    Returns:
-      uint16 [n_rows, 12,800] — byte-identical to the share file rows written
-      by `prepare` for the same key/stream (little-endian u16 lanes of the
-      keystream; iris_codec.cpp row_nonce/ic_share_split).
-    """
+def _row_block_words(kw, stream_id, row0, n_rows: int):
+    """Shared state setup + rounds for one share-stream row range: the 16
+    output word arrays uint32 [n_rows, BLOCKS_PER_ROW]. Single source of
+    truth for the row addressing (u64 nonce via u32 + carry — callers index
+    < 2^32 rows, a 110 PB share DB; no x64 dependency) used by both the
+    file-order and natural-plane emitters — they must never diverge."""
     kw = jnp.asarray(kw, jnp.uint32)
-    # u64 row addressing via u32 + carry (no x64 dependency): callers index
-    # < 2^32 rows (a 110 PB share DB); the nonce hi-word carries wraps.
     r0 = jnp.asarray(row0, jnp.uint32)
     idx = jnp.arange(n_rows, dtype=jnp.uint32)
     lo = r0 + idx
@@ -112,7 +112,25 @@ def share_rows(kw, stream_id, row0, n_rows: int):
         jnp.broadcast_to(n_lo, shape),
         jnp.broadcast_to(n_hi, shape),
     ]
-    words = _block_words(init)  # 16 x uint32 [R, B]
+    return _block_words(init)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def share_rows(kw, stream_id, row0, n_rows: int):
+    """Regenerate share rows [row0, row0 + n_rows) of one share stream.
+
+    Args:
+      kw:        uint32[8] key words (see :func:`key_words`).
+      stream_id: uint32 scalar — the share index s (SPEC §4.1 stream address).
+      row0:      int64-ish scalar — first global DB row.
+      n_rows:    static row count.
+
+    Returns:
+      uint16 [n_rows, 12,800] — byte-identical to the share file rows written
+      by `prepare` for the same key/stream (little-endian u16 lanes of the
+      keystream; iris_codec.cpp row_nonce/ic_share_split).
+    """
+    words = _row_block_words(kw, stream_id, row0, n_rows)
     # Serialize: block bytes are word0..word15 LE; u16 lanes of that byte
     # stream are (w & 0xFFFF, w >> 16) pairs in word order.
     stacked = jnp.stack(words, axis=-1)  # [R, B, 16]
@@ -146,25 +164,7 @@ def share_planes_natural(kw, stream_id, row0, n_rows: int):
     in NATURAL K order (see :func:`k_permutation`), offset -128 exactly like
     ops.dot.shares_to_planes. Skips the u16 serialization entirely: each
     plane is a cheap concatenation of per-word byte extracts."""
-    kw = jnp.asarray(kw, jnp.uint32)
-    r0 = jnp.asarray(row0, jnp.uint32)
-    idx = jnp.arange(n_rows, dtype=jnp.uint32)
-    lo32 = r0 + idx
-    n_lo = lo32[:, None]
-    n_hi = (lo32 < idx).astype(jnp.uint32)[:, None]
-    ctr = jnp.arange(BLOCKS_PER_ROW, dtype=jnp.uint32)[None, :]
-    sid = jnp.asarray(stream_id, jnp.uint32)
-
-    shape = jnp.broadcast_shapes(n_lo.shape, ctr.shape)
-    init = [jnp.broadcast_to(jnp.uint32(c), shape) for c in _CONSTS]
-    init += [jnp.broadcast_to(kw[i], shape) for i in range(8)]
-    init += [
-        jnp.broadcast_to(ctr, shape),
-        jnp.broadcast_to(sid, shape),
-        jnp.broadcast_to(n_lo, shape),
-        jnp.broadcast_to(n_hi, shape),
-    ]
-    words = _block_words(init)  # 16 x uint32 [R, B]
+    words = _row_block_words(kw, stream_id, row0, n_rows)
 
     lo_parts, hi_parts = [], []
     for lane_shift in (0, 16):  # u16 lane l = 0, 1

@@ -72,17 +72,14 @@ def encode_grid_i8(pattern_bits, mask_bits, xp=jnp):
     return (m - xp.int8(2) * (p & m)).astype(xp.int8)
 
 
-def _share_split_device_jit(p, m, key, *, n_shares):
+def _share_split_device_jit(p, m, kw, row0, *, n_shares):
+    from mpc_iris_tpu.ops.chacha import share_rows
+
     bits_p = unpack_bits(p)
     bits_m = unpack_bits(m)
     enc = encode_grid_u16(bits_p, bits_m)
-    import jax
-
-    keys = jax.random.split(key, max(n_shares - 1, 1))
-    rand = [
-        jax.random.bits(keys[i], enc.shape, jnp.uint16)
-        for i in range(n_shares - 1)
-    ]
+    n = p.shape[0]
+    rand = [share_rows(kw, s, row0, n) for s in range(n_shares - 1)]
     total = enc
     for r in rand:
         total = total - r  # wrapping u16
@@ -92,33 +89,35 @@ def _share_split_device_jit(p, m, key, *, n_shares):
 _share_split_device_compiled = None
 
 
-def share_split_device(patterns_packed, masks_packed, n_shares: int, key):
+def share_split_device(patterns_packed, masks_packed, n_shares: int, key,
+                       row_offset: int = 0):
     """Device-side prepare: packed planes -> additive Z_2^16 shares.
 
-    TESTING/BENCHMARK ONLY: the TPU PRNG (threefry) is not a CSPRNG, so
-    shares produced here do not carry the reference's security property
-    (src/encoded_bits.rs:27-33 uses a ChaCha-based thread_rng). The CLI gates
-    this backend behind --insecure-seed; secure prepare goes through
-    native.share_split (C++ ChaCha20, 256-bit OS-entropy key).
-
-    One jit: unpack + ring-encode + n_shares-1 uniform u16 tensors from the
-    TPU PRNG + wrapping difference (reference share semantics,
+    Crypto-grade and BYTE-IDENTICAL to the host path: the n_shares-1 random
+    shares are the same addressable ChaCha20 streams (key, s, row) the C++
+    core writes (docs/SPEC.md §4.1; ops/chacha.py on-device keystream),
+    keyed by the same 32-byte ``key``. One jit: unpack + ring-encode +
+    keystream shares + wrapping difference (reference share semantics,
     src/encoded_bits.rs:22-38).
+
+    Args:
+      key: 32-byte ChaCha20 key (same as native.share_split).
+      row_offset: global DB row of the first template in this batch.
 
     Returns uint16 [n_shares, n, 12800] (device).
     """
+    from mpc_iris_tpu.ops.chacha import key_words
+
     global _share_split_device_compiled
     if _share_split_device_compiled is None:
-        import functools
-
         import jax
 
         _share_split_device_compiled = jax.jit(
             _share_split_device_jit, static_argnames=("n_shares",)
         )
     return _share_split_device_compiled(
-        jnp.asarray(patterns_packed), jnp.asarray(masks_packed), key,
-        n_shares=n_shares,
+        jnp.asarray(patterns_packed), jnp.asarray(masks_packed),
+        jnp.asarray(key_words(key)), row_offset, n_shares=n_shares,
     )
 
 

@@ -21,7 +21,15 @@ Typical party bring-up on an N-host pod slice:
     multihost.init_party(coordinator_address="10.0.0.1:9999",
                          num_processes=N, process_id=rank)
     mesh = make_mesh(db=len(jax.devices()))          # global devices
-    engine = ShardedShareEngine(local_share_rows, mesh)
+    shares = np.memmap("mpc.share-0", dtype=np.uint16, shape=(N_DB, 12800))
+    engine = ShardedShareEngine(shares, mesh)        # GLOBAL-indexed source
+
+The engines take the GLOBAL share/masks source (shared filesystem memmap or
+any [N, ...]-indexable) and each process reads ONLY its own
+`local_entry_spans` slices — other ranks' rows are never touched/paged. A
+host that must pre-fetch rows from remote storage should write them into a
+global-shaped sparse local file (filling just its spans) and hand that
+memmap to the engine; the engines do not accept rank-compacted arrays.
 
 Each party runs its own coordinator_address/port tuple; nothing is shared
 between parties except the protocol/ TCP endpoints.
@@ -65,10 +73,12 @@ def local_entry_spans(total_rows: int, chunk: int, mesh) -> list[tuple[int, int]
     """Contiguous [start, end) DB-row spans THIS process loads under the
     sharded engines' strided-by-chunk layout (one span per global block).
 
-    The engines already read only these spans when handed the full
+    The engines already read only these spans when handed the GLOBAL-indexed
     (memmap'd) source; this helper exists for callers that must *fetch* rows
-    from remote storage before construction. Empty/clamped spans at the DB
-    tail are omitted.
+    from remote storage first — write the fetched rows into a global-shaped
+    sparse local file at these offsets (the engines index globally; they do
+    not accept rank-compacted arrays). Empty/clamped spans at the DB tail
+    are omitted.
     """
     from mpc_iris_tpu.parallel.sharded import local_db_span
 

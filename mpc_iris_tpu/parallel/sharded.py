@@ -53,7 +53,10 @@ def local_db_span(mesh) -> tuple[int, int]:
     ``jax.devices()`` order (make_mesh); raises otherwise, since a
     process-interleaved axis has no contiguous local slab."""
     pid = jax.process_index()
-    grid = np.atleast_2d(mesh.devices)
+    # Locate the "db" axis by NAME — a mesh built with a different axis order
+    # (e.g. ("batch", "db")) must not silently span the wrong axis.
+    db_axis = mesh.axis_names.index("db")
+    grid = np.moveaxis(np.atleast_2d(mesh.devices), db_axis, 0)
     mine = [
         i for i in range(grid.shape[0])
         if any(d.process_index == pid for d in grid[i].flat)
@@ -352,11 +355,12 @@ class ShardedKeyedShareEngine(_ShardedBase):
     def __init__(self, key: bytes, stream_id: int, count: int, mesh,
                  chunk: int = DEFAULT_CHUNK):
         from mpc_iris_tpu.models.engines import kernel_self_test
-        from mpc_iris_tpu.ops.chacha import key_words, share_planes_natural
+        from mpc_iris_tpu.ops.chacha import (
+            check_stream_id, key_words, share_planes_natural,
+        )
 
         kernel_self_test()
-        if stream_id >= 0xFFFFFFFF:
-            raise ValueError("stream id must be a share index < 2^32-1")
+        stream_id = check_stream_id(stream_id)
         n = int(count)
         chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
         super().__init__(mesh, chunk)

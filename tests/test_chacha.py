@@ -210,3 +210,34 @@ def test_natural_planes_are_permuted_file_planes():
                   chacha.share_planes_natural(jnp.asarray(kw), 2, 5, 3))
     np.testing.assert_array_equal(lo_n, lo_f[:, pi])
     np.testing.assert_array_equal(hi_n, hi_f[:, pi])
+
+
+def test_stream_id_validation():
+    """Negative / rerandomize-reserved stream ids are rejected everywhere
+    (they would silently wrap to a wrong-but-well-formed keystream)."""
+    from mpc_iris_tpu.cli import _KeyedShareView
+    from mpc_iris_tpu.models import KeyedShareEngine
+
+    key = bytes(32)
+    for bad in (-1, 0xFFFFFFFF, 2**40):
+        with pytest.raises(ValueError, match="stream id"):
+            KeyedShareEngine(key, bad, 16)
+        with pytest.raises(ValueError, match="stream id"):
+            _KeyedShareView(key, bad, 16)
+
+
+def test_parse_keyed_spec_errors(tmp_path):
+    from mpc_iris_tpu.cli import parse_keyed_spec
+
+    kp = tmp_path / "k"
+    kp.write_text(bytes(range(32)).hex())
+    sid, count, key = parse_keyed_spec(f"keyed:1:4k:{kp}")
+    assert (sid, count, key) == (1, 4000, bytes(range(32)))  # SI: 4k = 4000
+    for bad in ("keyed:1:10", "keyed:-1:10:" + str(kp),
+                "keyed:1:bogus:" + str(kp), "keyed:1:10:/nonexistent"):
+        with pytest.raises(ValueError, match="keyed share spec"):
+            parse_keyed_spec(bad)
+    short = tmp_path / "short"
+    short.write_text("aabb")
+    with pytest.raises(ValueError, match="keyed share spec"):
+        parse_keyed_spec(f"keyed:1:10:{short}")

@@ -235,13 +235,11 @@ class TestShareSplitDevice:
         from mpc_iris_tpu.ops.encode import (
             encode_grid_u16, share_split_device, unpack_bits,
         )
-        import jax
 
+        key = bytes(range(32))
         pats = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
         msks = rng.integers(0, 256, (3, 1600), dtype=np.uint8)
-        shares = np.asarray(
-            share_split_device(pats, msks, 4, jax.random.key(9))
-        )
+        shares = np.asarray(share_split_device(pats, msks, 4, key))
         assert shares.shape == (4, 3, 12800)
         total = shares[0].copy()
         for s in shares[1:]:
@@ -252,3 +250,17 @@ class TestShareSplitDevice:
         np.testing.assert_array_equal(total, ref)
         # randomness sanity: the random shares are not degenerate
         assert len(np.unique(shares[0])) > 1000
+
+    def test_device_prepare_matches_host_prepare(self, rng):
+        """Device and host prepare are byte-identical for the same key
+        (both draw the SPEC section 4.1 addressable ChaCha20 streams)."""
+        from mpc_iris_tpu import native
+        from mpc_iris_tpu.ops.encode import share_split_device
+
+        key = native.derive_insecure_key(77)
+        pats = rng.integers(0, 256, (5, 1600), dtype=np.uint8)
+        msks = rng.integers(0, 256, (5, 1600), dtype=np.uint8)
+        dev = np.asarray(share_split_device(pats, msks, 3, key, row_offset=9))
+        enc = native.encode_u16_native(pats, msks)
+        host = native.share_split(enc, 3, key, row_offset=9)
+        np.testing.assert_array_equal(dev, np.asarray(host))
