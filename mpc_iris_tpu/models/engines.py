@@ -286,9 +286,9 @@ def _keyed_planes_chunk(kw, stream_id, row0, n_rows):
     """Regenerate one chunk's rows and return stacked int8 [2, n, K] lo/hi
     planes in NATURAL K order (for the keyed engine's resident head; pair
     with `_queries_to_natural_k`)."""
-    from mpc_iris_tpu.ops.chacha import share_planes_natural
+    from mpc_iris_tpu.ops.chacha import share_planes_auto
 
-    lo, hi = share_planes_natural(kw, stream_id, row0, n_rows)
+    lo, hi = share_planes_auto(kw, stream_id, row0, n_rows)
     return jnp.stack([lo, hi])
 
 
@@ -309,9 +309,9 @@ def _share_dots_chunk_keyed(q_nat, kw, stream_id, row0, n_rows):
     """Dot shares against rows REGENERATED on device from the share key:
     ChaCha20 -> natural-order planes -> matmuls, one dispatch, zero DB I/O.
     ``q_nat`` must be natural-K-order queries (`_queries_to_natural_k`)."""
-    from mpc_iris_tpu.ops.chacha import share_planes_natural
+    from mpc_iris_tpu.ops.chacha import share_planes_auto
 
-    lo, hi = share_planes_natural(kw, stream_id, row0, n_rows)
+    lo, hi = share_planes_auto(kw, stream_id, row0, n_rows)
     return _share_dots_chunk(q_nat, lo, hi)
 
 

@@ -181,6 +181,107 @@ def share_planes_natural(kw, stream_id, row0, n_rows: int):
             jnp.concatenate(hi_parts, axis=1))
 
 
+# ----------------------------------------------------- Pallas word generator
+# The XLA natural-plane path still pays a ~30 ms/32k-chunk lane interleave
+# (400-block parts never align to the 128-lane tiling). This kernel moves the
+# interleave into VMEM: each grid step computes a row tile's 16 word arrays
+# and stores them word-major into ONE u32 [tile_r, 6400] output block
+# (in-register lane rotations instead of XLA's through-memory concатs); the
+# remaining byte extraction in XLA is two ALIGNED 6400-offset concats.
+
+
+def _chacha_words_kernel(scal_ref, out_ref, *, tile_r):
+    import jax
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    kw = [scal_ref[k].astype(jnp.uint32) for k in range(8)]
+    sid = scal_ref[8].astype(jnp.uint32)
+    row0 = scal_ref[9].astype(jnp.uint32)
+
+    shape = (tile_r, BLOCKS_PER_ROW)
+    row_iota = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    base = row0 + jnp.uint32(i * tile_r)
+    rows = base + row_iota
+    # u64 nonce via u32 + carry (mirrors _row_block_words).
+    carry = (rows < row_iota).astype(jnp.uint32)
+    ctr = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+
+    init = [jnp.full(shape, jnp.uint32(c)) for c in _CONSTS]
+    init += [jnp.full(shape, w) for w in kw]
+    init += [ctr, jnp.full(shape, sid), rows, carry]
+    words = _block_words(init)
+    for w in range(16):
+        out_ref[:, w * BLOCKS_PER_ROW:(w + 1) * BLOCKS_PER_ROW] = words[w]
+
+
+def _words_pallas(kw, stream_id, row0, n_rows: int, tile_r: int = 64,
+                  interpret: bool = False):
+    """uint32 [n_rows, 16*400] word-major keystream via the Pallas kernel."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_rows % tile_r == 0, (n_rows, tile_r)
+    kw = np.asarray(kw) if not isinstance(kw, jnp.ndarray) else kw
+    scal = jnp.concatenate([
+        jnp.asarray(kw, jnp.uint32).astype(jnp.int32).reshape(8),
+        jnp.asarray([stream_id], jnp.int32),
+        jnp.asarray(row0, jnp.int32).reshape(1),
+    ])
+    kernel = functools.partial(_chacha_words_kernel, tile_r=tile_r)
+    out_spec = pl.BlockSpec(
+        (tile_r, 16 * BLOCKS_PER_ROW), lambda i, _s: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_rows // tile_r,),
+            in_specs=[],
+            out_specs=out_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 16 * BLOCKS_PER_ROW),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(scal)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_r", "interpret"))
+def share_planes_natural_pallas(kw, stream_id, row0, n_rows: int,
+                                tile_r: int = 64, interpret: bool = False):
+    """:func:`share_planes_natural` semantics (same natural K order /
+    k_permutation) with the word interleave done in the Pallas kernel."""
+    wordsx = _words_pallas(kw, stream_id, row0, n_rows, tile_r=tile_r,
+                           interpret=interpret)  # [R, 6400] u32, word-major
+    lo_parts, hi_parts = [], []
+    for lane_shift in (0, 16):  # aligned 6400-offset concat per lane
+        v = wordsx >> jnp.uint32(lane_shift)
+        lo_parts.append(
+            ((v & jnp.uint32(0xFF)).astype(jnp.int32) - 128).astype(jnp.int8)
+        )
+        hi_parts.append(
+            (((v >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.int32)
+             - 128).astype(jnp.int8)
+        )
+    return (jnp.concatenate(lo_parts, axis=1),
+            jnp.concatenate(hi_parts, axis=1))
+
+
+def share_planes_auto(kw, stream_id, row0, n_rows: int):
+    """Fastest natural-order plane generator for this backend: the Pallas
+    kernel on TPU (tile_r=128 measured 5.4x the XLA path; 256 exceeds VMEM),
+    the XLA emitter elsewhere / for ragged row counts. Identical output
+    order (k_permutation) either way."""
+    import jax
+
+    if jax.default_backend() == "tpu" and n_rows % 128 == 0:
+        return share_planes_natural_pallas(kw, stream_id, row0, n_rows,
+                                           tile_r=128)
+    return share_planes_natural(kw, stream_id, row0, n_rows)
+
+
 def keystream_bytes(key: bytes, counter: int, nonce12: bytes, nbytes: int) -> bytes:
     """Raw keystream for test pinning (mirrors native.chacha20_stream)."""
     kw = jnp.asarray(key_words(key))

@@ -356,7 +356,7 @@ class ShardedKeyedShareEngine(_ShardedBase):
                  chunk: int = DEFAULT_CHUNK):
         from mpc_iris_tpu.models.engines import kernel_self_test
         from mpc_iris_tpu.ops.chacha import (
-            check_stream_id, key_words, share_planes_natural,
+            check_stream_id, key_words, share_planes_auto,
         )
 
         kernel_self_test()
@@ -375,7 +375,7 @@ class ShardedKeyedShareEngine(_ShardedBase):
             row0 = (j * d + i) * chunk
             # Natural-K-order planes; queries arrive pre-permuted via
             # _q_transform (the dot is K-permutation invariant).
-            lo, hi = share_planes_natural(kw_, sid, row0, chunk)
+            lo, hi = share_planes_auto(kw_, sid, row0, chunk)
             return _share_dots_chunk(q_nat, lo, hi)
 
         self._kw = kw
