@@ -241,3 +241,21 @@ def test_parse_keyed_spec_errors(tmp_path):
     short.write_text("aabb")
     with pytest.raises(ValueError, match="keyed share spec"):
         parse_keyed_spec(f"keyed:1:10:{short}")
+
+
+def test_pallas_words_interpret_parity():
+    """The Pallas word generator (interpret mode here; the TPU build was
+    verified live) matches the XLA natural-plane emitter bit-for-bit —
+    including key words with the high bit set (the scalar-prefetch path
+    round-trips them through int32)."""
+    import jax.numpy as jnp
+
+    key = native.derive_insecure_key(12345)  # sha256 bytes: high bits set
+    assert any(b & 0x80 for b in key[3::4])  # ensure the wrap path is real
+    kw = jnp.asarray(chacha.key_words(key))
+    row0 = np.uint32(0xFFFFFF80)  # exercises the u32+carry nonce hi-word
+    ref = chacha.share_planes_natural(kw, 7, row0, 128)
+    pal = chacha.share_planes_natural_pallas(kw, 7, row0, 128,
+                                             interpret=True)
+    for a, b in zip(ref, pal):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
