@@ -69,6 +69,9 @@ def _ensure_share_file(path: str, entries: int):
 
 
 def main():
+    from mpc_iris_tpu.utils.config import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument(
         "--db", type=int, default=None,

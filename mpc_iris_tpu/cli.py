@@ -856,6 +856,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.threads > 0:
         os.environ["IRIS_NATIVE_THREADS"] = str(args.threads)
+    from mpc_iris_tpu.utils.config import enable_compile_cache
+
+    enable_compile_cache()  # repeat role startups compile in ~0s
     return args.fn(args)
 
 

@@ -26,3 +26,34 @@ def device_banner() -> str:
         f"JAX {jax.__version__} backend={devs[0].platform} "
         f"devices={len(devs)} ({', '.join(sorted(kinds))})"
     )
+
+
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Measured on this environment: a repeat XLA compile through the axon
+    tunnel drops from 71.6 s to 0.5 s. Caveat: compiles routed through the
+    axon REMOTE-compile helper (notably Mosaic kernels) bypass the local
+    cache, so role-startup savings here are partial; on standard TPU
+    deployments all executables cache. Called by the CLI, bench.py and the
+    TPU smoke; honors an explicit ``JAX_COMPILATION_CACHE_DIR``, defaults
+    to ``~/.cache/mpc-iris-tpu/jax``; set ``MPC_IRIS_NO_COMPILE_CACHE=1``
+    to disable. Returns the cache dir or None when disabled.
+    """
+    import os
+
+    if os.environ.get("MPC_IRIS_NO_COMPILE_CACHE"):
+        return None
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/mpc-iris-tpu/jax"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache everything that takes >=1s to compile (skip trivial entries).
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never block startup
+        return None
+    return path

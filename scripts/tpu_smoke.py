@@ -17,6 +17,10 @@ import numpy as np
 def main() -> int:
     import jax
 
+    from mpc_iris_tpu.utils.config import enable_compile_cache
+
+    enable_compile_cache()
+
     if jax.default_backend() != "tpu":
         print(f"WARNING: backend is {jax.default_backend()}, not tpu — this "
               "smoke only proves something on real hardware", file=sys.stderr)
