@@ -186,22 +186,15 @@ def main():
         eng = KeyedShareEngine(bytes(range(32)), 0, n, chunk=chunk)
         log(f"engine built in {time.monotonic() - t0:.0f}s; "
             f"{eng.resident_entries}/{n} entries resident")
-        fold = jax.jit(lambda x: x.astype(jnp.uint32).sum())
-
-        def run():
-            total = np.uint64(0)
-            for c in range(eng.num_chunks()):
-                total += np.asarray(fold(eng.dots_chunk(q_enc, c)))
-            return total
+        # ONE dispatch + ONE scalar fetch for the whole pass: the per-chunk
+        # dots_chunk loop pays ~54 ms of tunnel round trips per chunk (~40%
+        # of a 1M pass); the fused fold removes all of it.
+        fused = eng.fold_pass_fn()
+        run = lambda: np.asarray(fused(q_enc))
 
         # 2 share matmuls; ChaCha regen is elementwise VPU work not counted
         # as MACs (reported rate is end-to-end regardless).
         macs_per_pass = 2 * (31 * b) * n * BITS
-
-        def warm():
-            np.asarray(fold(eng.dots_chunk(q_enc, 0)))
-            if eng.num_chunks() > eng._n_resident:
-                np.asarray(fold(eng.dots_chunk(q_enc, eng.num_chunks() - 1)))
     elif share_resident and args.mode == "share":
         # random.bits avoids randint's int32 temporaries (4x the final footprint).
         gen = jax.jit(

@@ -655,11 +655,12 @@ class KeyedShareEngine:
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:
-            # The per-chunk regen dispatch holds ~3-4 GB of fused ChaCha
-            # working state + matmul output; leave that headroom out of the
-            # resident-plane budget (measured OOM at the full ShareEngine
-            # budget on a 16 GB v5e).
-            hbm_budget = max(0, default_hbm_budget() - (9 * (1 << 30)) // 2)
+            # The regen step holds ~2.5-3 GB of Pallas ChaCha working state +
+            # matmul output; leave that headroom out of the resident-plane
+            # budget. Measured on a 16 GB v5e (scripts/keyed_pass_probe.py,
+            # chunk 65536): 9.4 GiB resident compiles in seconds, 10.9 GiB
+            # takes 7 min (compiler at the memory edge), 12.5 GiB OOMs.
+            hbm_budget = max(0, default_hbm_budget() - 4 * (1 << 30))
         max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
         self._n_resident = min(self.num_chunks(), max_resident)
         self._resident = [
@@ -692,6 +693,49 @@ class KeyedShareEngine:
     # Same streaming surface as ShareEngine (participant/pipeline compatible).
     dots = ShareEngine.dots
     stream = ShareEngine.stream
+
+    def fold_pass_fn(self):
+        """Build a SINGLE-DISPATCH whole-DB checksum pass (bench/self-test).
+
+        The per-chunk `dots_chunk` loop pays one dispatch + one fetch round
+        trip per chunk (~54 ms each on the axon tunnel — ~40% of a 1M-entry
+        pass). This folds every chunk into one jitted call: the resident head
+        chunks are unrolled jit ARGUMENTS (closure capture would embed the
+        multi-GiB head as jaxpr constants — measured minutes of compile +
+        host copies; stacking would transiently double its HBM footprint) and
+        the tail regenerates inside a `lax.scan`. Returns
+        ``run(q_enc) -> uint32`` device checksum; the protocol path still
+        streams per-chunk outputs to the host instead (its egress IS the
+        product there).
+        """
+        n_tail = self.num_chunks() - self._n_resident
+        return functools.partial(
+            _keyed_fold_pass, kw=self._kw, sid=self._sid,
+            resident=tuple(self._resident), chunk=self.chunk, n_tail=n_tail,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_tail"))
+def _keyed_fold_pass(q_enc, *, kw, sid, resident, chunk: int, n_tail: int):
+    """One-dispatch keyed checksum pass: unrolled resident head (tuple of
+    [2, chunk, K] plane arrays, passed as real jit args) + `lax.scan` over the
+    regenerated tail. See KeyedShareEngine.fold_pass_fn."""
+    q_nat = _queries_to_natural_k(q_enc)
+    acc = jnp.uint32(0)
+    for planes in resident:
+        out = _share_dots_chunk(q_nat, planes[0], planes[1])
+        acc = acc + out.astype(jnp.uint32).sum()
+    n_res = len(resident)
+    if n_tail:
+        def tail_step(acc, t):
+            row0 = (n_res + t) * chunk
+            out = _share_dots_chunk_keyed(q_nat, kw, sid, row0, chunk)
+            return acc + out.astype(jnp.uint32).sum(), None
+
+        acc, _ = jax.lax.scan(
+            tail_step, acc, jnp.arange(n_tail, dtype=jnp.uint32)
+        )
+    return acc
 
 
 class MasksEngine:

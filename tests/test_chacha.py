@@ -109,6 +109,26 @@ def test_keyed_engine_matches_file_engine():
         )
 
 
+def test_keyed_fold_pass_matches_dots():
+    """fold_pass_fn (single-dispatch bench pass) checksum == uint32 sum of the
+    per-chunk dots stream, for pure-regen and resident+tail splits."""
+    from mpc_iris_tpu.models import KeyedShareEngine
+    from mpc_iris_tpu.models.engines import prepare_query_planes
+    from mpc_iris_tpu.types import Template
+
+    rng = np.random.default_rng(23)
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    key = native.derive_insecure_key(7)
+    # count chunk-aligned: the fused pass folds whole chunks (bench shapes).
+    for budget in (None, 2 * 12800 * 8, 0):
+        eng = KeyedShareEngine(key, 1, count=24, chunk=8, hbm_budget=budget)
+        q_enc, _ = prepare_query_planes(qpat, qmsk)
+        got = int(np.asarray(eng.fold_pass_fn()(q_enc)))
+        want = int(eng.dots(qpat, qmsk).astype(np.uint32).sum() & 0xFFFFFFFF)
+        assert got == want, (budget, got, want)
+
+
 def test_keyed_participant_protocol():
     """Full 3-party protocol where parties 0 and 1 are KEYED (no share files
     at all) and party 2 serves its file: winner == plaintext oracle."""
