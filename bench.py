@@ -78,7 +78,13 @@ def main():
         help="DB entries on this chip (default: 1048576 packed / 262144 dense "
         "modes — dense int8 storage for 1M entries would exceed HBM)",
     )
-    p.add_argument("--batch", type=int, default=256, help="queries per batch")
+    p.add_argument(
+        "--batch", type=int, default=None,
+        help="queries per batch (default: mode-tuned — 1536 packed / 512 "
+        "share-keyed / 256 otherwise; measured optima, see docs/RESULTS.md. "
+        "Larger batches amortize per-chunk fixed work until matmul "
+        "intermediates hit the HBM ceiling)",
+    )
     p.add_argument("--chunk", type=int, default=None,
                    help="DB chunk per scan step (default 32768; 65536 for "
                    "share-keyed — halves per-chunk dispatch overhead)")
@@ -121,6 +127,12 @@ def main():
         args.db = 262144 if args.mode in ("plaintext", "share") else 1048576
     if args.chunk is None:
         args.chunk = 65536 if args.mode == "share-keyed" else 32768
+    if args.batch is None:
+        # Measured batch-sweep optima (docs/RESULTS.md): the packed path keeps
+        # climbing to B=1536 (B=2048 forces a smaller chunk and regresses);
+        # the keyed share path peaks within HBM at 512; dense/plaintext and
+        # the streamed share path gain nothing past 256.
+        args.batch = {"packed": 1536, "share-keyed": 512}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "
