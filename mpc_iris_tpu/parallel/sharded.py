@@ -379,6 +379,7 @@ class ShardedKeyedShareEngine(_ShardedBase):
             return _share_dots_chunk(q_nat, lo, hi)
 
         self._kw = kw
+        self._sid = sid
         self._block_fn = jax.jit(
             shard_map(
                 spmd,
@@ -391,6 +392,42 @@ class ShardedKeyedShareEngine(_ShardedBase):
 
     def num_blocks(self) -> int:
         return self._g_blocks
+
+    def fold_pass_fn(self):
+        """Single-dispatch whole-DB checksum pass over the mesh (the sharded
+        analogue of KeyedShareEngine.fold_pass_fn): every device scans its own
+        regenerated chunks, partial checksums combine with one `psum` over
+        ``"db"``. Bench/self-test utility — the protocol path streams blocks.
+        """
+        from mpc_iris_tpu.models.engines import _queries_to_natural_k
+        from mpc_iris_tpu.ops.chacha import share_planes_auto
+
+        d, chunk, sid = self.n_shards, self.chunk, self._sid
+        g_blocks = self._g_blocks
+
+        def spmd(q_enc, kw_):
+            q_nat = _queries_to_natural_k(q_enc)
+            i = lax.axis_index("db").astype(jnp.int32)
+
+            def step(acc, j):
+                row0 = ((j * d + i) * chunk).astype(jnp.uint32)
+                lo, hi = share_planes_auto(kw_, sid, row0, chunk)
+                out = _share_dots_chunk(q_nat, lo, hi)
+                return acc + out.astype(jnp.uint32).sum(), None
+
+            acc, _ = lax.scan(
+                step, jnp.uint32(0), jnp.arange(g_blocks, dtype=jnp.int32)
+            )
+            return lax.psum(acc, "db")
+
+        fn = jax.jit(
+            shard_map(
+                spmd, mesh=self.mesh,
+                in_specs=(P(None, None, None), P(None)),
+                out_specs=P(), check_vma=False,
+            ),
+        )
+        return lambda q_enc: fn(q_enc, self._kw)
 
     def _q_transform(self, q_enc):
         from mpc_iris_tpu.models.engines import _queries_to_natural_k

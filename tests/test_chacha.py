@@ -195,6 +195,32 @@ def test_sharded_keyed_engine_matches_file(monkeypatch):
     np.testing.assert_array_equal(keyed.dots(qpat, qmsk), want)
 
 
+def test_sharded_keyed_fold_pass_matches_single_chip():
+    """Sharded fold_pass_fn (scan per shard + psum over "db") == the
+    single-chip KeyedShareEngine fold == uint32 sum of the dots stream,
+    for a chunk-and-mesh-aligned count (the fused passes fold whole chunks)."""
+    from mpc_iris_tpu.models import KeyedShareEngine
+    from mpc_iris_tpu.models.engines import prepare_query_planes
+    from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+    from mpc_iris_tpu.types import Template
+
+    rng = np.random.default_rng(37)
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    key = native.derive_insecure_key(11)
+    count = 32  # 4 shards x 2 global blocks x chunk 4
+
+    mesh = make_mesh(db=4, batch=2)
+    sharded = ShardedKeyedShareEngine(key, 0, count, mesh, chunk=4)
+    single = KeyedShareEngine(key, 0, count, chunk=4)
+    q_enc, _ = prepare_query_planes(qpat, qmsk)
+
+    got_sharded = int(np.asarray(sharded.fold_pass_fn()(q_enc)))
+    got_single = int(np.asarray(single.fold_pass_fn()(q_enc)))
+    want = int(single.dots(qpat, qmsk).astype(np.uint32).sum() & 0xFFFFFFFF)
+    assert got_sharded == got_single == want
+
+
 def test_keyed_share_view_matches_file(tmp_path):
     """cli._KeyedShareView (host-side lazy keyed share for decrypt) slices
     bit-identical rows to the prepared share file."""
