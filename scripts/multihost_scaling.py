@@ -22,7 +22,7 @@ import time
 
 
 def worker(rank: int, procs: int, port: int, rows_per_proc: int,
-           batch: int, iters: int) -> int:
+           batch: int, iters: int, engine: str) -> int:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -30,7 +30,7 @@ def worker(rank: int, procs: int, port: int, rows_per_proc: int,
     import numpy as np
 
     from mpc_iris_tpu.parallel import (
-        ShardedPlaintextEngine, make_mesh, multihost,
+        ShardedKeyedShareEngine, ShardedPlaintextEngine, make_mesh, multihost,
     )
 
     multihost.init_party(
@@ -45,34 +45,56 @@ def worker(rank: int, procs: int, port: int, rows_per_proc: int,
     qpat, qmsk = dpat[: batch].copy(), dmsk[: batch].copy()
 
     mesh = make_mesh(db=len(jax.devices()), batch=1)
-    eng = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=chunk,
-                                 storage="dense")
-    results = eng.match(qpat, qmsk)  # warm compile + correctness anchor
-    assert [r.index for r in results] == list(range(batch)), (
-        [r.index for r in results]
-    )
+    if engine == "keyed":
+        # Keyed party: NO data is loaded or moved anywhere — every process
+        # derives its rows from the 32-byte key (the purest weak-scaling
+        # shape: adding hosts adds DB capacity with zero bytes of traffic).
+        from mpc_iris_tpu.models.engines import prepare_query_planes
+
+        key = bytes(range(32))
+        eng = ShardedKeyedShareEngine(key, 0, n, mesh, chunk=chunk)
+        q_enc, _ = prepare_query_planes(qpat, qmsk)
+        run = eng.fold_pass_fn()
+        got = int(np.asarray(run(q_enc)))  # warm compile
+        if procs == 1:  # correctness anchor vs the single-chip engine
+            from mpc_iris_tpu.models import KeyedShareEngine
+
+            single = KeyedShareEngine(key, 0, n, chunk=chunk)
+            want = int(np.asarray(single.fold_pass_fn()(q_enc)))
+            assert got == want, (got, want)
+        step = lambda: np.asarray(run(q_enc))
+    else:
+        eng = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=chunk,
+                                     storage="dense")
+        results = eng.match(qpat, qmsk)  # warm compile + correctness anchor
+        assert [r.index for r in results] == list(range(batch)), (
+            [r.index for r in results]
+        )
+        step = lambda: eng.match(qpat, qmsk)
 
     t0 = time.monotonic()
     for _ in range(iters):
-        results = eng.match(qpat, qmsk)
+        step()
     dt = (time.monotonic() - t0) / iters
     if rank == 0:
         qe = batch * n / dt
         print(json.dumps({
-            "procs": procs, "global_rows": n, "batch": batch,
-            "pass_s": round(dt, 4), "query_entries_per_s": round(qe),
+            "engine": engine, "procs": procs, "global_rows": n,
+            "batch": batch, "pass_s": round(dt, 4),
+            "query_entries_per_s": round(qe),
         }), flush=True)
     return 0
 
 
-def run_world(procs: int, port: int, rows: int, batch: int, iters: int) -> int:
+def run_world(procs: int, port: int, rows: int, batch: int, iters: int,
+              engine: str) -> int:
     ps = []
     for r in range(procs):
         ps.append(subprocess.Popen(
             [sys.executable, __file__, "--procs", str(procs),
              "--port", str(port), "--rows-per-proc", str(rows),
              "--batch", str(batch), "--iters", str(iters),
-             "--rank", str(r)],
+             "--engine", engine, "--rank", str(r)],
         ))
     return max(p.wait() for p in ps)
 
@@ -83,6 +105,8 @@ def main():
     p.add_argument("--rows-per-proc", type=int, default=4096)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--engine", choices=["plaintext", "keyed"],
+                   default="plaintext")
     p.add_argument("--port", type=int, default=29411)
     p.add_argument("--procs", type=int, default=None, help="(internal)")
     p.add_argument("--rank", type=int, default=None, help="(internal)")
@@ -90,12 +114,12 @@ def main():
 
     if args.rank is not None:
         sys.exit(worker(args.rank, args.procs, args.port, args.rows_per_proc,
-                        args.batch, args.iters))
+                        args.batch, args.iters, args.engine))
 
     rc = 0
     for i, procs in enumerate(int(x) for x in args.procs_list.split(",")):
         rc = max(rc, run_world(procs, args.port + i, args.rows_per_proc,
-                               args.batch, args.iters))
+                               args.batch, args.iters, args.engine))
     sys.exit(rc)
 
 
