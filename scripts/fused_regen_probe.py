@@ -66,30 +66,25 @@ def _regen_subtile(kw, sid, row0, rows):
 
 
 def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
-                interpret=False):
+                vmem_mb=None, interleave=False, interpret=False):
     n_slabs = K // tile_k
     n_sub = tile_n // regen_rows
+    n_tiles = n_rows // tile_n
+    m_tiles = m_rows // tile_m
+    if interleave:
+        assert m_tiles >= n_sub, (
+            f"need >= {n_sub} m-steps to spread regen ({m_tiles})")
 
-    def kernel(scal_ref, q_ref, rs_ref, out_ref, lo_ref, hi_ref):
-        i = pl.program_id(0)  # n tile
-        j = pl.program_id(1)  # m tile (innermost)
-        kw = [scal_ref[k] for k in range(8)]
-        sid = scal_ref[8].astype(jnp.uint32)
-        row_base = scal_ref[9].astype(jnp.uint32) + jnp.uint32(i * tile_n)
+    def _regen_tile_sub(kw, sid, tile_row0, s, lo_ref, hi_ref):
+        lo, hi = _regen_subtile(
+            kw, sid, tile_row0 + jnp.uint32(s) * jnp.uint32(regen_rows),
+            regen_rows,
+        )
+        sl = pl.dslice(s * regen_rows, regen_rows)
+        lo_ref[sl, :] = lo
+        hi_ref[sl, :] = hi
 
-        @pl.when(j == 0)
-        def _():  # regenerate this n-tile's planes into VMEM scratch
-            def body(s, carry):
-                lo, hi = _regen_subtile(
-                    kw, sid, row_base + jnp.uint32(s * regen_rows), regen_rows
-                )
-                sl = pl.dslice(s * regen_rows, regen_rows)
-                lo_ref[sl, :] = lo
-                hi_ref[sl, :] = hi
-                return carry
-
-            jax.lax.fori_loop(0, n_sub, body, 0)
-
+    def _matmuls(q_ref, rs_ref, out_ref, lo_ref, hi_ref):
         def slab(s, acc):
             sl = pl.dslice(s * tile_k, tile_k)
             q = q_ref[:, sl]
@@ -109,6 +104,59 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         total = (d_lo + corr) + ((d_hi + corr) << 8)
         out_ref[...] = total.astype(jnp.uint16)
 
+    def kernel(scal_ref, q_ref, rs_ref, out_ref, lo_ref, hi_ref):
+        i = pl.program_id(0)  # n tile
+        j = pl.program_id(1)  # m tile (innermost)
+        kw = [scal_ref[k] for k in range(8)]
+        sid = scal_ref[8].astype(jnp.uint32)
+        row_base = scal_ref[9].astype(jnp.uint32) + jnp.uint32(i * tile_n)
+
+        @pl.when(j == 0)
+        def _():  # regenerate this n-tile's planes into VMEM scratch
+            def body(s, carry):
+                _regen_tile_sub(kw, sid, row_base, s, lo_ref, hi_ref)
+                return carry
+
+            jax.lax.fori_loop(0, n_sub, body, 0)
+
+        _matmuls(q_ref, rs_ref, out_ref, lo_ref, hi_ref)
+
+    def kernel_interleave(scal_ref, q_ref, rs_ref, out_ref,
+                          lo0_ref, hi0_ref, lo1_ref, hi1_ref):
+        # Software-pipelined: tile i's matmuls read scratch pair i%2 while
+        # m-steps j < n_sub regenerate ONE subtile of tile i+1 into pair
+        # (i+1)%2 — the regen (VPU) and the dots (MXU) inside a step are
+        # independent chains the Mosaic scheduler can overlap.
+        i = pl.program_id(0)  # n tile
+        j = pl.program_id(1)  # m tile (innermost)
+        kw = [scal_ref[k] for k in range(8)]
+        sid = scal_ref[8].astype(jnp.uint32)
+        row0 = scal_ref[9].astype(jnp.uint32)
+        pairs = ((lo0_ref, hi0_ref), (lo1_ref, hi1_ref))
+
+        @pl.when((i == 0) & (j == 0))
+        def _():  # prime: tile 0 fully into pair 0 (serial, once per call)
+            def body(s, carry):
+                _regen_tile_sub(kw, sid, row0, s, lo0_ref, hi0_ref)
+                return carry
+
+            jax.lax.fori_loop(0, n_sub, body, 0)
+
+        @pl.when((i < n_tiles - 1) & (j < n_sub))
+        def _():  # pipeline: subtile j of tile i+1 into the other pair
+            nxt = row0 + (jnp.uint32(i) + 1) * jnp.uint32(tile_n)
+            for par in range(2):
+
+                @pl.when((i + 1) % 2 == par)
+                def _():
+                    _regen_tile_sub(kw, sid, nxt, j, *pairs[par])
+
+        for par in range(2):
+
+            @pl.when(i % 2 == par)
+            def _():
+                _matmuls(q_ref, rs_ref, out_ref, *pairs[par])
+
     def run(q_nat, kw, sid, row0):
         scal = jnp.concatenate([
             jnp.asarray(kw, jnp.uint32).astype(jnp.int32).reshape(8),
@@ -118,8 +166,9 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         rowsum = q_nat.astype(jnp.int32).sum(axis=1, keepdims=True)
         rowsum = jnp.broadcast_to(rowsum, (m_rows, 128)).astype(jnp.int32)
         grid = (n_rows // tile_n, m_rows // tile_m)
+        n_scratch = 4 if interleave else 2
         return pl.pallas_call(
-            functools.partial(kernel),
+            kernel_interleave if interleave else kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
@@ -133,9 +182,12 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
                     (tile_m, tile_n), lambda i, j, _s: (j, i),
                     memory_space=pltpu.VMEM,
                 ),
-                scratch_shapes=[pltpu.VMEM((tile_n, K), jnp.int8)] * 2,
+                scratch_shapes=[pltpu.VMEM((tile_n, K), jnp.int8)] * n_scratch,
             ),
             out_shape=jax.ShapeDtypeStruct((m_rows, n_rows), jnp.uint16),
+            compiler_params=None if vmem_mb is None else pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024
+            ),
             interpret=interpret,
         )(scal, q_nat, rowsum)
 
@@ -152,14 +204,15 @@ def check():
     kw = jnp.asarray(key_words(bytes(range(32))))
     sid, row0 = 1, 7 * 256
 
-    fn = make_kernel(m_rows, n_rows, tile_m=8, tile_n=128, tile_k=1600,
-                     interpret=True)
-    got = np.asarray(fn(q, kw, sid, row0))
-
     lo, hi = share_planes_natural(kw, sid, row0, n_rows)
     want = np.asarray(dot_share_batch(q, lo, hi))
-    np.testing.assert_array_equal(got, want)
-    print("fused regen+matmul kernel == reference path (interpret mode)")
+    for interleave in (False, True):
+        fn = make_kernel(m_rows, n_rows, tile_m=8, tile_n=64, tile_k=1600,
+                         regen_rows=32, interleave=interleave, interpret=True)
+        got = np.asarray(fn(q, kw, sid, row0))
+        np.testing.assert_array_equal(got, want)
+        print(f"fused regen+matmul kernel (interleave={interleave}) "
+              "== reference path (interpret mode)")
 
 
 def main():
@@ -171,6 +224,11 @@ def main():
     p.add_argument("--tile-n", type=int, default=1024)
     p.add_argument("--tile-k", type=int, default=1600)
     p.add_argument("--regen-rows", type=int, default=128)
+    p.add_argument("--vmem-mb", type=int, default=None,
+                   help="raise the Mosaic scoped-VMEM limit (default 16)")
+    p.add_argument("--interleave", action="store_true",
+                   help="software-pipelined variant: regen tile i+1 during "
+                   "tile i's matmul steps (double-buffered scratch)")
     args = p.parse_args()
 
     if args.check:
@@ -186,7 +244,8 @@ def main():
     kw = jnp.asarray(key_words(bytes(range(32))))
 
     fn = make_kernel(m_rows, args.rows, args.tile_m, args.tile_n,
-                     args.tile_k, regen_rows=args.regen_rows)
+                     args.tile_k, regen_rows=args.regen_rows,
+                     vmem_mb=args.vmem_mb, interleave=args.interleave)
     fold = jax.jit(lambda q, kw: fn(q, kw, 0, 0).astype(jnp.uint32).sum())
     s = int(np.asarray(fold(q, kw)))  # compile + sync + sanity
     ts = []
@@ -197,7 +256,8 @@ def main():
     dt = min(ts) - 0.027
     macs = 2 * m_rows * args.rows * K
     cmps = (m_rows // 31) * args.rows * 31
-    print(f"tiles m{args.tile_m} n{args.tile_n} k{args.tile_k}: "
+    tag = "interleave" if args.interleave else "serial"
+    print(f"{tag} tiles m{args.tile_m} n{args.tile_n} k{args.tile_k}: "
           f"{dt*1e3:.1f}ms  {macs/dt/1e12:.0f} TMAC/s  "
           f"{cmps/dt:.2e} cmp/s  (checksum {s})", flush=True)
 
