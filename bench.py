@@ -195,7 +195,8 @@ def main():
 
         log("building KeyedShareEngine (resident head regenerates once)...")
         t0 = time.monotonic()
-        eng = KeyedShareEngine(bytes(range(32)), 0, n, chunk=chunk)
+        eng = KeyedShareEngine(bytes(range(32)), 0, n, chunk=chunk,
+                               batch_hint=b)
         log(f"engine built in {time.monotonic() - t0:.0f}s; "
             f"{eng.resident_entries}/{n} entries resident")
         # ONE dispatch + ONE scalar fetch for the whole pass: the per-chunk

@@ -641,12 +641,20 @@ class KeyedShareEngine:
     """
 
     def __init__(self, key: bytes, stream_id: int, count: int,
-                 chunk: int = DEFAULT_CHUNK, hbm_budget: int | None = None):
+                 chunk: int = DEFAULT_CHUNK, hbm_budget: int | None = None,
+                 batch_hint: int = 512):
         """hbm_budget: device bytes for a RESIDENT head of pre-regenerated
-        lo/hi planes (default = ShareEngine's budget). Head chunks pay the
-        ChaCha cost once at construction; only the tail regenerates per
-        query batch — the keyed analogue of ShareEngine's resident/streamed
-        split, except the 'streaming' is on-device compute, not host I/O."""
+        lo/hi planes (default = ShareEngine's budget minus a batch-scaled
+        workspace headroom). Head chunks pay the ChaCha cost once at
+        construction; only the tail regenerates per query batch — the keyed
+        analogue of ShareEngine's resident/streamed split, except the
+        'streaming' is on-device compute, not host I/O.
+
+        batch_hint: largest query batch this engine will serve. The pass's
+        transient workspace (Pallas ChaCha state + int32 dot blocks + the
+        uint16 reply block) grows with B·chunk, so larger batches need more
+        headroom carved out of the resident-plane budget (ignored when an
+        explicit hbm_budget is given)."""
         from mpc_iris_tpu.ops.chacha import check_stream_id, key_words
 
         kernel_self_test()
@@ -655,12 +663,16 @@ class KeyedShareEngine:
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:
-            # The regen step holds ~2.5-3 GB of Pallas ChaCha working state +
-            # matmul output; leave that headroom out of the resident-plane
-            # budget. Measured on a 16 GB v5e (scripts/keyed_pass_probe.py,
-            # chunk 65536): 9.4 GiB resident compiles in seconds, 10.9 GiB
-            # takes 7 min (compiler at the memory edge), 12.5 GiB OOMs.
-            hbm_budget = max(0, default_hbm_budget() - 4 * (1 << 30))
+            # The regen step holds ~2.5-3 GB of Pallas ChaCha working state
+            # plus per-chunk dot/reply blocks that scale with B·chunk; leave
+            # that headroom out of the resident-plane budget. Measured on a
+            # 16 GB v5e (scripts/keyed_pass_probe.py, chunk 65536, B=256):
+            # 9.4 GiB resident compiles in seconds, 10.9 GiB takes 7 min
+            # (compiler at the memory edge), 12.5 GiB OOMs; at B=1024 the
+            # XLA program workspace alone measures 6.2 GiB (4 GiB fixed
+            # headroom OOMs — hence the batch-scaled term).
+            workspace = 3 * (1 << 30) + N_ROTATIONS * batch_hint * self.chunk
+            hbm_budget = max(0, default_hbm_budget() - max(4 * (1 << 30), workspace))
         max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
         self._n_resident = min(self.num_chunks(), max_resident)
         self._resident = [

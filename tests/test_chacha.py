@@ -129,6 +129,32 @@ def test_keyed_fold_pass_matches_dots():
         assert got == want, (budget, got, want)
 
 
+def test_keyed_batch_hint_scales_headroom(monkeypatch):
+    """A larger batch_hint reserves more workspace headroom out of the
+    default resident budget (prevents the measured B=1024 pass OOM), and the
+    engine stays bit-identical regardless of the resident split."""
+    from mpc_iris_tpu.models import KeyedShareEngine
+    from mpc_iris_tpu.types import Template
+
+    # Budget = 4 GiB floor headroom + exactly 2 chunks of resident planes.
+    monkeypatch.setenv(
+        "MPC_IRIS_HBM_BUDGET", str(4 * (1 << 30) + 2 * (2 * 12800 * 8))
+    )
+    key = native.derive_insecure_key(11)
+    small = KeyedShareEngine(key, 0, count=24, chunk=8, batch_hint=1)
+    assert small.resident_entries == 16
+    # 31 * batch_hint * chunk beyond the 4 GiB floor evicts the head.
+    huge = KeyedShareEngine(key, 0, count=24, chunk=8, batch_hint=2**27)
+    assert huge.resident_entries == 0
+
+    rng = np.random.default_rng(5)
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    np.testing.assert_array_equal(
+        small.dots(qpat, qmsk), huge.dots(qpat, qmsk)
+    )
+
+
 def test_keyed_participant_protocol():
     """Full 3-party protocol where parties 0 and 1 are KEYED (no share files
     at all) and party 2 serves its file: winner == plaintext oracle."""
