@@ -720,6 +720,13 @@ class KeyedShareEngine:
         streams per-chunk outputs to the host instead (its egress IS the
         product there).
         """
+        if self.num_chunks() * self.chunk != self.count:
+            raise ValueError(
+                f"fold_pass_fn folds whole chunks: count={self.count} is not "
+                f"a multiple of chunk={self.chunk} (the checksum would "
+                "include phantom padding rows); use dots()/stream() for "
+                "ragged row counts"
+            )
         n_tail = self.num_chunks() - self._n_resident
         return functools.partial(
             _keyed_fold_pass, kw=self._kw, sid=self._sid,

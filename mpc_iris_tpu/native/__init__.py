@@ -23,9 +23,23 @@ import numpy as np
 
 from mpc_iris_tpu.constants import BITS, BITS_BYTES
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "iris_codec.cpp")
-_SO = os.path.join(_REPO_ROOT, "native", "build", "libiris_codec.so")
+# The C++ source ships INSIDE the package (pyproject package-data) so pip
+# installs can still compile it; `native/iris_codec.cpp` at the repo root is
+# a symlink here. Build output goes next to the source when that directory
+# is writable (repo checkout), else to a per-user cache (read-only
+# site-packages).
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "iris_codec.cpp")
+
+
+def _build_dir() -> str:
+    if os.access(_PKG_DIR, os.W_OK):
+        return os.path.join(_PKG_DIR, "build")
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    return os.path.join(cache, "mpc-iris-tpu", "native-build")
+
+
+_SO = os.path.join(_build_dir(), "libiris_codec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -44,7 +58,8 @@ def _build() -> bool:
         return True
     try:
         subprocess.run(
-            ["make", "-C", os.path.dirname(_SRC)],
+            ["make", "-C", os.path.dirname(_SRC),
+             f"BUILD={os.path.dirname(_SO)}"],
             check=True,
             capture_output=True,
             timeout=300,

@@ -201,10 +201,13 @@ def _chacha_words_kernel(scal_ref, out_ref, *, tile_r):
 
     shape = (tile_r, BLOCKS_PER_ROW)
     row_iota = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    base = row0 + jnp.uint32(i * tile_r)
-    rows = base + row_iota
-    # u64 nonce via u32 + carry (mirrors _row_block_words).
-    carry = (rows < row_iota).astype(jnp.uint32)
+    # u64 nonce via u32 + carry (mirrors _row_block_words): the carry must
+    # compare against the GLOBAL offset from row0 (tile base + iota), not the
+    # per-tile iota alone — otherwise any tile whose base already wrapped past
+    # 2^32 emits nonce-hi = 0 and diverges from the XLA oracle.
+    off = jnp.uint32(i * tile_r) + row_iota
+    rows = row0 + off
+    carry = (rows < off).astype(jnp.uint32)
     ctr = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
 
     init = [jnp.full(shape, jnp.uint32(c)) for c in _CONSTS]
@@ -224,10 +227,16 @@ def _words_pallas(kw, stream_id, row0, n_rows: int, tile_r: int = 64,
 
     assert n_rows % tile_r == 0, (n_rows, tile_r)
     kw = np.asarray(kw) if not isinstance(kw, jnp.ndarray) else kw
+    # Route every scalar through uint32 + bitcast: sid/row0 are valid up to
+    # 2^32-2 / 2^32-1 and a direct int32 asarray raises OverflowError for
+    # concrete Python ints >= 2^31 (the XLA path accepts the full range).
+    as_i32 = lambda v: jax.lax.bitcast_convert_type(
+        jnp.asarray(v, jnp.uint32).reshape(-1), jnp.int32
+    )
     scal = jnp.concatenate([
-        jnp.asarray(kw, jnp.uint32).astype(jnp.int32).reshape(8),
-        jnp.asarray([stream_id], jnp.int32),
-        jnp.asarray(row0, jnp.int32).reshape(1),
+        as_i32(jnp.asarray(kw, jnp.uint32).reshape(8)),
+        as_i32(stream_id),
+        as_i32(row0),
     ])
     kernel = functools.partial(_chacha_words_kernel, tile_r=tile_r)
     out_spec = pl.BlockSpec(

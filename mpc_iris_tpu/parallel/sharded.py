@@ -404,6 +404,13 @@ class ShardedKeyedShareEngine(_ShardedBase):
 
         d, chunk, sid = self.n_shards, self.chunk, self._sid
         g_blocks = self._g_blocks
+        if g_blocks * d * chunk != self.count:
+            raise ValueError(
+                f"fold_pass_fn folds whole per-shard chunks: count="
+                f"{self.count} != {g_blocks}x{d}x{chunk} (the checksum would "
+                "include phantom padding rows); use a chunk*n_shards-aligned "
+                "count or the streaming path"
+            )
 
         def spmd(q_enc, kw_):
             q_nat = _queries_to_natural_k(q_enc)

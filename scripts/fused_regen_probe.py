@@ -40,13 +40,17 @@ from mpc_iris_tpu.ops.chacha import _CONSTS, _block_words, BLOCKS_PER_ROW
 K = BITS  # 12,800 natural-order u16 lanes per row
 
 
-def _regen_subtile(kw, sid, row0, rows):
-    """ChaCha planes for `rows` consecutive rows -> (lo, hi) int8 [rows, K]
-    in natural K order (mirrors ops.chacha word-major layout in registers)."""
+def _regen_subtile(kw, sid, row0, off0, rows):
+    """ChaCha planes for `rows` consecutive rows at global offset off0 from
+    row0 -> (lo, hi) int8 [rows, K] in natural K order (mirrors ops.chacha
+    word-major layout in registers). The u64-nonce carry must compare
+    against the GLOBAL offset (off0 + iota), so row0 and the offset are
+    threaded separately instead of pre-adding them at the call site."""
     shape = (rows, BLOCKS_PER_ROW)
     row_iota = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    r = row0 + row_iota
-    carry = (r < row_iota).astype(jnp.uint32)
+    off = off0 + row_iota
+    r = row0 + off
+    carry = (r < off).astype(jnp.uint32)
     ctr = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     init = [jnp.full(shape, jnp.uint32(c)) for c in _CONSTS]
     init += [jnp.full(shape, kw[k].astype(jnp.uint32)) for k in range(8)]
@@ -75,9 +79,10 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         assert m_tiles >= n_sub, (
             f"need >= {n_sub} m-steps to spread regen ({m_tiles})")
 
-    def _regen_tile_sub(kw, sid, tile_row0, s, lo_ref, hi_ref):
+    def _regen_tile_sub(kw, sid, row0, tile_off, s, lo_ref, hi_ref):
         lo, hi = _regen_subtile(
-            kw, sid, tile_row0 + jnp.uint32(s) * jnp.uint32(regen_rows),
+            kw, sid, row0,
+            tile_off + jnp.uint32(s) * jnp.uint32(regen_rows),
             regen_rows,
         )
         sl = pl.dslice(s * regen_rows, regen_rows)
@@ -109,12 +114,13 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         j = pl.program_id(1)  # m tile (innermost)
         kw = [scal_ref[k] for k in range(8)]
         sid = scal_ref[8].astype(jnp.uint32)
-        row_base = scal_ref[9].astype(jnp.uint32) + jnp.uint32(i * tile_n)
+        row0 = scal_ref[9].astype(jnp.uint32)
+        tile_off = jnp.uint32(i * tile_n)
 
         @pl.when(j == 0)
         def _():  # regenerate this n-tile's planes into VMEM scratch
             def body(s, carry):
-                _regen_tile_sub(kw, sid, row_base, s, lo_ref, hi_ref)
+                _regen_tile_sub(kw, sid, row0, tile_off, s, lo_ref, hi_ref)
                 return carry
 
             jax.lax.fori_loop(0, n_sub, body, 0)
@@ -137,19 +143,20 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         @pl.when((i == 0) & (j == 0))
         def _():  # prime: tile 0 fully into pair 0 (serial, once per call)
             def body(s, carry):
-                _regen_tile_sub(kw, sid, row0, s, lo0_ref, hi0_ref)
+                _regen_tile_sub(kw, sid, row0, jnp.uint32(0), s,
+                                lo0_ref, hi0_ref)
                 return carry
 
             jax.lax.fori_loop(0, n_sub, body, 0)
 
         @pl.when((i < n_tiles - 1) & (j < n_sub))
         def _():  # pipeline: subtile j of tile i+1 into the other pair
-            nxt = row0 + (jnp.uint32(i) + 1) * jnp.uint32(tile_n)
+            nxt_off = (jnp.uint32(i) + 1) * jnp.uint32(tile_n)
             for par in range(2):
 
                 @pl.when((i + 1) % 2 == par)
                 def _():
-                    _regen_tile_sub(kw, sid, nxt, j, *pairs[par])
+                    _regen_tile_sub(kw, sid, row0, nxt_off, j, *pairs[par])
 
         for par in range(2):
 
@@ -158,10 +165,12 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
                 _matmuls(q_ref, rs_ref, out_ref, *pairs[par])
 
     def run(q_nat, kw, sid, row0):
+        as_i32 = lambda v: jax.lax.bitcast_convert_type(
+            jnp.asarray(v, jnp.uint32).reshape(-1), jnp.int32
+        )
         scal = jnp.concatenate([
-            jnp.asarray(kw, jnp.uint32).astype(jnp.int32).reshape(8),
-            jnp.asarray([sid], jnp.int32),
-            jnp.asarray(row0, jnp.int32).reshape(1),
+            as_i32(jnp.asarray(kw, jnp.uint32).reshape(8)),
+            as_i32(sid), as_i32(row0),
         ])
         rowsum = q_nat.astype(jnp.int32).sum(axis=1, keepdims=True)
         rowsum = jnp.broadcast_to(rowsum, (m_rows, 128)).astype(jnp.int32)

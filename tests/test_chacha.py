@@ -315,19 +315,28 @@ def test_parse_keyed_spec_errors(tmp_path):
         parse_keyed_spec(f"keyed:1:10:{short}")
 
 
-def test_pallas_words_interpret_parity():
+@pytest.mark.parametrize("row0", [
+    0xFFFFFF80,  # reaches 0xFFFFFFFF exactly; no wrap (carry stays 0)
+    0xFFFFFFC0,  # tile 1's BASE wraps past 2^32 (whole-tile carry = 1)
+    0xFFFFFFF0,  # wrap mid-tile 0 (carry flips inside one tile)
+])
+def test_pallas_words_interpret_parity(row0):
     """The Pallas word generator (interpret mode here; the TPU build was
     verified live) matches the XLA natural-plane emitter bit-for-bit —
     including key words with the high bit set (the scalar-prefetch path
-    round-trips them through int32)."""
+    round-trips them through int32), the max valid uint32 stream id (>= 2^31,
+    which a naive int32 conversion rejects), and u64-nonce carry at all three
+    positions: none, at a tile base, and mid-tile. The tile-base case is the
+    regression for the kernel carry comparing against the per-tile iota
+    instead of the global row offset."""
     import jax.numpy as jnp
 
     key = native.derive_insecure_key(12345)  # sha256 bytes: high bits set
     assert any(b & 0x80 for b in key[3::4])  # ensure the wrap path is real
     kw = jnp.asarray(chacha.key_words(key))
-    row0 = np.uint32(0xFFFFFF80)  # exercises the u32+carry nonce hi-word
-    ref = chacha.share_planes_natural(kw, 7, row0, 128)
-    pal = chacha.share_planes_natural_pallas(kw, 7, row0, 128,
-                                             interpret=True)
+    sid = np.uint32(0xFFFFFFFE)  # max valid share stream id (SPEC §4.1)
+    ref = chacha.share_planes_natural(kw, sid, np.uint32(row0), 128)
+    pal = chacha.share_planes_natural_pallas(kw, sid, np.uint32(row0),
+                                             128, interpret=True)
     for a, b in zip(ref, pal):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
