@@ -213,15 +213,20 @@ def check():
     kw = jnp.asarray(key_words(bytes(range(32))))
     sid, row0 = 1, 7 * 256
 
-    lo, hi = share_planes_natural(kw, sid, row0, n_rows)
-    want = np.asarray(dot_share_batch(q, lo, hi))
-    for interleave in (False, True):
-        fn = make_kernel(m_rows, n_rows, tile_m=8, tile_n=64, tile_k=1600,
-                         regen_rows=32, interleave=interleave, interpret=True)
-        got = np.asarray(fn(q, kw, sid, row0))
-        np.testing.assert_array_equal(got, want)
-        print(f"fused regen+matmul kernel (interleave={interleave}) "
-              "== reference path (interpret mode)")
+    # Second case: row0 near 2^32 so the u64-nonce carry flips mid-range —
+    # regression for the carry comparing against the local iota instead of
+    # the global offset from row0.
+    for row0_case in (row0, np.uint32(0xFFFFFF90)):
+        lo, hi = share_planes_natural(kw, sid, np.uint32(row0_case), n_rows)
+        want = np.asarray(dot_share_batch(q, lo, hi))
+        for interleave in (False, True):
+            fn = make_kernel(m_rows, n_rows, tile_m=8, tile_n=64, tile_k=1600,
+                             regen_rows=32, interleave=interleave,
+                             interpret=True)
+            got = np.asarray(fn(q, kw, sid, row0_case))
+            np.testing.assert_array_equal(got, want)
+            print(f"fused regen+matmul kernel (interleave={interleave}, "
+                  f"row0={int(row0_case):#x}) == reference path (interpret)")
 
 
 def main():
