@@ -247,6 +247,21 @@ def test_sharded_keyed_fold_pass_matches_single_chip():
     assert got_sharded == got_single == want
 
 
+def test_fold_pass_rejects_ragged_counts():
+    """fold_pass_fn folds whole chunks; a count that is not chunk-aligned
+    (single-chip) or chunk*n_shards-aligned (sharded) must raise instead of
+    silently folding phantom padding rows into the checksum."""
+    from mpc_iris_tpu.models import KeyedShareEngine
+    from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+
+    key = native.derive_insecure_key(17)
+    with pytest.raises(ValueError, match="phantom"):
+        KeyedShareEngine(key, 0, count=21, chunk=8).fold_pass_fn()
+    mesh = make_mesh(db=4, batch=2)
+    with pytest.raises(ValueError, match="phantom"):
+        ShardedKeyedShareEngine(key, 0, 36, mesh, chunk=4).fold_pass_fn()
+
+
 def test_keyed_share_view_matches_file(tmp_path):
     """cli._KeyedShareView (host-side lazy keyed share for decrypt) slices
     bit-identical rows to the prepared share file."""
