@@ -81,6 +81,33 @@ def main() -> int:
     assert d_mpc == d_ref, (d_mpc, d_ref)
     print(f"[4] 2-party reconstruction == scalar oracle OK "
           f"({time.monotonic()-t0:.0f}s)")
+
+    # 5. keyed path: the Mosaic ChaCha word generator == the XLA emitter on
+    # device, including a row0 near 2^32 (u64-nonce carry at a tile base —
+    # the CPU suite only exercises this kernel in interpret mode), and a
+    # KeyedShareEngine's dots == a ShareEngine fed the regenerated rows.
+    import jax.numpy as jnp
+
+    from mpc_iris_tpu import native
+    from mpc_iris_tpu.models.engines import KeyedShareEngine
+    from mpc_iris_tpu.ops import chacha
+
+    key = native.derive_insecure_key(12345)
+    kw = jnp.asarray(chacha.key_words(key))
+    for row0 in (np.uint32(0), np.uint32(0xFFFFFFC0)):
+        ref = chacha.share_planes_natural(kw, np.uint32(3), row0, 256)
+        pal = chacha.share_planes_natural_pallas(kw, np.uint32(3), row0, 256,
+                                                 tile_r=128)
+        for a, c in zip(ref, pal):
+            assert np.array_equal(np.asarray(a), np.asarray(c)), (
+                f"Mosaic ChaCha != XLA at row0={int(row0):#x}")
+    keyed = KeyedShareEngine(key, 0, count=256, chunk=128)
+    rows = np.asarray(chacha.share_rows(kw, np.uint32(0), np.uint32(0), 256))
+    file_eng = ShareEngine(rows, chunk=128)
+    assert np.array_equal(keyed.dots(qpat[:2], qmsk[:2]),
+                          file_eng.dots(qpat[:2], qmsk[:2])), "keyed != file"
+    print(f"[5] Mosaic ChaCha == XLA (incl. nonce wrap); keyed == file "
+          f"engine OK ({time.monotonic()-t0:.0f}s)")
     print("TPU smoke: ALL OK")
     return 0
 
