@@ -279,11 +279,21 @@ def cmd_rerandomize(args) -> int:
     pairs = []
     for spec in args.pair:
         j_s, _, key_s = spec.partition(":")
-        key_int = int(key_s, 0)
-        if not 0 <= key_int < 2**256:
-            print(f"error: pair key {j_s}:... exceeds 256 bits", file=sys.stderr)
-            return 1
-        pairs.append((int(j_s), key_int.to_bytes(32, "little")))
+        if key_s.startswith("@"):  # hex keyfile, e.g. `pair-key --out` output
+            with open(key_s[1:]) as f:
+                key_bytes = bytes.fromhex(f.read().strip())
+            if len(key_bytes) != 32:
+                print(f"error: pair keyfile {key_s[1:]} must hold 32 hex-"
+                      f"encoded bytes, got {len(key_bytes)}", file=sys.stderr)
+                return 1
+        else:
+            key_int = int(key_s, 0)
+            if not 0 <= key_int < 2**256:
+                print(f"error: pair key {j_s}:... exceeds 256 bits",
+                      file=sys.stderr)
+                return 1
+            key_bytes = key_int.to_bytes(32, "little")
+        pairs.append((int(j_s), key_bytes))
     if not pairs:
         print("error: at least one --pair J:KEY is required", file=sys.stderr)
         return 1
@@ -313,6 +323,52 @@ def cmd_rerandomize(args) -> int:
     os.replace(tmp_path, out_path)
     progress.finish()
     print(f"rerandomized {n} shares -> {out_path}", file=sys.stderr)
+    return 0
+
+
+# ------------------------------------------------------------------ key agreement
+
+
+def cmd_keygen(args) -> int:
+    """Generate an X25519 re-randomization identity (spec future-work "DH"
+    half; protocol/keyagree.py). Writes the private key to PATH (hex, 0600)
+    and the public key to PATH.pub, and prints the public key to share with
+    the other parties out of band."""
+    from mpc_iris_tpu.protocol import keyagree
+
+    try:
+        pub = keyagree.generate_identity(args.output)
+    except (RuntimeError, FileExistsError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(f"identity written to {args.output} (public: {args.output}.pub)",
+          file=sys.stderr)
+    print(pub.hex())
+    return 0
+
+
+def cmd_pair_key(args) -> int:
+    """Derive the 256-bit pairwise stream key shared with one peer from my
+    X25519 identity and the peer's public key — both sides derive the SAME
+    key (keyagree.derive_pair_key), ready for `rerandomize --pair J:KEY`."""
+    from mpc_iris_tpu.protocol import keyagree
+
+    try:
+        peer = keyagree.parse_public(args.peer_public)
+        key = keyagree.derive_pair_key(
+            args.identity, peer, context=args.context.encode()
+        )
+    except (RuntimeError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if args.out:
+        fd = os.open(args.out, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        with os.fdopen(fd, "w") as f:
+            f.write(key.hex() + "\n")
+        print(f"pair key written to {args.out}; use "
+              f"rerandomize --pair J:@{args.out}", file=sys.stderr)
+    else:
+        print(f"0x{int.from_bytes(key, 'little'):064x}")
     return 0
 
 
@@ -743,6 +799,31 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", default=None, help="write here instead of in place")
     g.add_argument("--batch", type=int, default=1000)
     g.set_defaults(fn=cmd_rerandomize)
+
+    g = sub.add_parser(
+        "keygen",
+        help="generate an X25519 identity for pairwise key agreement "
+        "(the DH half of the spec's re-randomization sketch)",
+    )
+    g.add_argument("output", help="private-key path (hex, mode 0600); the "
+                   "public key lands at <output>.pub")
+    g.set_defaults(fn=cmd_keygen)
+
+    g = sub.add_parser(
+        "pair-key",
+        help="derive the shared 256-bit rerandomize pair key from my "
+        "identity + a peer's public key (both sides derive the same key)",
+    )
+    g.add_argument("identity", help="my private key (from keygen)")
+    g.add_argument("peer_public", help="peer public key: 64 hex chars or a "
+                   ".pub file path")
+    g.add_argument("--context", default="",
+                   help="domain-separation label (e.g. a refresh round id); "
+                   "must match on both sides")
+    g.add_argument("--out", default=None, metavar="PATH",
+                   help="write the key as a hex keyfile (mode 0600) instead "
+                   "of printing it; pass as rerandomize --pair J:@PATH")
+    g.set_defaults(fn=cmd_pair_key)
 
     g = sub.add_parser("participant", help="start share-holding participant server")
     g.add_argument(
