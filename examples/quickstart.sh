@@ -45,10 +45,20 @@ $CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
 kill $K0 $K1 2>/dev/null || true
 wait $K0 $K1 2>/dev/null || true
 
-echo "== 4. rerandomize: refresh shares with pairwise zero-sum noise"
-$CLI rerandomize mpc.share-0 --index 0 --pair 1:1111 --pair 2:2222
-$CLI rerandomize mpc.share-1 --index 1 --pair 0:1111 --pair 2:3333
-$CLI rerandomize mpc.share-2 --index 2 --pair 0:2222 --pair 1:3333
+echo "== 4. rerandomize: refresh shares with pairwise zero-sum noise."
+echo "      Pair keys come from X25519 agreement (keygen/pair-key): parties"
+echo "      exchange .pub files; both ends of a pair derive the SAME key."
+for i in 0 1 2; do $CLI keygen "p$i.id"; done >/dev/null
+$CLI pair-key p0.id p1.id.pub --context r1 --out k01.hex
+$CLI pair-key p0.id p2.id.pub --context r1 --out k02.hex
+$CLI pair-key p1.id p0.id.pub --context r1 --out k10.hex
+$CLI pair-key p1.id p2.id.pub --context r1 --out k12.hex
+$CLI pair-key p2.id p0.id.pub --context r1 --out k20.hex
+$CLI pair-key p2.id p1.id.pub --context r1 --out k21.hex
+cmp k01.hex k10.hex && echo "   pair 0-1 derived identically on both sides ✓"
+$CLI rerandomize mpc.share-0 --index 0 --pair 1:@k01.hex --pair 2:@k02.hex
+$CLI rerandomize mpc.share-1 --index 1 --pair 0:@k10.hex --pair 2:@k12.hex
+$CLI rerandomize mpc.share-2 --index 2 --pair 0:@k20.hex --pair 1:@k21.hex
 $CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip2.json
 cmp roundtrip.json roundtrip2.json && echo "   reconstruction unchanged ✓"
 
