@@ -372,6 +372,22 @@ def cmd_pair_key(args) -> int:
     return 0
 
 
+def cmd_tls_cert(args) -> int:
+    """Mint a self-signed key + certificate (protocol/tlsutil.py) for TLS on
+    the participant wire — the reference protocol has no transport security
+    (src/main.rs:405-445)."""
+    from mpc_iris_tpu.protocol import tlsutil
+
+    try:
+        key_path, crt_path = tlsutil.generate_self_signed(args.prefix, args.name)
+    except (RuntimeError, FileExistsError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(f"wrote {key_path} (0600) and {crt_path}; distribute the .crt to "
+          "peers as (part of) their --tls-ca bundle", file=sys.stderr)
+    return 0
+
+
 # ------------------------------------------------------------------ participant
 
 
@@ -437,8 +453,22 @@ def cmd_participant(args) -> int:
         print(f"warmup done in {time.monotonic() - t0:.1f}s "
               f"(batch {wb})", file=sys.stderr)
 
+    ssl_ctx = None
+    if args.tls_cert or args.tls_key or args.tls_ca:
+        if not (args.tls_cert and args.tls_key):
+            print("error: TLS needs both --tls-cert and --tls-key",
+                  file=sys.stderr)
+            return 1
+        from mpc_iris_tpu.protocol import tlsutil
+
+        ssl_ctx = tlsutil.server_context(args.tls_cert, args.tls_key,
+                                         ca=args.tls_ca)
+        mode = "mutual TLS" if args.tls_ca else "TLS"
+        print(f"{mode} enabled ({args.tls_cert})", file=sys.stderr)
+
     host, port = _parse_addr(args.bind)
-    server = ParticipantServer(engine, host, port, wire=args.wire)
+    server = ParticipantServer(engine, host, port, wire=args.wire,
+                               ssl_context=ssl_ctx)
 
     async def run():
         await server.start()
@@ -478,8 +508,21 @@ def cmd_coordinator(args) -> int:
     if args.share:
         local_engine = _make_share_engine(open_share(args.share), args.chunk)
 
+    ssl_ctx = None
+    if args.tls_ca:
+        from mpc_iris_tpu.protocol import tlsutil
+
+        ssl_ctx = tlsutil.client_context(args.tls_ca, certfile=args.tls_cert,
+                                         keyfile=args.tls_key)
+        print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
+    elif args.tls_cert or args.tls_key:
+        print("error: --tls-cert/--tls-key need --tls-ca (the participant "
+              "trust bundle)", file=sys.stderr)
+        return 1
+
     participants = [_parse_addr(a) for a in args.participants]
-    coord = Coordinator(masks_engine, participants, local_engine=local_engine)
+    coord = Coordinator(masks_engine, participants, local_engine=local_engine,
+                        ssl_context=ssl_ctx)
     rng = np.random.default_rng(args.seed)
 
     if args.warmup:
@@ -575,11 +618,18 @@ def cmd_coordinator(args) -> int:
 def cmd_benchmark(args) -> int:
     rng = np.random.default_rng(args.seed)
     host, port = _parse_addr(args.participant)
+    ssl_ctx = None
+    if args.tls_ca:
+        from mpc_iris_tpu.protocol import tlsutil
+
+        ssl_ctx = tlsutil.client_context(args.tls_ca, certfile=args.tls_cert,
+                                         keyfile=args.tls_key)
 
     async def run():
         for q in range(args.queries):
             t0 = time.monotonic()
-            reader, writer = await asyncio.open_connection(host, port)
+            reader, writer = await asyncio.open_connection(host, port,
+                                                           ssl=ssl_ctx)
             if args.wire == "batched":
                 from mpc_iris_tpu.protocol.wire import batched_query_bytes
 
@@ -843,6 +893,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the startup compile warm-up pass")
     g.add_argument("--warmup-batch", type=parse_si, default=16,
                    help="batch size to warm on the batched wire")
+    g.add_argument("--tls-cert", default=None, metavar="PEM",
+                   help="serve TLS with this certificate (see `tls-cert`); "
+                   "wire inside the tunnel is unchanged")
+    g.add_argument("--tls-key", default=None, metavar="PEM",
+                   help="private key for --tls-cert")
+    g.add_argument("--tls-ca", default=None, metavar="PEM",
+                   help="require MUTUAL TLS: clients must present a "
+                   "certificate from this trust bundle")
     g.set_defaults(fn=cmd_participant, warmup=True)
 
     for name in ("coordinator", "resolver"):
@@ -874,7 +932,26 @@ def build_parser() -> argparse.ArgumentParser:
                        help="print DUPLICATE/unique verdicts against this FHD")
         g.add_argument("--no-warmup", dest="warmup", action="store_false",
                        help="skip the startup compile warm-up pass")
+        g.add_argument("--tls-ca", default=None, metavar="PEM",
+                       help="connect to participants over TLS, trusting this "
+                       "certificate bundle (peers are authenticated by cert, "
+                       "not hostname)")
+        g.add_argument("--tls-cert", default=None, metavar="PEM",
+                       help="client certificate for participants requiring "
+                       "mutual TLS")
+        g.add_argument("--tls-key", default=None, metavar="PEM",
+                       help="private key for --tls-cert")
         g.set_defaults(fn=cmd_coordinator, warmup=True)
+
+    g = sub.add_parser(
+        "tls-cert",
+        help="mint a self-signed TLS key+certificate for a party (the .crt "
+        "doubles as the peers' trust-bundle entry)",
+    )
+    g.add_argument("name", help="certificate common name (party label)")
+    g.add_argument("prefix", help="output prefix: writes <prefix>.key (0600) "
+                   "and <prefix>.crt")
+    g.set_defaults(fn=cmd_tls_cert)
 
     g = sub.add_parser("benchmark", help="benchmark a participant")
     g.add_argument("participant")
@@ -883,6 +960,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--wire", choices=["reference", "batched"], default="reference")
     g.add_argument("--batch", type=parse_si, default=16,
                    help="queries per round on the batched wire")
+    g.add_argument("--tls-ca", default=None, metavar="PEM",
+                   help="connect over TLS, trusting this certificate bundle")
+    g.add_argument("--tls-cert", default=None, metavar="PEM",
+                   help="client certificate for mutual TLS")
+    g.add_argument("--tls-key", default=None, metavar="PEM",
+                   help="private key for --tls-cert")
     g.set_defaults(fn=cmd_benchmark)
 
     g = sub.add_parser(

@@ -133,13 +133,16 @@ def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
 
 class Coordinator:
     def __init__(self, masks_engine, participants: list[tuple[str, int]],
-                 local_engine=None, batch_records: int | None = None):
+                 local_engine=None, batch_records: int | None = None,
+                 ssl_context=None):
         """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
         batch_records: optional override of entry-groups per read round; by
         default sized per batch from the wire's byte budget
         (:func:`records_per_read`) so per-round memory stays bounded for any B.
+        ssl_context: optional `ssl.SSLContext` (tlsutil.client_context) used
+        for every participant connection — the wire inside is unchanged.
         """
         if not participants and local_engine is None:
             raise ValueError(
@@ -150,12 +153,14 @@ class Coordinator:
         self.participants = participants
         self.local_engine = local_engine
         self.batch_records = batch_records
+        self.ssl_context = ssl_context
 
     async def _connect_all(self):
         """Open one connection per participant with a clear error on failure."""
         try:
             return await asyncio.gather(
-                *[asyncio.open_connection(h, p) for h, p in self.participants]
+                *[asyncio.open_connection(h, p, ssl=self.ssl_context)
+                  for h, p in self.participants]
             )
         except OSError as e:
             raise ConnectionError(
@@ -192,6 +197,7 @@ class Coordinator:
         best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
         pending = []  # (batch offset, async device winner triple)
         processed = 0
+        party_records = [0] * len(conns)
 
         try:
             while True:
@@ -210,6 +216,8 @@ class Coordinator:
                     local = gathered[1]
                     off = 2
                 share_batches = [arr for arr, _eof in gathered[off:]]
+                for k, arr in enumerate(share_batches):
+                    party_records[k] += arr.shape[0]
                 if local is not None:
                     share_batches.append(local)
                 if denom is None:
@@ -239,11 +247,29 @@ class Coordinator:
         finally:
             await _close_all(conns, [denom_pump, local_pump])
 
+        self._check_dead_parties(processed, party_records)
         for offset, triple in pending:
             nb, db_, jb = (int(x) for x in np.asarray(triple))
             if _frac_less_host(nb, db_, best[0], best[1]):
                 best = (nb, db_, offset + jb)
         return QueryOutcome(best[2], fraction_to_f64(best[0], best[1]), processed)
+
+    def _check_dead_parties(self, processed: int, party_records: list[int]):
+        """A remote party that produced ZERO reply records is a failed
+        connection (TLS handshake rejection, wire-mode mismatch, crashed
+        server), not the reference's partial-batch truncation
+        (src/main.rs:538-555, which this refines) — fail loudly instead of
+        returning an empty result."""
+        if processed == 0 and any(c == 0 for c in party_records):
+            dead = [
+                f"{h}:{p}"
+                for (h, p), c in zip(self.participants, party_records)
+                if c == 0
+            ]
+            raise ConnectionError(
+                f"no reply records from participant(s) {', '.join(dead)} — "
+                "connection, TLS, or wire-mode failure"
+            )
 
     async def query_batch(self, templates: list[Template]) -> list[QueryOutcome]:
         """Batched uniqueness check over the batched wire extension.
@@ -289,6 +315,7 @@ class Coordinator:
         best = [(0, 0, -1)] * b
         pending = []
         processed = 0
+        party_records = [0] * len(conns)
 
         try:
             while True:
@@ -308,6 +335,8 @@ class Coordinator:
                     local = gathered[1]
                     off = 2
                 share_batches = [arr for arr, _eof in gathered[off:]]
+                for k, arr in enumerate(share_batches):
+                    party_records[k] += arr.shape[0]
                 if local is not None:
                     share_batches.append(local)
                 if denom is None:
@@ -335,6 +364,7 @@ class Coordinator:
         finally:
             await _close_all(conns, [denom_pump, local_pump])
 
+        self._check_dead_parties(processed, party_records)
         for offset, triples in pending:
             arr = np.asarray(triples)  # [3, B]
             for q in range(b):

@@ -26,12 +26,15 @@ log = logging.getLogger("mpc_iris_tpu.participant")
 
 class ParticipantServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
-                 wire: str = "reference"):
+                 wire: str = "reference", ssl_context=None):
         """engine: ShareEngine or ShardedShareEngine (anything with .stream).
 
         wire: "reference" = one raw template per connection (byte-compatible
         with the reference); "batched" = u32 count + B templates, entry-major
         B-group reply (this framework's batched extension).
+
+        ssl_context: optional `ssl.SSLContext` (tlsutil.server_context) —
+        the wire inside the tunnel is unchanged.
         """
         if wire not in ("reference", "batched"):
             raise ValueError(f"unknown wire mode {wire!r}")
@@ -39,11 +42,12 @@ class ParticipantServer:
         self.host = host
         self.port = port
         self.wire = wire
+        self.ssl_context = ssl_context
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
-            self._handle, self.host, self.port
+            self._handle, self.host, self.port, ssl=self.ssl_context
         )
         sock = self._server.sockets[0].getsockname()
         log.info("participant listening on %s:%s", sock[0], sock[1])

@@ -17,9 +17,11 @@ import threading
 
 def put_blocking(queue: asyncio.Queue, item, loop, stop: threading.Event) -> bool:
     """Blocking put from a worker thread; returns False if cancelled/dead."""
+    coro = queue.put(item)
     try:
-        fut = asyncio.run_coroutine_threadsafe(queue.put(item), loop)
+        fut = asyncio.run_coroutine_threadsafe(coro, loop)
     except RuntimeError:  # loop already closed
+        coro.close()  # retire the un-awaited coroutine quietly
         return False
     while True:
         try:

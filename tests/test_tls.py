@@ -1,0 +1,125 @@
+"""TLS on the coordinator↔participant wire (protocol/tlsutil.py).
+
+The reference protocol is raw TCP with no transport security or peer
+authentication (src/main.rs:405-445); this framework layers standard TLS
+(1.3+) over the byte-identical wire. Covers: a full query through a TLS
+tunnel matching the plaintext-oracle winner, mutual-TLS client auth, and
+rejection of untrusted peers in both directions.
+"""
+
+import asyncio
+import ssl
+
+import numpy as np
+import pytest
+
+from mpc_iris_tpu.models import MasksEngine, ShareEngine
+from mpc_iris_tpu.protocol import Coordinator, ParticipantServer
+from mpc_iris_tpu.protocol import tlsutil
+from mpc_iris_tpu.types import Template
+
+from tests.test_protocol import build_party_data
+
+
+@pytest.fixture(scope="module")
+def certs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("certs")
+    out = {}
+    for name in ("p0", "p1", "coord", "rogue"):
+        key, crt = tlsutil.generate_self_signed(str(d / name), name)
+        out[name] = (key, crt)
+    # trust bundle of both participants for the coordinator
+    bundle = d / "parties.pem"
+    bundle.write_bytes(
+        open(out["p0"][1], "rb").read() + open(out["p1"][1], "rb").read()
+    )
+    out["bundle"] = str(bundle)
+    return out
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(7)
+    db = [Template.random(rng) for _ in range(13)]
+    query = Template.random(rng)
+    db[4] = query.rotated(-3)  # plant the winner
+    masks = np.stack([t.mask.data for t in db])
+    mats = build_party_data(rng, db, 2)
+    return db, query, masks, mats
+
+
+def _run(world, server_ssl, client_ssl):
+    db, query, masks, mats = world
+
+    async def go():
+        servers = [
+            ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                              ssl_context=ctx)
+            for m, ctx in zip(mats, server_ssl)
+        ]
+        addrs = [await s.start() for s in servers]
+        coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                            batch_records=5, ssl_context=client_ssl)
+        try:
+            return await coord.query(query)
+        finally:
+            for s in servers:
+                await s.close()
+
+    return asyncio.run(go())
+
+
+def test_query_through_tls_tunnel(world, certs):
+    """2-party query over TLS == the plaintext scalar oracle (the wire inside
+    the tunnel is unchanged)."""
+    db, query, masks, mats = world
+    server_ssl = [
+        tlsutil.server_context(certs[p][1], certs[p][0]) for p in ("p0", "p1")
+    ]
+    client_ssl = tlsutil.client_context(certs["bundle"])
+    outcome = _run(world, server_ssl, client_ssl)
+    oracle = np.array([query.distance(t) for t in db])
+    assert (outcome.index, outcome.distance) == (
+        int(np.argmin(oracle)), oracle.min())
+
+
+def test_mutual_tls_client_auth(world, certs):
+    """Participants requiring mutual TLS accept a coordinator presenting a
+    trusted certificate and reject one presenting none."""
+    db, query, masks, mats = world
+    server_ssl = [
+        tlsutil.server_context(certs[p][1], certs[p][0], ca=certs["coord"][1])
+        for p in ("p0", "p1")
+    ]
+    good = tlsutil.client_context(certs["bundle"], certfile=certs["coord"][1],
+                                  keyfile=certs["coord"][0])
+    outcome = _run(world, server_ssl, good)
+    oracle = np.array([query.distance(t) for t in db])
+    assert outcome.distance == oracle.min()
+
+    anon = tlsutil.client_context(certs["bundle"])  # no client certificate
+    with pytest.raises((ConnectionError, ssl.SSLError, asyncio.IncompleteReadError)):
+        _run(world, server_ssl, anon)
+
+
+def test_untrusted_server_rejected(world, certs):
+    """A participant serving a certificate outside the coordinator's trust
+    bundle fails the handshake — no share data flows to an imposter."""
+    server_ssl = [
+        tlsutil.server_context(certs["rogue"][1], certs["rogue"][0]),
+        tlsutil.server_context(certs["p1"][1], certs["p1"][0]),
+    ]
+    client_ssl = tlsutil.client_context(certs["bundle"])
+    with pytest.raises(ConnectionError):
+        _run(world, server_ssl, client_ssl)
+
+
+def test_plaintext_client_to_tls_server_fails(world, certs):
+    """A non-TLS coordinator cannot talk to a TLS participant (and vice
+    versa the handshake never completes) — misconfiguration fails loudly
+    rather than exchanging bytes."""
+    server_ssl = [
+        tlsutil.server_context(certs[p][1], certs[p][0]) for p in ("p0", "p1")
+    ]
+    with pytest.raises((ConnectionError, asyncio.IncompleteReadError, ValueError)):
+        _run(world, server_ssl, None)
