@@ -280,11 +280,12 @@ def cmd_rerandomize(args) -> int:
     for spec in args.pair:
         j_s, _, key_s = spec.partition(":")
         if key_s.startswith("@"):  # hex keyfile, e.g. `pair-key --out` output
-            with open(key_s[1:]) as f:
-                key_bytes = bytes.fromhex(f.read().strip())
-            if len(key_bytes) != 32:
-                print(f"error: pair keyfile {key_s[1:]} must hold 32 hex-"
-                      f"encoded bytes, got {len(key_bytes)}", file=sys.stderr)
+            from mpc_iris_tpu.protocol.keyagree import read_key32
+
+            try:
+                key_bytes = read_key32(key_s[1:])
+            except (OSError, ValueError) as e:
+                print(f"error: pair keyfile {key_s[1:]}: {e}", file=sys.stderr)
                 return 1
         else:
             key_int = int(key_s, 0)
@@ -362,7 +363,11 @@ def cmd_pair_key(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     if args.out:
-        fd = os.open(args.out, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        try:
+            fd = os.open(args.out, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+        except OSError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         with os.fdopen(fd, "w") as f:
             f.write(key.hex() + "\n")
         print(f"pair key written to {args.out}; use "
@@ -405,6 +410,27 @@ def _make_share_engine(share_mat, chunk):
 
 def cmd_participant(args) -> int:
     from mpc_iris_tpu.protocol import ParticipantServer
+
+    # TLS material is validated FIRST: a typo'd cert path must fail in
+    # milliseconds, not after a minutes-long engine build + warmup compile.
+    ssl_ctx = None
+    if args.tls_cert or args.tls_key or args.tls_ca:
+        if not (args.tls_cert and args.tls_key):
+            print("error: TLS needs both --tls-cert and --tls-key",
+                  file=sys.stderr)
+            return 1
+        import ssl
+
+        from mpc_iris_tpu.protocol import tlsutil
+
+        try:
+            ssl_ctx = tlsutil.server_context(args.tls_cert, args.tls_key,
+                                             ca=args.tls_ca)
+        except (OSError, ssl.SSLError) as e:
+            print(f"error: cannot load TLS material: {e}", file=sys.stderr)
+            return 1
+        mode = "mutual TLS" if args.tls_ca else "TLS"
+        print(f"{mode} enabled ({args.tls_cert})", file=sys.stderr)
 
     print(device_banner(), file=sys.stderr)
     if args.input.startswith("keyed:"):
@@ -453,22 +479,9 @@ def cmd_participant(args) -> int:
         print(f"warmup done in {time.monotonic() - t0:.1f}s "
               f"(batch {wb})", file=sys.stderr)
 
-    ssl_ctx = None
-    if args.tls_cert or args.tls_key or args.tls_ca:
-        if not (args.tls_cert and args.tls_key):
-            print("error: TLS needs both --tls-cert and --tls-key",
-                  file=sys.stderr)
-            return 1
-        from mpc_iris_tpu.protocol import tlsutil
-
-        ssl_ctx = tlsutil.server_context(args.tls_cert, args.tls_key,
-                                         ca=args.tls_ca)
-        mode = "mutual TLS" if args.tls_ca else "TLS"
-        print(f"{mode} enabled ({args.tls_cert})", file=sys.stderr)
-
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire,
-                               ssl_context=ssl_ctx)
+                               ssl_context=ssl_ctx)  # ctx validated up top
 
     async def run():
         await server.start()
@@ -485,12 +498,43 @@ def cmd_participant(args) -> int:
 # ------------------------------------------------------------------ coordinator
 
 
+def _client_tls_context(args):
+    """Client-side TLS context from --tls-* flags (coordinator/benchmark),
+    or None when TLS is off. Raises ValueError on inconsistent flags or
+    unloadable PEM material so callers can fail fast with a clean message."""
+    if not args.tls_ca:
+        if args.tls_cert or args.tls_key:
+            raise ValueError(
+                "--tls-cert/--tls-key need --tls-ca (the participant trust "
+                "bundle)"
+            )
+        return None
+    import ssl
+
+    from mpc_iris_tpu.protocol import tlsutil
+
+    try:
+        return tlsutil.client_context(args.tls_ca, certfile=args.tls_cert,
+                                      keyfile=args.tls_key)
+    except (OSError, ssl.SSLError) as e:
+        raise ValueError(f"cannot load TLS material: {e}") from e
+
+
 def cmd_coordinator(args) -> int:
     import jax
 
     from mpc_iris_tpu.models import MasksEngine, ShareEngine
     from mpc_iris_tpu.parallel import ShardedMasksEngine, make_mesh
     from mpc_iris_tpu.protocol import Coordinator
+
+    # Validate TLS material before the (slow) engine builds — fail fast.
+    try:
+        ssl_ctx = _client_tls_context(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if ssl_ctx is not None:
+        print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
 
     print(device_banner(), file=sys.stderr)
     masks = open_masks(args.masks)
@@ -507,18 +551,6 @@ def cmd_coordinator(args) -> int:
     local_engine = None
     if args.share:
         local_engine = _make_share_engine(open_share(args.share), args.chunk)
-
-    ssl_ctx = None
-    if args.tls_ca:
-        from mpc_iris_tpu.protocol import tlsutil
-
-        ssl_ctx = tlsutil.client_context(args.tls_ca, certfile=args.tls_cert,
-                                         keyfile=args.tls_key)
-        print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
-    elif args.tls_cert or args.tls_key:
-        print("error: --tls-cert/--tls-key need --tls-ca (the participant "
-              "trust bundle)", file=sys.stderr)
-        return 1
 
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine,
@@ -618,12 +650,11 @@ def cmd_coordinator(args) -> int:
 def cmd_benchmark(args) -> int:
     rng = np.random.default_rng(args.seed)
     host, port = _parse_addr(args.participant)
-    ssl_ctx = None
-    if args.tls_ca:
-        from mpc_iris_tpu.protocol import tlsutil
-
-        ssl_ctx = tlsutil.client_context(args.tls_ca, certfile=args.tls_cert,
-                                         keyfile=args.tls_key)
+    try:
+        ssl_ctx = _client_tls_context(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     async def run():
         for q in range(args.queries):

@@ -156,16 +156,23 @@ class Coordinator:
         self.ssl_context = ssl_context
 
     async def _connect_all(self):
-        """Open one connection per participant with a clear error on failure."""
-        try:
-            return await asyncio.gather(
-                *[asyncio.open_connection(h, p, ssl=self.ssl_context)
-                  for h, p in self.participants]
-            )
-        except OSError as e:
+        """Open one connection per participant with a clear error on failure.
+        Connections that did succeed are closed before raising — a single
+        rejected TLS handshake must not leak the other parties' sockets."""
+        results = await asyncio.gather(
+            *[asyncio.open_connection(h, p, ssl=self.ssl_context)
+              for h, p in self.participants],
+            return_exceptions=True,
+        )
+        errs = [r for r in results if isinstance(r, BaseException)]
+        if errs:
+            for r in results:
+                if not isinstance(r, BaseException):
+                    r[1].close()
             raise ConnectionError(
-                f"cannot reach all participants {self.participants}: {e}"
-            ) from e
+                f"cannot reach all participants {self.participants}: {errs[0]}"
+            ) from errs[0]
+        return results
 
     async def query(self, template: Template) -> QueryOutcome:
         qmsk = template.mask.data[None]

@@ -70,7 +70,7 @@ def load_identity_public(path: str) -> bytes:
     _require_crypto()
     from cryptography.hazmat.primitives.asymmetric import x25519
 
-    priv = x25519.X25519PrivateKey.from_private_bytes(_read_key32(path))
+    priv = x25519.X25519PrivateKey.from_private_bytes(read_key32(path))
     return _public_bytes(priv.public_key())
 
 
@@ -87,7 +87,7 @@ def derive_pair_key(identity_path: str, peer_public: bytes,
 
     if len(peer_public) != 32:
         raise ValueError(f"peer public key must be 32 bytes, got {len(peer_public)}")
-    priv = x25519.X25519PrivateKey.from_private_bytes(_read_key32(identity_path))
+    priv = x25519.X25519PrivateKey.from_private_bytes(read_key32(identity_path))
     my_public = _public_bytes(priv.public_key())
     if my_public == peer_public:
         raise ValueError("peer public key equals own public key")
@@ -114,7 +114,7 @@ def parse_public(text: str) -> bytes:
     return raw
 
 
-def _read_key32(path: str) -> bytes:
+def read_key32(path: str) -> bytes:
     with open(path) as f:
         raw = bytes.fromhex(f.read().strip())
     if len(raw) != 32:

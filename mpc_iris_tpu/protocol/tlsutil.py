@@ -43,15 +43,17 @@ def client_context(ca: str, certfile: str | None = None,
                    keyfile: str | None = None) -> ssl.SSLContext:
     """TLS context for the coordinator side. Trusts exactly the `ca` PEM
     bundle; hostname checking is disabled (peers are authenticated by
-    certificate, addressed by IP). Pass cert/key when the participant
+    certificate, addressed by IP). Pass cert AND key when the participant
     requires mutual TLS."""
+    if (certfile is None) != (keyfile is None):
+        raise ValueError("mutual TLS needs both a certificate and its key")
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
     ctx.minimum_version = ssl.TLSVersion.TLSv1_3
     ctx.check_hostname = False
     ctx.verify_mode = ssl.CERT_REQUIRED
     ctx.load_verify_locations(cafile=ca)
     if certfile is not None:
-        ctx.load_cert_chain(certfile, keyfile or certfile)
+        ctx.load_cert_chain(certfile, keyfile)
     return ctx
 
 

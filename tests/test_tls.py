@@ -15,10 +15,16 @@ import pytest
 
 from mpc_iris_tpu.models import MasksEngine, ShareEngine
 from mpc_iris_tpu.protocol import Coordinator, ParticipantServer
-from mpc_iris_tpu.protocol import tlsutil
+from mpc_iris_tpu.protocol import keyagree, tlsutil
 from mpc_iris_tpu.types import Template
 
 from tests.test_protocol import build_party_data
+
+# The TLS contexts are stdlib ssl, but the test certificates are minted with
+# the optional `cryptography` package (like tests/test_keyagree.py).
+pytestmark = pytest.mark.skipif(
+    not keyagree.have_crypto(), reason="cryptography package not installed"
+)
 
 
 @pytest.fixture(scope="module")
