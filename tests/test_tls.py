@@ -120,6 +120,39 @@ def test_untrusted_server_rejected(world, certs):
         _run(world, server_ssl, client_ssl)
 
 
+def test_cli_tls_flag_validation(tmp_path, monkeypatch):
+    """Inconsistent --tls-* flag combinations fail fast with rc 1 and a
+    clean message on every role — before any engine build or connection."""
+    from mpc_iris_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    # cert without key (participant), cert without ca (coordinator/benchmark),
+    # missing PEM file (participant): all must return 1, never traceback.
+    assert main(["participant", "nonexistent.share", "--tls-cert", "x.crt"]) == 1
+    assert main(["benchmark", "127.0.0.1:1", "--tls-cert", "x.crt"]) == 1
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--tls-cert", "x.crt"]) == 1
+    (tmp_path / "k.key").write_text("not a pem")
+    assert main(["participant", "nonexistent.share", "--tls-cert", "x.crt",
+                 "--tls-key", "k.key"]) == 1
+
+
+def test_tls_cert_cli_mints_usable_pair(tmp_path, monkeypatch):
+    """`tls-cert` output loads into both server and client contexts."""
+    from mpc_iris_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["tls-cert", "party0", "p0"]) == 0
+    assert main(["tls-cert", "party0", "p0"]) == 1  # refuses overwrite
+    import os
+
+    assert os.stat(tmp_path / "p0.key").st_mode & 0o777 == 0o600
+    tlsutil.server_context("p0.crt", "p0.key")
+    tlsutil.client_context("p0.crt")
+    with pytest.raises(ValueError, match="both"):
+        tlsutil.client_context("p0.crt", certfile="p0.crt")
+
+
 def test_plaintext_client_to_tls_server_fails(world, certs):
     """A non-TLS coordinator cannot talk to a TLS participant (and vice
     versa the handshake never completes) — misconfiguration fails loudly
