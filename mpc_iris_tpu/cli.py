@@ -408,6 +408,36 @@ def _make_share_engine(share_mat, chunk):
     return ShareEngine(share_mat, chunk=chunk)
 
 
+def _share_engine_from_spec(spec: str, chunk):
+    """Share engine for a share FILE or a ``keyed:<s>:<count>:<keyfile>``
+    spec — the single constructor behind every role that serves a share
+    (participant, coordinator --share). Sharded over all local devices.
+    Raises ValueError on a malformed keyed spec."""
+    if spec.startswith("keyed:"):
+        # PRF-backed share (s < n-1) regenerated on device from the prepare
+        # key: zero share I/O (SPEC §4.2; key from `prepare --save-key`).
+        import jax
+
+        from mpc_iris_tpu.models import KeyedShareEngine
+
+        sid, count, key = parse_keyed_spec(spec)
+        if len(jax.devices()) > 1:
+            from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+
+            mesh = make_mesh(db=len(jax.devices()), batch=1)
+            engine = ShardedKeyedShareEngine(key, sid, count, mesh, chunk=chunk)
+        else:
+            engine = KeyedShareEngine(key, sid, count, chunk=chunk)
+        print(f"keyed share {sid}: {count} entries regenerated on "
+              f"{len(jax.devices())} device(s) (no share file)",
+              file=sys.stderr)
+        return engine
+    share = open_share(spec)
+    print(f"opened share {spec}: {share.shape[0]} encrypted patterns "
+          f"({os.path.getsize(spec)} bytes)", file=sys.stderr)
+    return _make_share_engine(share, chunk)
+
+
 def cmd_participant(args) -> int:
     from mpc_iris_tpu.protocol import ParticipantServer
 
@@ -433,39 +463,11 @@ def cmd_participant(args) -> int:
         print(f"{mode} enabled ({args.tls_cert})", file=sys.stderr)
 
     print(device_banner(), file=sys.stderr)
-    if args.input.startswith("keyed:"):
-        # keyed:<share-index>:<count>:<keyfile> — serve a PRF-backed share
-        # (s < n-1) regenerated on device from the prepare key: zero share
-        # I/O (models.KeyedShareEngine; key from `prepare --save-key`).
-        from mpc_iris_tpu.models import KeyedShareEngine
-
-        try:
-            sid, count, key = parse_keyed_spec(args.input)
-        except ValueError as e:
-            print(f"error: {e}", file=sys.stderr)
-            return 1
-        import jax
-
-        if len(jax.devices()) > 1:
-            from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
-
-            mesh = make_mesh(db=len(jax.devices()), batch=1)
-            engine = ShardedKeyedShareEngine(
-                key, sid, count, mesh, chunk=args.chunk
-            )
-        else:
-            engine = KeyedShareEngine(key, sid, count, chunk=args.chunk)
-        print(f"keyed participant: share {sid}, {count} entries "
-              f"regenerated on {len(jax.devices())} device(s) (no share "
-              "file)", file=sys.stderr)
-    else:
-        share = open_share(args.input)
-        print(
-            f"opened share {args.input}: {share.shape[0]} encrypted patterns "
-            f"({os.path.getsize(args.input)} bytes)",
-            file=sys.stderr,
-        )
-        engine = _make_share_engine(share, args.chunk)
+    try:
+        engine = _share_engine_from_spec(args.input, args.chunk)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
     if args.warmup:
         # Compile + run the per-chunk shapes once so the first real query is
@@ -523,7 +525,7 @@ def _client_tls_context(args):
 def cmd_coordinator(args) -> int:
     import jax
 
-    from mpc_iris_tpu.models import MasksEngine, ShareEngine
+    from mpc_iris_tpu.models import MasksEngine
     from mpc_iris_tpu.parallel import ShardedMasksEngine, make_mesh
     from mpc_iris_tpu.protocol import Coordinator
 
@@ -550,7 +552,11 @@ def cmd_coordinator(args) -> int:
 
     local_engine = None
     if args.share:
-        local_engine = _make_share_engine(open_share(args.share), args.chunk)
+        try:
+            local_engine = _share_engine_from_spec(args.share, args.chunk)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
 
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine,
@@ -939,7 +945,9 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("participants", nargs="*")
         g.add_argument("--masks", default="mpc.masks")
         g.add_argument("--share", default=None,
-                       help="optional share file if the resolver is also a participant")
+                       help="optional share if the resolver is also a "
+                       "participant: a share file, or keyed:<s>:<count>:"
+                       "<keyfile> (regenerated on device, no file)")
         g.add_argument(
             "--bind", default="127.0.0.1:8080",
             help="reserved (reference-CLI parity): like the reference resolver, "

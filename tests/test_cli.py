@@ -91,3 +91,29 @@ def test_rerandomize_cli_roundtrip(workdir):
     assert main(["decrypt", "mpc.share-0", "mpc.share-1",
                  "--output", "after.json"]) == 0
     assert (workdir / "before.json").read_bytes() == (workdir / "after.json").read_bytes()
+
+
+def test_share_engine_from_spec_dispatch(workdir):
+    """The unified share constructor behind participant and coordinator
+    --share: a file path opens a ShareEngine, a keyed:<s>:<count>:<keyfile>
+    spec builds a keyed engine with identical dot streams (share 0 of n=2 is
+    PRF-backed, SPEC section 4.2), and malformed specs raise ValueError."""
+    from mpc_iris_tpu.cli import _share_engine_from_spec
+    from mpc_iris_tpu.ops.encode import pack_bits
+
+    assert main(["generate", "db.json", "16", "--seed", "5"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "8",
+                 "--save-key", "mpc.key"]) == 0
+
+    file_eng = _share_engine_from_spec("mpc.share-0", 8)
+    keyed_eng = _share_engine_from_spec(f"keyed:0:16:{workdir}/mpc.key", 8)
+
+    rng = np.random.default_rng(2)
+    pat = pack_bits(rng.integers(0, 2, size=(1, 31, 12800)).astype(bool))
+    msk = pack_bits(np.ones((1, 31, 12800), bool))
+    np.testing.assert_array_equal(
+        np.asarray(file_eng.dots(pat, msk)), np.asarray(keyed_eng.dots(pat, msk))
+    )
+
+    with pytest.raises(ValueError):
+        _share_engine_from_spec("keyed:0:16:/nonexistent-key", 8)
