@@ -26,11 +26,12 @@ $CLI prepare db.json 3 mpc --insecure-seed 1 --save-key mpc.key
 echo "== 3. decrypt: reconstruct and sanity-check the roundtrip"
 $CLI decrypt mpc.share-0 mpc.share-1 mpc.share-2 --output roundtrip.json
 
-echo "== 3b. keyed participant: party 0 serves with NO share file (regenerated"
-echo "       on device from mpc.key; must run before rerandomize — SPEC 4.2)"
-$CLI participant "keyed:0:$COUNT:mpc.key" 127.0.0.1:$PORT0 &
+echo "== 3b. keyed shares: party 1 serves with NO share file AND the"
+echo "       coordinator's own share 0 is keyed too — only the data-carrying"
+echo "       share 2 touches disk (must run before rerandomize — SPEC 4.2)"
+$CLI participant "keyed:1:$COUNT:mpc.key" 127.0.0.1:$PORT0 &
 K0=$!
-$CLI participant mpc.share-1 127.0.0.1:$PORT1 &
+$CLI participant mpc.share-2 127.0.0.1:$PORT1 &
 K1=$!
 trap 'kill $K0 $K1 2>/dev/null || true' EXIT
 for _ in $(seq 1 120); do
@@ -41,7 +42,7 @@ for _ in $(seq 1 120); do
   sleep 5
 done
 $CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
-  --masks mpc.masks --share mpc.share-2 --queries 1 --seed 5
+  --masks mpc.masks --share "keyed:0:$COUNT:mpc.key" --queries 1 --seed 5
 kill $K0 $K1 2>/dev/null || true
 wait $K0 $K1 2>/dev/null || true
 

@@ -98,6 +98,42 @@ class TestProtocol:
             oracle.min(),
         )
 
+    def test_coordinator_holds_keyed_share(self, world):
+        """--share keyed:... mode: the coordinator's own share is PRF-backed
+        (SPEC section 4.2) and regenerated from the 32-byte key — no share
+        data at all on the coordinator. Winner must match both the oracle and
+        the file-served run above."""
+        from mpc_iris_tpu import native
+        from mpc_iris_tpu.models import KeyedShareEngine
+
+        rng, db, query, masks = world
+        enc = np.stack([encode_template(t).data for t in db])
+        key = native.derive_insecure_key(31)
+        shares = native.share_split(enc, 3, key)
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in shares[1:]
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), addrs,
+                local_engine=KeyedShareEngine(key, 0, len(db), chunk=8),
+                batch_records=7,
+            )
+            try:
+                return await coord.query(query)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outcome = asyncio.run(go())
+        oracle = np.array([query.distance(t) for t in db])
+        assert (outcome.index, outcome.distance) == (
+            int(np.argmin(oracle)), oracle.min(),
+        )
+
     def test_single_party_is_plaintext(self, world):
         """One party holds the whole encoding: protocol == plaintext pipeline."""
         rng, db, query, masks = world
