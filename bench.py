@@ -50,8 +50,10 @@ def _ensure_share_file(path: str, entries: int):
         bs = 1 << 24
         count = -(-(need - have) // bs)
         subprocess.run(
+            # iflag=fullblock: short urandom reads would otherwise count as
+            # whole blocks and the truncate below would zero-fill the gap.
             ["dd", "if=/dev/urandom", f"of={path}", f"bs={bs}", f"count={count}",
-             "oflag=append", "conv=notrunc", "status=none"],
+             "iflag=fullblock", "oflag=append", "conv=notrunc", "status=none"],
             check=True,
         )
         with open(path, "r+b") as f:

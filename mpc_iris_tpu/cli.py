@@ -212,12 +212,9 @@ class _KeyedShareView:
         rows = range(start, stop, step)
         out = np.empty((len(rows), BITS), np.uint16)
         for i, r in enumerate(rows):
-            nonce = self._sid.to_bytes(4, "little") + r.to_bytes(8, "little")
-            out[i] = np.frombuffer(
-                bytes(memoryview(native.chacha20_stream(
-                    self._key, 0, nonce, 2 * BITS
-                ))), dtype="<u2",
-            )
+            # SPEC §4.1 row addressing lives in native.row_stream_u16 —
+            # the single Python-side source of truth for the nonce layout.
+            out[i] = native.row_stream_u16(self._key, self._sid, r)
         return out
 
 
@@ -373,6 +370,9 @@ def cmd_pair_key(args) -> int:
         print(f"pair key written to {args.out}; use "
               f"rerandomize --pair J:@{args.out}", file=sys.stderr)
     else:
+        # Little-endian-integer form, directly usable inline as
+        # --pair J:0x...; keyfiles accept it too (read_key32 decodes the 0x
+        # form identically, so copying this line into a file is safe).
         print(f"0x{int.from_bytes(key, 'little'):064x}")
     return 0
 

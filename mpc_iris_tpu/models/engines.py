@@ -518,16 +518,34 @@ class ShareEngine:
     (u16 + planes)."""
 
     def __init__(self, shares_u16: np.ndarray, chunk: int = DEFAULT_CHUNK,
-                 device=None, hbm_budget: int | None = None):
-        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap)."""
+                 device=None, hbm_budget: int | None = None,
+                 batch_hint: int = 512):
+        """shares_u16: uint16 [N, 12800] share matrix (host, e.g. np.memmap).
+
+        batch_hint: largest query batch this engine will serve. In
+        out-of-core mode every streamed chunk adds a device transient (the
+        raw u16 chunk + its lo/hi planes + B·chunk-scaled dot/reply blocks)
+        ON TOP of the resident head, so the default budget carves that
+        headroom out of the resident planes — the same batch-scaled rule as
+        KeyedShareEngine. Ignored when an explicit hbm_budget is given, and
+        moot when the whole DB fits resident (no streamed transient)."""
         kernel_self_test()
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, n))
         num_chunks = max(1, -(-n // chunk))
+        explicit_budget = hbm_budget is not None
         if hbm_budget is None:
             hbm_budget = default_hbm_budget()
         # int8 lo+hi planes cost 2*BITS bytes per entry when resident.
         max_resident = max(0, int(hbm_budget // (2 * BITS * chunk)))
+        if not explicit_budget and max_resident < num_chunks:
+            # Out-of-core: reserve the streamed-chunk transient — u16 chunk
+            # + planes (4*BITS*chunk) and the int32 dot + uint16 reply
+            # blocks (~10 bytes per rotation per query per entry).
+            stream_ws = (4 * BITS + 10 * N_ROTATIONS * batch_hint) * chunk
+            max_resident = max(
+                0, int((hbm_budget - stream_ws) // (2 * BITS * chunk))
+            )
         self._n_resident = min(num_chunks, max_resident)
         self._num_chunks = num_chunks
         self._put = functools.partial(jax.device_put, device=device)
@@ -659,7 +677,10 @@ class KeyedShareEngine:
 
         kernel_self_test()
         self._kw = jnp.asarray(key_words(key))
-        self._sid = check_stream_id(stream_id)
+        # uint32 from construction: a raw Python int in [2^31, 2^32-2] —
+        # which check_stream_id admits — would overflow the default int32
+        # conversion when passed as a traced jit argument.
+        self._sid = jnp.uint32(check_stream_id(stream_id))
         self.count = int(count)
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:
@@ -676,7 +697,8 @@ class KeyedShareEngine:
         max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
         self._n_resident = min(self.num_chunks(), max_resident)
         self._resident = [
-            _keyed_planes_chunk(self._kw, self._sid, c * self.chunk, self.chunk)
+            _keyed_planes_chunk(self._kw, self._sid,
+                                np.uint32(c * self.chunk), self.chunk)
             for c in range(self._n_resident)
         ]
 
@@ -698,8 +720,11 @@ class KeyedShareEngine:
         if chunk_index < self._n_resident:
             planes = self._resident[chunk_index]
             return _share_dots_chunk(q_nat, planes[0], planes[1])
+        # np.uint32 row offset: raw ints >= 2^31 (valid row addresses)
+        # overflow jit's default int32 argument conversion.
         return _share_dots_chunk_keyed(
-            q_nat, self._kw, self._sid, chunk_index * self.chunk, self.chunk
+            q_nat, self._kw, self._sid,
+            np.uint32(chunk_index * self.chunk), self.chunk
         )
 
     # Same streaming surface as ShareEngine (participant/pipeline compatible).

@@ -363,12 +363,19 @@ def chacha20_stream(key, counter: int, nonce12: bytes, nbytes: int) -> np.ndarra
     return out
 
 
-def _row_stream_u16(key: bytes, stream_id: int, row: int) -> np.ndarray:
-    """One row's share keystream as u16 [12800] (NumPy fallback path)."""
-    nonce = (stream_id & 0xFFFFFFFF, row & 0xFFFFFFFF, (row >> 32) & 0xFFFFFFFF)
-    return _chacha20_blocks_np(key, 0, nonce, (2 * BITS + 63) // 64)[
-        : 2 * BITS
-    ].view("<u2").astype(np.uint16)
+def row_stream_u16(key: bytes, stream_id: int, row: int) -> np.ndarray:
+    """One row's share keystream as u16 [12800] — the host-side source of
+    truth for SPEC §4.1 row addressing (nonce = stream_id:4LE || row:8LE,
+    counter 0). Native-accelerated via :func:`chacha20_stream`; shared by
+    the share_split/rerandomize fallbacks and the CLI's keyed decrypt view
+    so the byte layout lives in exactly one Python-side place."""
+    nonce = (stream_id & 0xFFFFFFFF).to_bytes(4, "little") + (
+        row & 0xFFFFFFFFFFFFFFFF
+    ).to_bytes(8, "little")
+    return (
+        chacha20_stream(key, 0, nonce, 2 * BITS).view("<u2").astype(np.uint16)
+    )
+
 
 
 def share_split(enc: np.ndarray, n_shares: int, key, row_offset: int = 0):
@@ -388,7 +395,7 @@ def share_split(enc: np.ndarray, n_shares: int, key, row_offset: int = 0):
             for i, row in enumerate(enc):
                 total = np.zeros(BITS, np.uint16)
                 for s in range(n_shares - 1):
-                    v = _row_stream_u16(key, s, row_offset + i)
+                    v = row_stream_u16(key, s, row_offset + i)
                     out[s, i] = v
                     total += v
                 out[n_shares - 1, i] = row - total
@@ -443,7 +450,7 @@ def rerandomize(shares: np.ndarray, pair_key, sign: int,
     if lib is None:
         with np.errstate(over="ignore"):
             for i in range(shares.shape[0]):
-                ks = _row_stream_u16(pair_key, RERAND_STREAM_ID, row_offset + i)
+                ks = row_stream_u16(pair_key, RERAND_STREAM_ID, row_offset + i)
                 if sign >= 0:
                     shares[i] += ks
                 else:

@@ -115,7 +115,14 @@ def _row_block_words(kw, stream_id, row0, n_rows: int):
     return _block_words(init)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _u32_scalar(v):
+    """Coerce a raw Python-int jit argument to uint32: jit's default weak
+    int32 conversion raises OverflowError for admitted values >= 2^31
+    (stream ids run to 2^32-2, row offsets to 2^32-1). Traced values and
+    arrays pass through untouched."""
+    return np.uint32(v) if isinstance(v, int) else v
+
+
 def share_rows(kw, stream_id, row0, n_rows: int):
     """Regenerate share rows [row0, row0 + n_rows) of one share stream.
 
@@ -130,6 +137,12 @@ def share_rows(kw, stream_id, row0, n_rows: int):
       by `prepare` for the same key/stream (little-endian u16 lanes of the
       keystream; iris_codec.cpp row_nonce/ic_share_split).
     """
+    return _share_rows_jit(kw, _u32_scalar(stream_id), _u32_scalar(row0),
+                           n_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _share_rows_jit(kw, stream_id, row0, n_rows: int):
     words = _row_block_words(kw, stream_id, row0, n_rows)
     # Serialize: block bytes are word0..word15 LE; u16 lanes of that byte
     # stream are (w & 0xFFFF, w >> 16) pairs in word order.
@@ -158,12 +171,17 @@ def k_permutation() -> np.ndarray:
     return (b * 32 + 2 * w + l).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
 def share_planes_natural(kw, stream_id, row0, n_rows: int):
     """Regenerated share rows as MXU-ready int8 (lo, hi) planes [n, 12,800]
     in NATURAL K order (see :func:`k_permutation`), offset -128 exactly like
     ops.dot.shares_to_planes. Skips the u16 serialization entirely: each
     plane is a cheap concatenation of per-word byte extracts."""
+    return _share_planes_natural_jit(kw, _u32_scalar(stream_id),
+                                     _u32_scalar(row0), n_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _share_planes_natural_jit(kw, stream_id, row0, n_rows: int):
     words = _row_block_words(kw, stream_id, row0, n_rows)
 
     lo_parts, hi_parts = [], []
@@ -257,11 +275,20 @@ def _words_pallas(kw, stream_id, row0, n_rows: int, tile_r: int = 64,
     )(scal)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "tile_r", "interpret"))
 def share_planes_natural_pallas(kw, stream_id, row0, n_rows: int,
                                 tile_r: int = 64, interpret: bool = False):
     """:func:`share_planes_natural` semantics (same natural K order /
     k_permutation) with the word interleave done in the Pallas kernel."""
+    return _share_planes_natural_pallas_jit(
+        kw, _u32_scalar(stream_id), _u32_scalar(row0), n_rows,
+        tile_r=tile_r, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "tile_r", "interpret"))
+def _share_planes_natural_pallas_jit(kw, stream_id, row0, n_rows: int,
+                                     tile_r: int = 64,
+                                     interpret: bool = False):
     wordsx = _words_pallas(kw, stream_id, row0, n_rows, tile_r=tile_r,
                            interpret=interpret)  # [R, 6400] u32, word-major
     lo_parts, hi_parts = [], []

@@ -79,11 +79,16 @@ def local_entry_spans(total_rows: int, chunk: int, mesh) -> list[tuple[int, int]
     sparse local file at these offsets (the engines index globally; they do
     not accept rank-compacted arrays). Empty/clamped spans at the DB tail
     are omitted.
+
+    ``chunk`` is clamped exactly like the engines clamp it
+    (sharded.effective_chunk) so the spans always describe the rows the
+    engine will actually read — pass the same value you pass the engine.
     """
-    from mpc_iris_tpu.parallel.sharded import local_db_span
+    from mpc_iris_tpu.parallel.sharded import effective_chunk, local_db_span
 
     lo, hi = local_db_span(mesh)
     d = mesh.shape["db"]
+    chunk = effective_chunk(chunk, total_rows, d)
     block = chunk * d
     spans = []
     for j in range(max(1, -(-total_rows // block))):

@@ -43,6 +43,17 @@ from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
 from mpc_iris_tpu.parallel.collectives import fraction_allmin
 
 
+def effective_chunk(chunk: int, total_rows: int, n_shards: int) -> int:
+    """The chunk size the sharded engines ACTUALLY use.
+
+    Callers may pass any chunk; it is clamped so tiny DBs don't pad one
+    shard-block to a huge chunk. Every layout consumer — the engines below
+    AND multihost.local_entry_spans — must apply this same clamp, or a
+    host's prefetch offsets silently diverge from the rows the engine
+    reads (zero-filled rows ⇒ wrong dot records with no error)."""
+    return min(chunk, max(128, -(-total_rows // n_shards)))
+
+
 def local_db_span(mesh) -> tuple[int, int]:
     """Contiguous [lo, hi) range of the mesh's ``"db"`` axis whose devices are
     addressable from this process.
@@ -161,7 +172,7 @@ class ShardedPlaintextEngine(_ShardedBase):
         per shard (3.2 KB/entry) and unpacks per chunk on device; "auto" picks
         packed past 400k entries *per shard*."""
         n = patterns_packed.shape[0]
-        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         if storage == "auto":
             storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
@@ -262,7 +273,7 @@ class ShardedShareEngine(_ShardedBase):
         party or a bigger mesh. The reference mmaps its share file the same
         way (src/main.rs:386-400), minus the multi-host axis it lacks."""
         n = shares_u16.shape[0]
-        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         n, k = shares_u16.shape
         d = self.n_shards
@@ -362,7 +373,7 @@ class ShardedKeyedShareEngine(_ShardedBase):
         kernel_self_test()
         stream_id = check_stream_id(stream_id)
         n = int(count)
-        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         self.count = n
         d = self.n_shards
@@ -457,7 +468,7 @@ class ShardedMasksEngine(_ShardedBase):
     def __init__(self, masks_packed, mesh, chunk: int = DEFAULT_CHUNK,
                  storage: str = "auto"):
         n = masks_packed.shape[0]
-        chunk = min(chunk, max(128, -(-n // mesh.shape["db"])))
+        chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         if storage == "auto":
             storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"

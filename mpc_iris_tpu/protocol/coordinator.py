@@ -169,6 +169,13 @@ class Coordinator:
             for r in results:
                 if not isinstance(r, BaseException):
                     r[1].close()
+                    try:
+                        # Drive the close to completion (TLS close_notify)
+                        # so the event loop doesn't warn about unclosed
+                        # transports; best-effort on an error path.
+                        await r[1].wait_closed()
+                    except (OSError, asyncio.TimeoutError):
+                        pass
             raise ConnectionError(
                 f"cannot reach all participants {self.participants}: {errs[0]}"
             ) from errs[0]

@@ -115,8 +115,19 @@ def parse_public(text: str) -> bytes:
 
 
 def read_key32(path: str) -> bytes:
+    """Read a 256-bit key file: 64 hex digits in byte order (what
+    `pair-key --out` writes), or the `0x`-prefixed little-endian-integer
+    form the CLI prints / `--pair J:KEY` accepts inline — both decode to
+    the same bytes, so a hand-copied printed key cannot silently become
+    its byte-reversal."""
     with open(path) as f:
-        raw = bytes.fromhex(f.read().strip())
+        text = f.read().strip()
+    if text.lower().startswith("0x"):
+        val = int(text, 16)
+        if val >= 2**256:
+            raise ValueError(f"{path}: 0x key exceeds 256 bits")
+        return val.to_bytes(32, "little")
+    raw = bytes.fromhex(text)
     if len(raw) != 32:
         raise ValueError(f"{path}: expected 32 hex-encoded key bytes, got {len(raw)}")
     return raw

@@ -229,3 +229,49 @@ def test_masks_engine_packed_matches_dense(rng):
     dense = MasksEngine(dmsk, chunk=16, storage="dense")
     packed = MasksEngine(dmsk, chunk=16, storage="packed")
     np.testing.assert_array_equal(dense.dots(qmsk), packed.dots(qmsk))
+
+
+def test_out_of_core_default_budget_reserves_stream_headroom(monkeypatch):
+    """Regression: in out-of-core mode the DEFAULT budget must reserve the
+    streamed-chunk transient (u16 chunk + planes + B-scaled dot/reply
+    blocks) out of the resident head — filling the whole budget with
+    resident planes OOMs at the first streamed dots_chunk on real HBM. An
+    explicit hbm_budget remains the caller's exact resident-plane budget."""
+    from mpc_iris_tpu.models.engines import ShareEngine
+
+    rng = np.random.default_rng(5)
+    share = rng.integers(0, 1 << 16, size=(1024, 12800), dtype=np.uint16)
+    plane_bytes = 2 * 12800 * 128  # one 128-entry chunk of lo/hi planes
+    monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(5 * plane_bytes))
+    eng = ShareEngine(share, chunk=128, batch_hint=8)
+    # 5 chunks' budget minus the transient: (4*12800 + 10*31*8)*128 bytes
+    # = ~2.1 plane-chunks -> 2 resident of 8, NOT 5.
+    assert eng._n_resident == 2
+    # all-resident DBs are unaffected by the headroom rule
+    monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(8 * plane_bytes))
+    assert ShareEngine(share, chunk=128, batch_hint=8)._n_resident == 8
+    # explicit budget: exact resident-plane accounting, no reservation
+    assert ShareEngine(share, chunk=128,
+                       hbm_budget=5 * plane_bytes)._n_resident == 5
+
+
+def test_keyed_engine_high_stream_id():
+    """Regression: stream ids in [2^31, 2^32-2] — admitted by
+    check_stream_id — must cross the jit boundary as uint32 (a raw Python
+    int overflowed the default int32 conversion with OverflowError)."""
+    from mpc_iris_tpu import native
+    from mpc_iris_tpu.models import KeyedShareEngine, ShareEngine
+    from mpc_iris_tpu.ops import chacha
+
+    key = bytes(range(32))
+    sid = 0x80000000
+    kw = chacha.key_words(key)
+    rows = np.asarray(chacha.share_rows(kw, sid, 0, 12))
+    keyed = KeyedShareEngine(key, sid, count=12, chunk=8)
+    file_eng = ShareEngine(rows, chunk=8)
+    rng = np.random.default_rng(1)
+    q = Template.random(rng)
+    qpat, qmsk = q.pattern.data[None], q.mask.data[None]
+    np.testing.assert_array_equal(
+        keyed.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
+    )

@@ -152,3 +152,22 @@ def test_mismatched_context_breaks_reconstruction(workdir):
                  "--output", "after.json"]) == 0
     assert (workdir / "before.json").read_bytes() != \
         (workdir / "after.json").read_bytes()
+
+
+def test_read_key32_accepts_both_printed_forms(tmp_path):
+    """Regression: `pair-key` PRINTS the 0x little-endian-integer form but
+    --out WRITES byte-order hex; a printed key hand-copied into a keyfile
+    must decode to the same 32 bytes, not their byte-reversal."""
+    from mpc_iris_tpu.protocol.keyagree import read_key32
+
+    key = bytes(range(1, 33))
+    f_bytes = tmp_path / "bytes.hex"
+    f_bytes.write_text(key.hex() + "\n")
+    f_int = tmp_path / "printed.hex"
+    f_int.write_text(f"0x{int.from_bytes(key, 'little'):064x}\n")
+    assert read_key32(str(f_bytes)) == key
+    assert read_key32(str(f_int)) == key
+    f_big = tmp_path / "big.hex"
+    f_big.write_text(f"0x{1 << 256:x}\n")
+    with pytest.raises(ValueError):
+        read_key32(str(f_big))

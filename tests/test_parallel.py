@@ -154,3 +154,35 @@ def test_local_spans_tile_strided_layout():
     # block structure: spans start at multiples of chunk*D
     d = mesh.shape["db"]
     assert all(s % (chunk * d) == 0 for s, _ in spans)
+
+
+def test_local_spans_apply_engine_chunk_clamp(monkeypatch):
+    """Regression: the engines clamp oversized chunks
+    (sharded.effective_chunk), and local_entry_spans must apply the SAME
+    clamp — a rank prefetching at unclamped offsets would zero-fill every
+    row the engine actually reads. Simulates rank 1 of a 2-host, 8-device
+    party: requested chunk 32768 over n=100,000 clamps to 12,500, so rank 1
+    (devices 4..7) must fetch rows [50,000, 100,000)."""
+    from types import SimpleNamespace
+
+    import jax as _jax
+
+    from mpc_iris_tpu.parallel import multihost
+    from mpc_iris_tpu.parallel.sharded import effective_chunk
+
+    devs = np.array(
+        [SimpleNamespace(process_index=i // 4) for i in range(8)]
+    ).reshape(8, 1)
+    mesh = SimpleNamespace(
+        axis_names=("db", "batch"), devices=devs, shape={"db": 8, "batch": 1}
+    )
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+
+    n, requested = 100_000, 32_768
+    c = effective_chunk(requested, n, 8)
+    assert c == 12_500
+    spans = multihost.local_entry_spans(n, requested, mesh)
+    assert spans == [(4 * c, n)]  # pre-fix: [] (start 131072 > n)
+    # and rank 0 gets the complementary prefix
+    monkeypatch.setattr(_jax, "process_index", lambda: 0)
+    assert multihost.local_entry_spans(n, requested, mesh) == [(0, 4 * c)]
