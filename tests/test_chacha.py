@@ -220,6 +220,17 @@ def test_sharded_keyed_engine_matches_file(monkeypatch):
     want = ShareEngine(shares[0], chunk=4).dots(qpat, qmsk)
     np.testing.assert_array_equal(keyed.dots(qpat, qmsk), want)
 
+    # High stream ids (>= 2^31, admitted by check_stream_id) must survive
+    # the shard_map closure/trace path too (cf. the engine-level uint32
+    # regression in test_engines.py).
+    sid = 0x80000001
+    kw = chacha.key_words(key)
+    rows = np.asarray(chacha.share_rows(kw, sid, 0, 21))
+    hi_keyed = ShardedKeyedShareEngine(key, sid, 21, mesh, chunk=4)
+    np.testing.assert_array_equal(
+        hi_keyed.dots(qpat, qmsk), ShareEngine(rows, chunk=4).dots(qpat, qmsk)
+    )
+
 
 def test_sharded_keyed_fold_pass_matches_single_chip():
     """Sharded fold_pass_fn (scan per shard + psum over "db") == the
