@@ -539,10 +539,15 @@ class ShareEngine:
         # int8 lo+hi planes cost 2*BITS bytes per entry when resident.
         max_resident = max(0, int(hbm_budget // (2 * BITS * chunk)))
         if not explicit_budget and max_resident < num_chunks:
-            # Out-of-core: reserve the streamed-chunk transient — u16 chunk
-            # + planes (4*BITS*chunk) and the int32 dot + uint16 reply
-            # blocks (~10 bytes per rotation per query per entry).
-            stream_ws = (4 * BITS + 10 * N_ROTATIONS * batch_hint) * chunk
+            # Out-of-core: reserve the streamed-chunk transient — the raw
+            # u16 chunk (2*BITS*chunk; XLA fuses the byte-split into the
+            # matmuls so the planes never fully materialize) plus ~6 bytes
+            # per rotation·query·entry of dot/reply blocks. Calibrated
+            # against the live 1M-entry OOC bench (RESULTS.md): B=256 at
+            # chunk 32768 ran within 2.5 GB of headroom, which this formula
+            # reserves (~2.4 GB); the keyed engine's measured B=1024 blowup
+            # motivates the batch term.
+            stream_ws = (2 * BITS + 6 * N_ROTATIONS * batch_hint) * chunk
             max_resident = max(
                 0, int((hbm_budget - stream_ws) // (2 * BITS * chunk))
             )

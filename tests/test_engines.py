@@ -244,9 +244,9 @@ def test_out_of_core_default_budget_reserves_stream_headroom(monkeypatch):
     plane_bytes = 2 * 12800 * 128  # one 128-entry chunk of lo/hi planes
     monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(5 * plane_bytes))
     eng = ShareEngine(share, chunk=128, batch_hint=8)
-    # 5 chunks' budget minus the transient: (4*12800 + 10*31*8)*128 bytes
-    # = ~2.1 plane-chunks -> 2 resident of 8, NOT 5.
-    assert eng._n_resident == 2
+    # 5 chunks' budget minus the transient: (2*12800 + 6*31*8)*128 bytes
+    # = ~1.04 plane-chunks -> 3 resident of 8, NOT 5.
+    assert eng._n_resident == 3
     # all-resident DBs are unaffected by the headroom rule
     monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(8 * plane_bytes))
     assert ShareEngine(share, chunk=128, batch_hint=8)._n_resident == 8
