@@ -248,7 +248,7 @@ def main():
                        shape=(n, BITS))
         log(f"building ShareEngine (resident head loads at host bandwidth)...")
         t0 = time.monotonic()
-        eng = ShareEngine(mm, chunk=chunk)
+        eng = ShareEngine(mm, chunk=chunk, batch_hint=b)
         log(f"engine built in {time.monotonic() - t0:.0f}s; "
             f"{eng.resident_entries}/{n} entries resident")
         fold = jax.jit(lambda x: x.astype(jnp.uint32).sum())
