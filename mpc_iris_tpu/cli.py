@@ -396,7 +396,7 @@ def cmd_tls_cert(args) -> int:
 # ------------------------------------------------------------------ participant
 
 
-def _make_share_engine(share_mat, chunk):
+def _make_share_engine(share_mat, chunk, batch_hint: int = 512):
     import jax
 
     from mpc_iris_tpu.models import ShareEngine
@@ -405,14 +405,16 @@ def _make_share_engine(share_mat, chunk):
     if len(jax.devices()) > 1:
         mesh = make_mesh(db=len(jax.devices()), batch=1)
         return ShardedShareEngine(share_mat, mesh, chunk=chunk)
-    return ShareEngine(share_mat, chunk=chunk)
+    return ShareEngine(share_mat, chunk=chunk, batch_hint=batch_hint)
 
 
-def _share_engine_from_spec(spec: str, chunk):
+def _share_engine_from_spec(spec: str, chunk, batch_hint: int = 512):
     """Share engine for a share FILE or a ``keyed:<s>:<count>:<keyfile>``
     spec — the single constructor behind every role that serves a share
     (participant, coordinator --share). Sharded over all local devices.
-    Raises ValueError on a malformed keyed spec."""
+    batch_hint sizes the single-device engines' workspace headroom for the
+    largest expected query batch. Raises ValueError on a malformed keyed
+    spec."""
     if spec.startswith("keyed:"):
         # PRF-backed share (s < n-1) regenerated on device from the prepare
         # key: zero share I/O (SPEC §4.2; key from `prepare --save-key`).
@@ -427,7 +429,8 @@ def _share_engine_from_spec(spec: str, chunk):
             mesh = make_mesh(db=len(jax.devices()), batch=1)
             engine = ShardedKeyedShareEngine(key, sid, count, mesh, chunk=chunk)
         else:
-            engine = KeyedShareEngine(key, sid, count, chunk=chunk)
+            engine = KeyedShareEngine(key, sid, count, chunk=chunk,
+                                      batch_hint=batch_hint)
         print(f"keyed share {sid}: {count} entries regenerated on "
               f"{len(jax.devices())} device(s) (no share file)",
               file=sys.stderr)
@@ -464,7 +467,8 @@ def cmd_participant(args) -> int:
 
     print(device_banner(), file=sys.stderr)
     try:
-        engine = _share_engine_from_spec(args.input, args.chunk)
+        engine = _share_engine_from_spec(args.input, args.chunk,
+                                         args.batch_hint)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -553,7 +557,12 @@ def cmd_coordinator(args) -> int:
     local_engine = None
     if args.share:
         try:
-            local_engine = _share_engine_from_spec(args.share, args.chunk)
+            # The coordinator issues its own batches: size the local
+            # engine's workspace for exactly that batch.
+            local_engine = _share_engine_from_spec(
+                args.share, args.chunk,
+                batch_hint=args.batch if args.wire == "batched" else 1,
+            )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -921,6 +930,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     g.add_argument("bind", nargs="?", default="127.0.0.1:1234")
     g.add_argument("--chunk", type=parse_si, default=8192)
+    g.add_argument(
+        "--batch-hint", type=parse_si, default=512,
+        help="largest coordinator query batch to size device workspace "
+        "headroom for (out-of-core / keyed engines: larger hints keep "
+        "less of the DB resident but cannot OOM mid-pass)",
+    )
     g.add_argument(
         "--wire", choices=["reference", "batched"], default="reference",
         help="reference = byte-compatible single-query wire; batched = "
