@@ -82,7 +82,7 @@ def main():
     )
     p.add_argument(
         "--batch", type=int, default=None,
-        help="queries per batch (default: mode-tuned — 1536 packed / 512 "
+        help="queries per batch (default: mode-tuned — 1536 packed / 1024 "
         "share-keyed / 256 otherwise; measured optima, see docs/RESULTS.md. "
         "Larger batches amortize per-chunk fixed work until matmul "
         "intermediates hit the HBM ceiling)",
@@ -132,9 +132,10 @@ def main():
     if args.batch is None:
         # Measured batch-sweep optima (docs/RESULTS.md): the packed path keeps
         # climbing to B=1536 (B=2048 forces a smaller chunk and regresses);
-        # the keyed share path peaks within HBM at 512; dense/plaintext and
-        # the streamed share path gain nothing past 256.
-        args.batch = {"packed": 1536, "share-keyed": 512}.get(args.mode, 256)
+        # the keyed share path peaks at 1024 (1536 forces a 3-chunk resident
+        # head and gains nothing; 4 resident chunks at B=1536 OOM);
+        # dense/plaintext and the streamed share path gain nothing past 256.
+        args.batch = {"packed": 1536, "share-keyed": 1024}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "

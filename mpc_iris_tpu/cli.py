@@ -441,6 +441,45 @@ def _share_engine_from_spec(spec: str, chunk, batch_hint: int = 512):
     return _make_share_engine(share, chunk)
 
 
+def make_share_watcher(path: str, engine):
+    """Zero-arg DB-sync callable for a file-backed share engine: stat the
+    share file and adopt any appended whole records (the reference's TODO at
+    src/main.rs:415). Torn trailing bytes from an in-progress append are
+    ignored until the writer completes the record. Returns rows added (0 on
+    no change) so callers can log."""
+    row_bytes = 2 * BITS
+
+    def refresh() -> int:
+        rows = os.path.getsize(path) // row_bytes
+        if rows <= engine.count:
+            return 0
+        mm = np.memmap(path, dtype="<u2", mode="r", shape=(rows, BITS))
+        added = engine.refresh(mm)
+        print(f"db sync: +{added} entries from {path} "
+              f"({engine.count} total)", file=sys.stderr)
+        return added
+
+    return refresh
+
+
+def make_masks_watcher(path: str, engine):
+    """DB-sync callable for a masks engine (coordinator side of the
+    reference's sync TODO): adopt appended whole 1,600-byte mask records."""
+
+    def refresh() -> int:
+        rows = os.path.getsize(path) // BITS_BYTES
+        if rows <= engine.count:
+            return 0
+        mm = np.memmap(path, dtype=np.uint8, mode="r",
+                       shape=(rows, BITS_BYTES))
+        added = engine.refresh(mm)
+        print(f"db sync: +{added} masks from {path} "
+              f"({engine.count} total)", file=sys.stderr)
+        return added
+
+    return refresh
+
+
 def cmd_participant(args) -> int:
     from mpc_iris_tpu.protocol import ParticipantServer
 
@@ -485,9 +524,22 @@ def cmd_participant(args) -> int:
         print(f"warmup done in {time.monotonic() - t0:.1f}s "
               f"(batch {wb})", file=sys.stderr)
 
+    refresh = None
+    if args.watch:
+        if args.input.startswith("keyed:"):
+            print("error: --watch needs a share FILE to stat; a keyed "
+                  "share's row count is fixed by its spec (restart the "
+                  "participant with the new count, or drive "
+                  "engine.refresh(count) programmatically)", file=sys.stderr)
+            return 1
+        refresh = make_share_watcher(args.input, engine)
+        print(f"--watch: syncing appended rows from {args.input} before "
+              "each request", file=sys.stderr)
+
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire,
-                               ssl_context=ssl_ctx)  # ctx validated up top
+                               ssl_context=ssl_ctx,  # ctx validated up top
+                               refresh=refresh)
 
     async def run():
         await server.start()
@@ -572,6 +624,18 @@ def cmd_coordinator(args) -> int:
                         ssl_context=ssl_ctx)
     rng = np.random.default_rng(args.seed)
 
+    watchers = []
+    if args.watch:
+        # Coordinator half of the reference's DB-sync TODO: adopt appended
+        # masks (and local share rows) before each query round. Participants
+        # sync their own files via `participant --watch`; the per-round
+        # shortest-prefix alignment tolerates transiently unequal counts.
+        watchers.append(make_masks_watcher(args.masks, masks_engine))
+        if args.share and not args.share.startswith("keyed:"):
+            watchers.append(make_share_watcher(args.share, local_engine))
+        print(f"--watch: syncing appended rows before each query round",
+              file=sys.stderr)
+
     if args.warmup:
         from mpc_iris_tpu.protocol.coordinator import (
             _sum_decode_argmin_device,
@@ -611,6 +675,8 @@ def cmd_coordinator(args) -> int:
     async def run():
         n = 0
         while args.queries == 0 or n < args.queries:
+            for w in watchers:
+                await asyncio.to_thread(w)
             if args.wire == "batched":
                 queries = [Template.random(rng) for _ in range(args.batch)]
                 t0 = time.monotonic()
@@ -945,6 +1011,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the startup compile warm-up pass")
     g.add_argument("--warmup-batch", type=parse_si, default=16,
                    help="batch size to warm on the batched wire")
+    g.add_argument("--watch", action="store_true",
+                   help="before each request, adopt rows appended to the "
+                   "share file since startup (DB sync — a TODO in the "
+                   "reference, src/main.rs:415)")
     g.add_argument("--tls-cert", default=None, metavar="PEM",
                    help="serve TLS with this certificate (see `tls-cert`); "
                    "wire inside the tunnel is unchanged")
@@ -984,6 +1054,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="queries per round on the batched wire")
         g.add_argument("--threshold", type=float, default=None,
                        help="print DUPLICATE/unique verdicts against this FHD")
+        g.add_argument("--watch", action="store_true",
+                       help="before each query round, adopt rows appended to "
+                       "the masks file (and a file-backed --share) since "
+                       "startup (DB sync — a TODO in the reference, "
+                       "src/main.rs:402)")
         g.add_argument("--no-warmup", dest="warmup", action="store_false",
                        help="skip the startup compile warm-up pass")
         g.add_argument("--tls-ca", default=None, metavar="PEM",

@@ -533,26 +533,13 @@ class ShareEngine:
         n = shares_u16.shape[0]
         chunk = min(chunk, max(128, n))
         num_chunks = max(1, -(-n // chunk))
-        explicit_budget = hbm_budget is not None
+        self._explicit_budget = hbm_budget is not None
         if hbm_budget is None:
             hbm_budget = default_hbm_budget()
-        # int8 lo+hi planes cost 2*BITS bytes per entry when resident.
-        max_resident = max(0, int(hbm_budget // (2 * BITS * chunk)))
-        if not explicit_budget and max_resident < num_chunks:
-            # Out-of-core: reserve the streamed-chunk transient — the raw
-            # u16 chunk (2*BITS*chunk; XLA fuses the byte-split into the
-            # matmuls so the planes never fully materialize) plus ~6 bytes
-            # per rotation·query·entry of dot/reply blocks. Calibrated
-            # against the live 1M-entry OOC bench (RESULTS.md): B=256 at
-            # chunk 32768 ran within 2.5 GB of headroom, which this formula
-            # reserves (~2.4 GB); the keyed engine's measured B=1024 blowup
-            # motivates the batch term.
-            stream_ws = (2 * BITS + 6 * N_ROTATIONS * batch_hint) * chunk
-            max_resident = max(
-                0, int((hbm_budget - stream_ws) // (2 * BITS * chunk))
-            )
-        self._n_resident = min(num_chunks, max_resident)
+        self._hbm_budget = hbm_budget
+        self._batch_hint = batch_hint
         self._num_chunks = num_chunks
+        self._n_resident = min(num_chunks, self._max_resident(num_chunks, chunk))
         self._put = functools.partial(jax.device_put, device=device)
         self._source = shares_u16
         self.count = n
@@ -568,6 +555,63 @@ class ShareEngine:
                 f"({self._n_resident * chunk} of {n} entries); the rest stream "
                 "host->device per query batch (out-of-core)", file=sys.stderr,
             )
+
+    def _max_resident(self, num_chunks: int, chunk: int) -> int:
+        """Resident-chunk cap under the engine's budget policy.
+
+        int8 lo+hi planes cost 2*BITS bytes per entry when resident. When the
+        default budget cannot hold every chunk (out-of-core), reserve the
+        streamed-chunk transient — the raw u16 chunk (2*BITS*chunk; XLA fuses
+        the byte-split into the matmuls so the planes never fully
+        materialize) plus ~6 bytes per rotation·query·entry of dot/reply
+        blocks. Calibrated against the live 1M-entry OOC bench (RESULTS.md):
+        B=256 at chunk 32768 ran within 2.5 GB of headroom, which this
+        formula reserves (~2.4 GB); the keyed engine's measured B=1024
+        blowup motivates the batch term."""
+        max_resident = max(0, int(self._hbm_budget // (2 * BITS * chunk)))
+        if not self._explicit_budget and max_resident < num_chunks:
+            stream_ws = (2 * BITS + 6 * N_ROTATIONS * self._batch_hint) * chunk
+            max_resident = max(
+                0, int((self._hbm_budget - stream_ws) // (2 * BITS * chunk))
+            )
+        return max_resident
+
+    def refresh(self, shares_u16: np.ndarray) -> int:
+        """Adopt a grown (append-only) share source; returns entries added.
+
+        The reference leaves participant DB sync as a TODO
+        (src/main.rs:402,415: "Sync from database and add to memmapped
+        file"); here a re-opened memmap of the appended-to share file slots
+        straight in. Previously-resident full chunks are reused as-is; a
+        previously-padded tail chunk is re-transferred, and residency is
+        re-fit to the budget (growing past HBM demotes resident chunks to
+        the streamed out-of-core path). Safe to call between queries while
+        earlier streams finish: mutations only append/trim bookkeeping, and
+        in-flight streams captured their chunk count at generator start."""
+        n_new = shares_u16.shape[0]
+        if shares_u16.ndim != 2 or shares_u16.shape[1] != BITS:
+            raise ValueError(f"share source must be [N, {BITS}] u16")
+        if n_new < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {n_new} < current "
+                f"{self.count} (rebuild the engine for a shrunk/rewritten DB)"
+            )
+        added = n_new - self.count
+        full_before = self.count // self.chunk  # chunks that had no padding
+        self._source = shares_u16
+        self.count = n_new
+        self._num_chunks = max(1, -(-n_new // self.chunk))
+        n_res = min(self._num_chunks,
+                    self._max_resident(self._num_chunks, self.chunk))
+        # Shrink the readable view first so concurrent dots_chunk() calls
+        # never index a slot under mutation, then splice and regrow.
+        keep = min(len(self._resident), full_before, n_res)
+        self._n_resident = keep
+        del self._resident[keep:]
+        for c in range(keep, n_res):
+            self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
+        self._n_resident = n_res
+        return added
 
     def _chunk_u16(self, c: int) -> np.ndarray:
         """Host u16 [chunk, K] view for chunk c, zero-padded at the tail.
@@ -699,13 +743,38 @@ class KeyedShareEngine:
             # headroom OOMs — hence the batch-scaled term).
             workspace = 3 * (1 << 30) + N_ROTATIONS * batch_hint * self.chunk
             hbm_budget = max(0, default_hbm_budget() - max(4 * (1 << 30), workspace))
-        max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
-        self._n_resident = min(self.num_chunks(), max_resident)
+        self._max_resident = max(0, int(hbm_budget // (2 * BITS * self.chunk)))
+        self._n_resident = min(self.num_chunks(), self._max_resident)
         self._resident = [
             _keyed_planes_chunk(self._kw, self._sid,
                                 np.uint32(c * self.chunk), self.chunk)
             for c in range(self._n_resident)
         ]
+
+    def refresh(self, count: int) -> int:
+        """Adopt a grown logical DB size; returns entries added.
+
+        A keyed party's 'DB sync' (reference TODO src/main.rs:402,415) is
+        just learning the new row count — every row is derived from the
+        32-byte key on demand, so nothing is loaded. Resident-head planes
+        are whole keystream chunks and stay valid under growth; the head is
+        extended if the budget still has room."""
+        count = int(count)
+        if count < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {count} < current "
+                f"{self.count} (rebuild the engine for a shrunk DB)"
+            )
+        added = count - self.count
+        self.count = count
+        n_res = min(self.num_chunks(), self._max_resident)
+        for c in range(self._n_resident, n_res):
+            self._resident.append(
+                _keyed_planes_chunk(self._kw, self._sid,
+                                    np.uint32(c * self.chunk), self.chunk)
+            )
+        self._n_resident = n_res
+        return added
 
     def num_chunks(self) -> int:
         return max(1, -(-self.count // self.chunk))
@@ -812,8 +881,39 @@ class MasksEngine:
         else:
             m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
             mask_c, self.count = _pad_chunks(m, chunk)
+        self._device = device
         self.db_mask = jax.device_put(mask_c, device=device)
         self.chunk = chunk
+
+    def refresh(self, masks_packed: np.ndarray) -> int:
+        """Adopt a grown (append-only) masks source; returns entries added.
+
+        The coordinator half of the reference's DB-sync TODO: a re-opened
+        memmap of the appended-to masks file replaces the device copy. The
+        chunked device array is contiguous, so growth re-transfers the whole
+        DB (1.6 KB/entry packed) — fine for the rare append event; the old
+        array is dropped first so peak HBM stays one copy + one chunk.
+        NOT safe concurrently with an in-flight stream() (the coordinator
+        refreshes between query rounds, never mid-stream)."""
+        n_new = masks_packed.shape[0]
+        if n_new < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {n_new} < current "
+                f"{self.count} (rebuild the engine for a shrunk/rewritten DB)"
+            )
+        added = n_new - self.count
+        if added == 0:
+            return 0
+        if self.storage == "packed":
+            mask_c, self.count = _pad_chunks(
+                np.ascontiguousarray(masks_packed, dtype=np.uint8), self.chunk
+            )
+        else:
+            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
+            mask_c, self.count = _pad_chunks(m, self.chunk)
+        self.db_mask = None  # free before the new put (bounds peak HBM)
+        self.db_mask = jax.device_put(mask_c, device=self._device)
+        return added
 
     def num_chunks(self) -> int:
         return self.db_mask.shape[0]

@@ -326,6 +326,60 @@ class ShardedShareEngine(_ShardedBase):
     def num_blocks(self) -> int:
         return len(self._blocks)
 
+    def refresh(self, shares_u16) -> int:
+        """Adopt a grown (append-only) share source; returns entries added.
+
+        The sharded half of the reference's participant DB-sync TODO
+        (src/main.rs:402,415). Complete blocks are reused; a previously
+        padded tail block is re-loaded and new blocks appended (each process
+        reads only its own slice, as at construction). The grown DB must
+        still fit the mesh's combined HBM. In multi-process universes every
+        process must call refresh() with its own re-opened source before
+        the next query (the per-block global arrays are assembled from
+        process-local data)."""
+        n_new, k = shares_u16.shape
+        if n_new < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {n_new} < current "
+                f"{self.count} (rebuild the engine for a shrunk/rewritten DB)"
+            )
+        added = n_new - self.count
+        if added == 0:
+            self.count = n_new
+            return 0
+        d = self.n_shards
+        block = self.chunk * d
+        full_before = self.count // block  # blocks with no padded rows
+        g_blocks = max(1, -(-n_new // block))
+        lo, hi = self.db_span
+        span_rows = (hi - lo) * self.chunk
+        u16_sharding = NamedSharding(self.mesh, P("db", None, None))
+        planes_sharding = NamedSharding(self.mesh, P("db", None, None, None))
+        reformat = jax.jit(
+            lambda s: jnp.stack(shares_to_planes(s), axis=1),
+            out_shardings=planes_sharding,
+        )
+        single = jax.process_count() == 1
+        del self._blocks[full_before:]
+        for j in range(full_before, g_blocks):
+            start = (j * d + lo) * self.chunk
+            end = min(n_new, start + span_rows)
+            rows = np.ascontiguousarray(
+                shares_u16[start:end], dtype=np.uint16
+            ) if end > start else np.zeros((0, k), np.uint16)
+            if rows.shape[0] < span_rows:
+                rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
+            local = rows.reshape(hi - lo, self.chunk, k)
+            if single:
+                dev = jax.device_put(local, u16_sharding)
+            else:
+                dev = jax.make_array_from_process_local_data(
+                    u16_sharding, local, (d, self.chunk, k)
+                )
+            self._blocks.append(reformat(dev))
+        self.count = n_new
+        return added
+
     def block(self, q_enc, j: int):
         """Global chunks j*D .. j*D+D-1: uint16 [B, D*chunk, 31] in DB order."""
         return self._fetchable(self._block(q_enc, self._blocks[j]))
@@ -403,6 +457,21 @@ class ShardedKeyedShareEngine(_ShardedBase):
 
     def num_blocks(self) -> int:
         return self._g_blocks
+
+    def refresh(self, count: int) -> int:
+        """Adopt a grown logical DB size; returns entries added. Every row
+        regenerates from the key, so sync = updating the count (see
+        models.KeyedShareEngine.refresh)."""
+        count = int(count)
+        if count < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {count} < current "
+                f"{self.count} (rebuild the engine for a shrunk DB)"
+            )
+        added = count - self.count
+        self.count = count
+        self._g_blocks = max(1, -(-count // (self.chunk * self.n_shards)))
+        return added
 
     def fold_pass_fn(self):
         """Single-dispatch whole-DB checksum pass over the mesh (the sharded
@@ -484,6 +553,7 @@ class ShardedMasksEngine(_ShardedBase):
             )
         self.db_mask = self._put_db_local(mask_b)
         packed = storage == "packed"
+        self._packed = packed
 
         def spmd(q_mask, mask_j):
             if packed:
@@ -504,6 +574,33 @@ class ShardedMasksEngine(_ShardedBase):
 
     def num_blocks(self) -> int:
         return self.db_mask.shape[0]
+
+    def refresh(self, masks_packed) -> int:
+        """Adopt a grown (append-only) masks source; returns entries added.
+        Re-blocks and re-transfers the whole (local slice of the) masks DB —
+        cheap at 1.6 KB/entry packed for the rare append event. Same
+        multi-process contract as ShardedShareEngine.refresh."""
+        n_new = masks_packed.shape[0]
+        if n_new < self.count:
+            raise ValueError(
+                f"refresh is append-only: new count {n_new} < current "
+                f"{self.count} (rebuild the engine for a shrunk/rewritten DB)"
+            )
+        if n_new == self.count:
+            return 0
+        added = n_new - self.count
+        if self._packed:
+            mask_b, self.count = self._blocked_local(
+                np.asarray(masks_packed, dtype=np.uint8)
+            )
+        else:
+            mask_b, self.count = self._blocked_local(
+                np.asarray(masks_packed),
+                transform=lambda r: unpack_bits(r, xp=np).astype(np.int8),
+            )
+        self.db_mask = None  # free before the new put (bounds peak HBM)
+        self.db_mask = self._put_db_local(mask_b)
+        return added
 
     def stream(self, masks_packed, entry_major: bool = False):
         from mpc_iris_tpu.models.engines import _to_entry_major, pipelined_stream

@@ -26,7 +26,7 @@ log = logging.getLogger("mpc_iris_tpu.participant")
 
 class ParticipantServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
-                 wire: str = "reference", ssl_context=None):
+                 wire: str = "reference", ssl_context=None, refresh=None):
         """engine: ShareEngine or ShardedShareEngine (anything with .stream).
 
         wire: "reference" = one raw template per connection (byte-compatible
@@ -35,6 +35,14 @@ class ParticipantServer:
 
         ssl_context: optional `ssl.SSLContext` (tlsutil.server_context) —
         the wire inside the tunnel is unchanged.
+
+        refresh: optional zero-arg callable run before each request is read —
+        the DB-sync hook the reference leaves as a TODO (src/main.rs:415:
+        "Sync from database and add to memmapped file" inside the accept
+        loop). Typically cli.make_share_watcher(path, engine): stat the
+        share file and engine.refresh() any appended rows. Called in a
+        worker thread under a server-wide lock (concurrent connections
+        sync once, not racily).
         """
         if wire not in ("reference", "batched"):
             raise ValueError(f"unknown wire mode {wire!r}")
@@ -43,6 +51,8 @@ class ParticipantServer:
         self.port = port
         self.wire = wire
         self.ssl_context = ssl_context
+        self.refresh = refresh
+        self._refresh_lock = asyncio.Lock()
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self) -> tuple[str, int]:
@@ -69,6 +79,12 @@ class ParticipantServer:
         peer = writer.get_extra_info("peername")
         log.info("inbound from %s", peer)
         try:
+            if self.refresh is not None:
+                # Engine growth is append-only and in-flight streams capture
+                # their chunk count at generator start, so syncing here can
+                # not corrupt a concurrent reply (see ShareEngine.refresh).
+                async with self._refresh_lock:
+                    await asyncio.to_thread(self.refresh)
             if self.wire == "batched":
                 qpat, qmsk = await read_batched_query(reader)
             else:

@@ -21,6 +21,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: XLA compiles dominate the suite's wall time on
+# this 1-vCPU host (~30 min cold); a warm cache cuts repeat runs to minutes.
+# Separate dir from the CLI/TPU cache to keep eviction behavior independent.
+from mpc_iris_tpu.utils.config import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/mpc-iris-tpu/jax-tests"))
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,202 @@
+"""DB hot-sync (engine.refresh) tests — the reference's participant sync TODO
+(src/main.rs:402,415: "Sync from database and add to memmapped file"),
+implemented as first-class append-only refresh on every DB-holding engine.
+
+Every test pins the same bar: a refreshed engine must be indistinguishable
+from an engine freshly built on the grown source.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from mpc_iris_tpu import native
+from mpc_iris_tpu.constants import BITS, BITS_BYTES
+from mpc_iris_tpu.models import KeyedShareEngine, MasksEngine, ShareEngine
+from mpc_iris_tpu.protocol import ParticipantServer
+
+
+def _shares(rng, n):
+    return rng.integers(0, 1 << 16, size=(n, BITS), dtype=np.uint16)
+
+
+def _queries(rng, b=2):
+    return (rng.integers(0, 256, (b, BITS_BYTES), dtype=np.uint8),
+            rng.integers(0, 256, (b, BITS_BYTES), dtype=np.uint8))
+
+
+class TestShareEngineRefresh:
+    def test_grow_partial_tail_chunk(self, rng):
+        """Growth through a previously-padded tail chunk (the tricky case:
+        that chunk's device copy is stale and must be re-transferred)."""
+        full = _shares(rng, 13)
+        qp, qm = _queries(rng)
+        eng = ShareEngine(full[:6], chunk=4)  # 1 full + 1 partial chunk
+        added = eng.refresh(full)
+        assert added == 7 and eng.count == 13
+        fresh = ShareEngine(full, chunk=4)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+    def test_grow_aligned(self, rng):
+        full = _shares(rng, 12)
+        qp, qm = _queries(rng)
+        eng = ShareEngine(full[:8], chunk=4)
+        assert eng.refresh(full) == 4
+        fresh = ShareEngine(full, chunk=4)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+    def test_grow_past_residency_budget(self, rng):
+        """Growth past an explicit HBM budget: new chunks serve out-of-core
+        (streamed per batch) and results stay identical."""
+        full = _shares(rng, 14)
+        qp, qm = _queries(rng)
+        budget = 2 * BITS * 4 * 2  # exactly 2 resident chunks of 4 rows
+        eng = ShareEngine(full[:8], chunk=4, hbm_budget=budget)
+        assert eng._n_resident == 2
+        eng.refresh(full)
+        assert eng._n_resident == 2  # budget unchanged; tail streams
+        assert eng.num_chunks() == 4
+        fresh = ShareEngine(full, chunk=4, hbm_budget=budget)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+    def test_noop_and_shrink(self, rng):
+        full = _shares(rng, 8)
+        eng = ShareEngine(full, chunk=4)
+        assert eng.refresh(full) == 0
+        with pytest.raises(ValueError, match="append-only"):
+            eng.refresh(full[:4])
+
+    def test_memmap_file_growth(self, rng, tmp_path):
+        """The real deployment shape: the share FILE is appended to and a
+        re-opened memmap slots in (reference src/main.rs:415)."""
+        from mpc_iris_tpu.io.formats import open_share, write_share
+
+        full = _shares(rng, 10)
+        path = tmp_path / "mpc.share-0"
+        write_share(path, full[:6])
+        eng = ShareEngine(open_share(path), chunk=4)
+        write_share(path, full[6:])  # append-only file growth
+        assert eng.refresh(open_share(path)) == 4
+        qp, qm = _queries(rng)
+        fresh = ShareEngine(full, chunk=4)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+
+class TestKeyedRefresh:
+    def test_grow_count(self, rng):
+        key = native.derive_insecure_key(7)
+        qp, qm = _queries(rng)
+        eng = KeyedShareEngine(key, 0, count=9, chunk=4)
+        assert eng.refresh(17) == 8
+        fresh = KeyedShareEngine(key, 0, count=17, chunk=4)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+        with pytest.raises(ValueError, match="append-only"):
+            eng.refresh(3)
+
+    def test_grow_extends_resident_head(self, rng):
+        key = native.derive_insecure_key(8)
+        qp, qm = _queries(rng)
+        budget = 2 * BITS * 4 * 3  # room for 3 resident chunks of 4 rows
+        eng = KeyedShareEngine(key, 1, count=6, chunk=4, hbm_budget=budget)
+        assert eng._n_resident == 2  # only 2 chunks exist yet
+        eng.refresh(20)
+        assert eng._n_resident == 3  # head grew to the budget cap
+        fresh = KeyedShareEngine(key, 1, count=20, chunk=4, hbm_budget=budget)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+
+class TestMasksRefresh:
+    @pytest.mark.parametrize("storage", ["dense", "packed"])
+    def test_grow(self, rng, storage):
+        masks = rng.integers(0, 256, (11, BITS_BYTES), dtype=np.uint8)
+        qm = rng.integers(0, 256, (2, BITS_BYTES), dtype=np.uint8)
+        eng = MasksEngine(masks[:5], chunk=4, storage=storage)
+        assert eng.refresh(masks) == 6
+        fresh = MasksEngine(masks, chunk=4, storage=storage)
+        np.testing.assert_array_equal(eng.dots(qm), fresh.dots(qm))
+        with pytest.raises(ValueError, match="append-only"):
+            eng.refresh(masks[:2])
+
+
+class TestShardedRefresh:
+    def test_sharded_share(self, rng):
+        from mpc_iris_tpu.parallel import ShardedShareEngine, make_mesh
+
+        mesh = make_mesh(db=4, batch=1)
+        full = _shares(rng, 26)  # blocks of 4 shards x chunk 2 = 8 rows
+        qp, qm = _queries(rng)
+        eng = ShardedShareEngine(full[:10], mesh, chunk=2)
+        assert eng.refresh(full) == 16
+        fresh = ShardedShareEngine(full, mesh, chunk=2)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+    def test_sharded_keyed(self, rng):
+        from mpc_iris_tpu.parallel import ShardedKeyedShareEngine, make_mesh
+
+        key = native.derive_insecure_key(9)
+        mesh = make_mesh(db=4, batch=1)
+        qp, qm = _queries(rng)
+        eng = ShardedKeyedShareEngine(key, 0, 9, mesh, chunk=2)
+        assert eng.refresh(21) == 12
+        fresh = ShardedKeyedShareEngine(key, 0, 21, mesh, chunk=2)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+    def test_sharded_masks(self, rng):
+        from mpc_iris_tpu.parallel import ShardedMasksEngine, make_mesh
+
+        mesh = make_mesh(db=4, batch=1)
+        masks = rng.integers(0, 256, (19, BITS_BYTES), dtype=np.uint8)
+        qm = rng.integers(0, 256, (2, BITS_BYTES), dtype=np.uint8)
+        eng = ShardedMasksEngine(masks[:7], mesh, chunk=2)
+        assert eng.refresh(masks) == 12
+        fresh = ShardedMasksEngine(masks, mesh, chunk=2)
+        np.testing.assert_array_equal(eng.dots(qm), fresh.dots(qm))
+
+
+class TestParticipantWatch:
+    def test_server_syncs_appended_rows_between_queries(self, rng, tmp_path):
+        """End-to-end: participant with a --watch-style refresh hook serves a
+        grown share file to the SECOND query without restarting (the
+        reference's in-accept-loop sync TODO, src/main.rs:415)."""
+        from mpc_iris_tpu.cli import make_share_watcher
+        from mpc_iris_tpu.io.formats import open_share, write_share
+        from mpc_iris_tpu.protocol.wire import read_records
+        from mpc_iris_tpu.types import Template
+
+        full = _shares(rng, 11)
+        path = tmp_path / "mpc.share-0"
+        write_share(path, full[:7])
+        eng = ShareEngine(open_share(path), chunk=4)
+        query = Template.random(np.random.default_rng(3))
+
+        async def ask(port):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            recs, _eof = await read_records(reader, 1000)
+            writer.close()
+            await writer.wait_closed()
+            return recs
+
+        async def go():
+            server = ParticipantServer(
+                eng, "127.0.0.1", 0,
+                refresh=make_share_watcher(str(path), eng),
+            )
+            _, port = await server.start()
+            try:
+                first = await ask(port)
+                write_share(path, full[7:])  # DB grows while serving
+                second = await ask(port)
+            finally:
+                await server.close()
+            return first, second
+
+        first, second = asyncio.run(go())
+        assert first.shape[0] == 7 and second.shape[0] == 11
+        # The grown reply must match a from-scratch engine on the full DB.
+        qp = query.pattern.data[None]
+        qm = query.mask.data[None]
+        fresh = ShareEngine(full, chunk=4)
+        np.testing.assert_array_equal(second, fresh.dots(qp, qm)[0])
