@@ -67,6 +67,26 @@ class TestShareEngineRefresh:
         with pytest.raises(ValueError, match="append-only"):
             eng.refresh(full[:4])
 
+    def test_refresh_mid_stream_serves_engine_state_at_start(self, rng):
+        """refresh() between stream() chunks must not corrupt the in-flight
+        reply: the stream captured its chunk count at generator start, and
+        the grown source is append-only, so every already- or not-yet-
+        dispatched chunk still reads identical prefix rows."""
+        full = _shares(rng, 24)
+        qp, qm = _queries(rng)
+        eng = ShareEngine(full[:10], chunk=2)  # 5 chunks in flight
+        gen = eng.stream(qp, qm)
+        parts = [next(gen)]  # generator started: count/chunks captured
+        assert eng.refresh(full) == 14
+        parts.extend(gen)
+        got = np.concatenate(parts, axis=1)
+        fresh = ShareEngine(full[:10], chunk=2)
+        np.testing.assert_array_equal(got, fresh.dots(qp, qm))
+        # ... and the NEXT stream serves the grown DB.
+        grown = np.concatenate(list(eng.stream(qp, qm)), axis=1)
+        np.testing.assert_array_equal(
+            grown, ShareEngine(full, chunk=2).dots(qp, qm))
+
     def test_memmap_file_growth(self, rng, tmp_path):
         """The real deployment shape: the share FILE is appended to and a
         re-opened memmap slots in (reference src/main.rs:415)."""
@@ -81,6 +101,48 @@ class TestShareEngineRefresh:
         qp, qm = _queries(rng)
         fresh = ShareEngine(full, chunk=4)
         np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+
+
+class TestWatcherTornRecords:
+    def test_share_watcher_ignores_partial_trailing_record(self, rng, tmp_path):
+        """A writer mid-append leaves a torn trailing record; the watcher
+        must ignore it until the record completes (docstring contract of
+        cli.make_share_watcher)."""
+        from mpc_iris_tpu.cli import make_share_watcher
+        from mpc_iris_tpu.io.formats import open_share, write_share
+
+        full = _shares(rng, 9)
+        path = tmp_path / "mpc.share-0"
+        write_share(path, full[:7])
+        eng = ShareEngine(open_share(path), chunk=4)
+        watch = make_share_watcher(str(path), eng)
+
+        tail = np.ascontiguousarray(full[7:]).astype("<u2").tobytes()
+        with open(path, "ab") as f:
+            f.write(tail[:1000])  # torn mid-record (record = 25,600 B)
+        assert watch() == 0 and eng.count == 7
+        with open(path, "ab") as f:
+            f.write(tail[1000:])  # append completes
+        assert watch() == 2 and eng.count == 9
+        qp, qm = _queries(rng)
+        np.testing.assert_array_equal(
+            eng.dots(qp, qm), ShareEngine(full, chunk=4).dots(qp, qm))
+
+    def test_masks_watcher_ignores_partial_trailing_record(self, rng, tmp_path):
+        from mpc_iris_tpu.cli import make_masks_watcher
+        from mpc_iris_tpu.io.formats import open_masks, write_masks
+
+        masks = rng.integers(0, 256, (6, BITS_BYTES), dtype=np.uint8)
+        path = tmp_path / "mpc.masks"
+        write_masks(path, masks[:4])
+        eng = MasksEngine(open_masks(path), chunk=4)
+        watch = make_masks_watcher(str(path), eng)
+        with open(path, "ab") as f:
+            f.write(masks[4:].tobytes()[:700])  # torn (record = 1,600 B)
+        assert watch() == 0 and eng.count == 4
+        with open(path, "ab") as f:
+            f.write(masks[4:].tobytes()[700:])
+        assert watch() == 2 and eng.count == 6
 
 
 class TestKeyedRefresh:
@@ -200,3 +262,66 @@ class TestParticipantWatch:
         qm = query.mask.data[None]
         fresh = ShareEngine(full, chunk=4)
         np.testing.assert_array_equal(second, fresh.dots(qp, qm)[0])
+
+
+class TestCoordinatorWatch:
+    def test_full_protocol_finds_winner_appended_between_rounds(
+            self, rng, tmp_path):
+        """Whole-system DB sync (the cmd_coordinator --watch loop): masks and
+        both parties' share files grow between two coordinator queries; the
+        second round must search the appended region and find a planted
+        winner there."""
+        from mpc_iris_tpu.cli import make_masks_watcher, make_share_watcher
+        from mpc_iris_tpu.io.formats import (open_masks, open_share,
+                                             write_masks, write_share)
+        from mpc_iris_tpu.ops.encode import encode_template
+        from mpc_iris_tpu.protocol import Coordinator
+        from mpc_iris_tpu.types import Template
+
+        db = [Template.random(rng) for _ in range(19)]
+        query = Template.random(rng)
+        db[14] = query.rotated(-4)  # planted winner lives in the APPENDED rows
+        head = 11
+        mats = [np.zeros((19, BITS), dtype=np.uint16) for _ in range(2)]
+        for i, t in enumerate(db):
+            for p, s in enumerate(encode_template(t).share(2, rng)):
+                mats[p][i] = s.data
+        masks = np.stack([t.mask.data for t in db])
+        mpath = tmp_path / "mpc.masks"
+        spaths = [tmp_path / f"mpc.share-{p}" for p in range(2)]
+        write_masks(mpath, masks[:head])
+        for p in range(2):
+            write_share(spaths[p], mats[p][:head])
+
+        masks_engine = MasksEngine(open_masks(mpath), chunk=4)
+        engines = [ShareEngine(open_share(sp), chunk=4) for sp in spaths]
+        watch_masks = make_masks_watcher(str(mpath), masks_engine)
+
+        async def go():
+            servers = [
+                ParticipantServer(
+                    eng, "127.0.0.1", 0,
+                    refresh=make_share_watcher(str(sp), eng))
+                for eng, sp in zip(engines, spaths)
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(masks_engine, addrs, batch_records=5)
+            try:
+                first = await coord.query(query)
+                write_masks(mpath, masks[head:])
+                for p in range(2):
+                    write_share(spaths[p], mats[p][head:])
+                await asyncio.to_thread(watch_masks)  # the --watch loop step
+                second = await coord.query(query)
+            finally:
+                for s in servers:
+                    await s.close()
+            return first, second
+
+        first, second = asyncio.run(go())
+        oracle_head = np.array([query.distance(t) for t in db[:head]])
+        assert first.total == head
+        assert (first.index, first.distance) == (
+            int(np.argmin(oracle_head)), oracle_head.min())
+        assert second.total == 19
+        assert (second.index, second.distance) == (14, 0.0)
