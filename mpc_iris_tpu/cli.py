@@ -95,7 +95,20 @@ def cmd_prepare(args) -> int:
     with the hex/RNG hot loops in C++)."""
     from mpc_iris_tpu import native
 
-    if args.insecure_seed is not None:
+    if args.key is not None and args.insecure_seed is not None:
+        print("error: --key and --insecure-seed both name the share key; "
+              "pass one", file=sys.stderr)
+        return 1
+    if args.key is not None:
+        # Reuse a saved key (--save-key output) — required when appending to
+        # a DB served by keyed participants: their streams are addressed by
+        # (key, share, row), so appended rows must extend the SAME streams.
+        share_key = bytes.fromhex(open(args.key).read().strip())
+        if len(share_key) != 32:
+            print(f"error: key file {args.key} holds {len(share_key)} bytes, "
+                  "want 32", file=sys.stderr)
+            return 1
+    elif args.insecure_seed is not None:
         # Explicit testing path: brute-forceable key space, reproducible files.
         share_key = native.derive_insecure_key(args.insecure_seed)
         print("warning: --insecure-seed shares are NOT cryptographically "
@@ -120,9 +133,42 @@ def cmd_prepare(args) -> int:
     base = args.output
     masks_path = f"{base}.masks"
     share_paths = [f"{base}.share-{i}" for i in range(n_shares)]
-    for p in [masks_path, *share_paths]:
-        if os.path.exists(p):
-            os.remove(p)
+    row = 0
+    if args.append:
+        # Incremental ETL (the reference's explicit TODO, src/main.rs:402):
+        # extend an existing store in place. With the original key the
+        # appended rows continue the same addressable streams, so keyed
+        # participants stay valid (refresh the row count, SPEC §4.1); running
+        # file-backed roles pick the rows up via --watch.
+        counts = {}
+        for p in [masks_path, *share_paths]:
+            rec = BITS_BYTES if p == masks_path else 2 * BITS
+            if not os.path.exists(p):
+                print(f"error: --append: {p} does not exist (run prepare "
+                      "without --append to create the store)", file=sys.stderr)
+                return 1
+            size = os.path.getsize(p)
+            if size % rec:
+                print(f"error: --append: {p} is not a whole number of "
+                      "records", file=sys.stderr)
+                return 1
+            counts[p] = size // rec
+        if len(set(counts.values())) != 1:
+            print(f"error: --append: record counts disagree across the "
+                  f"store: {counts}", file=sys.stderr)
+            return 1
+        row = counts[masks_path]
+        if args.key is None and args.insecure_seed is None:
+            print("warning: --append with a fresh random key: file-backed "
+                  "parties are unaffected, but keyed:<s>:...:<keyfile> specs "
+                  "minted from the ORIGINAL key cannot regenerate the "
+                  "appended rows — pass --key to extend the same streams",
+                  file=sys.stderr)
+        print(f"appending after {row} existing entries", file=sys.stderr)
+    else:
+        for p in [masks_path, *share_paths]:
+            if os.path.exists(p):
+                os.remove(p)
 
     # --backend device draws from the SAME addressable ChaCha20 streams as
     # the host path (ops/encode.py::share_split_device), so both backends are
@@ -131,7 +177,6 @@ def cmd_prepare(args) -> int:
     progress = Progress("prepare", unit="templates")
     masks_f = open(masks_path, "ab")
     share_fs = [open(p, "ab") for p in share_paths]
-    row = 0
     try:
         with open(args.input, "rb") as f:
             for pats, msks in _batched_templates(f, args.batch):
@@ -932,6 +977,19 @@ def build_parser() -> argparse.ArgumentParser:
         "keyed participants that regenerate shares 0..n-2 on device with "
         "zero share I/O (see `participant keyed:...`). The key is exactly "
         "as sensitive as those share files",
+    )
+    g.add_argument(
+        "--key", default=None, metavar="PATH",
+        help="reuse a saved share key (--save-key output) instead of drawing "
+        "a fresh one — required with --append when keyed participants must "
+        "regenerate the appended rows",
+    )
+    g.add_argument(
+        "--append", action="store_true",
+        help="extend an existing store in place (incremental ETL — a TODO "
+        "in the reference, src/main.rs:402): new entries are appended to "
+        "the masks and every share file; running roles adopt them via "
+        "--watch. Counts must agree across the store",
     )
     g.set_defaults(fn=cmd_prepare)
 

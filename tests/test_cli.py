@@ -93,6 +93,49 @@ def test_rerandomize_cli_roundtrip(workdir):
     assert (workdir / "before.json").read_bytes() == (workdir / "after.json").read_bytes()
 
 
+def test_prepare_append_extends_store_byte_identically(workdir):
+    """Incremental ETL (`prepare --append`, the reference's sync TODO,
+    src/main.rs:402): preparing 6 entries then appending 4 with the SAME key
+    must produce byte-identical files to a one-shot 10-entry prepare — the
+    appended rows continue the same addressable keystreams, so existing
+    keyed:<s>:... specs stay valid for the grown count."""
+    assert main(["generate", "db.json", "10", "--seed", "21"]) == 0
+    objs = json.loads((workdir / "db.json").read_bytes())
+    (workdir / "head.json").write_text(json.dumps(objs[:6]))
+    (workdir / "tail.json").write_text(json.dumps(objs[6:]))
+
+    assert main(["prepare", "db.json", "2", "ref", "--insecure-seed", "5"]) == 0
+    assert main(["prepare", "head.json", "2", "mpc", "--insecure-seed", "5",
+                 "--save-key", "mpc.key"]) == 0
+    # Append with the saved key (the production path: --key, not the seed).
+    assert main(["prepare", "tail.json", "2", "mpc", "--key", "mpc.key",
+                 "--append"]) == 0
+    for name in ["masks", "share-0", "share-1"]:
+        assert (workdir / f"mpc.{name}").read_bytes() == \
+            (workdir / f"ref.{name}").read_bytes(), name
+
+
+def test_prepare_append_validation(workdir):
+    assert main(["generate", "db.json", "4", "--seed", "22"]) == 0
+    # --append needs an existing store.
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "5",
+                 "--append"]) == 1
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "5",
+                 "--save-key", "mpc.key"]) == 0
+    # --key and --insecure-seed are mutually exclusive.
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "5",
+                 "--key", "mpc.key", "--append"]) == 1
+    # Torn file: not a whole number of records.
+    with open(workdir / "mpc.masks", "ab") as f:
+        f.write(b"x" * 100)
+    assert main(["prepare", "db.json", "2", "mpc", "--key", "mpc.key",
+                 "--append"]) == 1
+    with open(workdir / "mpc.masks", "ab") as f:
+        f.write(b"x" * 1500)  # whole record again, but counts now disagree
+    assert main(["prepare", "db.json", "2", "mpc", "--key", "mpc.key",
+                 "--append"]) == 1
+
+
 def test_share_engine_from_spec_dispatch(workdir):
     """The unified share constructor behind participant and coordinator
     --share: a file path opens a ShareEngine, a keyed:<s>:<count>:<keyfile>
