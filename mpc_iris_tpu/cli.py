@@ -204,8 +204,15 @@ def cmd_prepare(args) -> int:
         for f in share_fs:
             f.close()
     progress.finish()
+    # Count sidecar for keyed parties (they store no share bytes to stat):
+    # written atomically so a `--watch-count` watcher never reads torn text.
+    tmp = f"{base}.count.tmp"
+    with open(tmp, "w") as cf:
+        cf.write(f"{row}\n")
+    os.replace(tmp, f"{base}.count")
     print(
-        f"wrote {masks_path} and {n_shares} share files", file=sys.stderr
+        f"wrote {masks_path}, {n_shares} share files and {base}.count "
+        f"({row} entries)", file=sys.stderr
     )
     return 0
 
@@ -507,6 +514,51 @@ def make_share_watcher(path: str, engine):
     return refresh
 
 
+def make_keyed_count_watcher(path: str, engine):
+    """DB-sync callable for a KEYED share engine: a keyed party stores no
+    share bytes, so growth is learned from a count SOURCE — the text sidecar
+    `prepare` maintains (`<base>.count`), delivered to the party out-of-band
+    (it is public: the DB size). Unreadable/torn/empty files are skipped
+    until the writer completes; a shrunk count is refused loudly (keyed
+    refresh is append-only) but never kills the serving loop."""
+
+    def refresh() -> int:
+        try:
+            text = open(path).read().strip()
+            count = parse_si(text) if text else 0
+        except (OSError, ValueError):
+            return 0  # mid-write or absent: adopt it on the next request
+        if count <= engine.count:
+            if 0 < count < engine.count:
+                print(f"db sync: ignoring shrunk count {count} < "
+                      f"{engine.count} from {path} (append-only; restart "
+                      "the participant for a rebuilt DB)", file=sys.stderr)
+            return 0
+        added = engine.refresh(count)
+        print(f"db sync: +{added} keyed entries from {path} "
+              f"({engine.count} total)", file=sys.stderr)
+        return added
+
+    return refresh
+
+
+def make_keyed_masks_follower(local_engine, masks_engine):
+    """Coordinator-side keyed sync: the masks DB and the share DB are the
+    same logical DB, so after the masks watcher adopts appended rows the
+    keyed local share simply follows the masks count (no sidecar needed)."""
+
+    def refresh() -> int:
+        target = masks_engine.count
+        if target <= local_engine.count:
+            return 0
+        added = local_engine.refresh(target)
+        print(f"db sync: +{added} keyed local-share rows (masks count "
+              f"{target})", file=sys.stderr)
+        return added
+
+    return refresh
+
+
 def make_masks_watcher(path: str, engine):
     """DB-sync callable for a masks engine (coordinator side of the
     reference's sync TODO): adopt appended whole 1,600-byte mask records."""
@@ -572,14 +624,27 @@ def cmd_participant(args) -> int:
     refresh = None
     if args.watch:
         if args.input.startswith("keyed:"):
-            print("error: --watch needs a share FILE to stat; a keyed "
-                  "share's row count is fixed by its spec (restart the "
-                  "participant with the new count, or drive "
-                  "engine.refresh(count) programmatically)", file=sys.stderr)
-            return 1
-        refresh = make_share_watcher(args.input, engine)
-        print(f"--watch: syncing appended rows from {args.input} before "
-              "each request", file=sys.stderr)
+            if not args.watch_count:
+                print("error: --watch on a keyed share needs --watch-count "
+                      "FILE (a keyed party stores no share bytes to stat; "
+                      "`prepare` maintains the `<base>.count` sidecar — "
+                      "deliver it alongside DB growth)", file=sys.stderr)
+                return 1
+            refresh = make_keyed_count_watcher(args.watch_count, engine)
+            print(f"--watch: syncing keyed row count from "
+                  f"{args.watch_count} before each request", file=sys.stderr)
+        else:
+            if args.watch_count:
+                print("error: --watch-count is for keyed shares; a "
+                      "file-backed share's count comes from the share file "
+                      "itself", file=sys.stderr)
+                return 1
+            refresh = make_share_watcher(args.input, engine)
+            print(f"--watch: syncing appended rows from {args.input} before "
+                  "each request", file=sys.stderr)
+    elif args.watch_count:
+        print("error: --watch-count requires --watch", file=sys.stderr)
+        return 1
 
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire,
@@ -676,9 +741,15 @@ def cmd_coordinator(args) -> int:
         # sync their own files via `participant --watch`; the per-round
         # shortest-prefix alignment tolerates transiently unequal counts.
         watchers.append(make_masks_watcher(args.masks, masks_engine))
-        if args.share and not args.share.startswith("keyed:"):
-            watchers.append(make_share_watcher(args.share, local_engine))
-        print(f"--watch: syncing appended rows before each query round",
+        if args.share:
+            if args.share.startswith("keyed:"):
+                # Same logical DB as the masks: the keyed local share just
+                # follows the (already-refreshed) masks count.
+                watchers.append(
+                    make_keyed_masks_follower(local_engine, masks_engine))
+            else:
+                watchers.append(make_share_watcher(args.share, local_engine))
+        print("--watch: syncing appended rows before each query round",
               file=sys.stderr)
 
     if args.warmup:
@@ -1073,6 +1144,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="before each request, adopt rows appended to the "
                    "share file since startup (DB sync — a TODO in the "
                    "reference, src/main.rs:415)")
+    g.add_argument("--watch-count", default=None, metavar="FILE",
+                   help="with --watch on a keyed share: adopt DB growth "
+                   "from this text count file (`prepare` maintains "
+                   "`<base>.count`; the count is public). Keyed parties "
+                   "store no share bytes, so growth arrives as a number, "
+                   "not records")
     g.add_argument("--tls-cert", default=None, metavar="PEM",
                    help="serve TLS with this certificate (see `tls-cert`); "
                    "wire inside the tunnel is unchanged")

@@ -115,6 +115,33 @@ def test_prepare_append_extends_store_byte_identically(workdir):
             (workdir / f"ref.{name}").read_bytes(), name
 
 
+def test_prepare_writes_count_sidecar(workdir):
+    """`prepare` maintains `<base>.count` (the keyed parties' growth signal,
+    consumed by `participant --watch --watch-count`)."""
+    assert main(["generate", "db.json", "6", "--seed", "23"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "5",
+                 "--save-key", "mpc.key"]) == 0
+    assert (workdir / "mpc.count").read_text().strip() == "6"
+    assert main(["prepare", "db.json", "2", "mpc", "--key", "mpc.key",
+                 "--append"]) == 0
+    assert (workdir / "mpc.count").read_text().strip() == "12"
+
+
+def test_participant_watch_flag_validation(workdir):
+    assert main(["generate", "db.json", "4", "--seed", "24"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "5",
+                 "--save-key", "mpc.key"]) == 0
+    # keyed + --watch needs a count source
+    assert main(["participant", "keyed:0:4:mpc.key", "127.0.0.1:0",
+                 "--watch", "--no-warmup"]) == 1
+    # file share + --watch-count is contradictory
+    assert main(["participant", "mpc.share-0", "127.0.0.1:0", "--watch",
+                 "--watch-count", "mpc.count", "--no-warmup"]) == 1
+    # --watch-count without --watch does nothing: refuse it
+    assert main(["participant", "mpc.share-0", "127.0.0.1:0",
+                 "--watch-count", "mpc.count", "--no-warmup"]) == 1
+
+
 def test_prepare_append_validation(workdir):
     assert main(["generate", "db.json", "4", "--seed", "22"]) == 0
     # --append needs an existing store.

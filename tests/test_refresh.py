@@ -168,6 +168,45 @@ class TestKeyedRefresh:
         np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
 
 
+class TestKeyedCountWatcher:
+    def test_grow_torn_and_shrink(self, rng, tmp_path):
+        """A keyed party learns growth from the `<base>.count` text sidecar:
+        absent/torn/garbage files are skipped until the writer completes;
+        a shrunk count is refused without killing the serving loop."""
+        from mpc_iris_tpu.cli import make_keyed_count_watcher
+
+        key = native.derive_insecure_key(5)
+        eng = KeyedShareEngine(key, 0, count=6, chunk=4)
+        cf = tmp_path / "mpc.count"
+        watch = make_keyed_count_watcher(str(cf), eng)
+        assert watch() == 0  # absent file: adopt next time
+        cf.write_text("")
+        assert watch() == 0  # mid-write torn/empty
+        cf.write_text("not-a-number")
+        assert watch() == 0
+        cf.write_text("13\n")
+        assert watch() == 7 and eng.count == 13
+        qp, qm = _queries(rng)
+        fresh = KeyedShareEngine(key, 0, count=13, chunk=4)
+        np.testing.assert_array_equal(eng.dots(qp, qm), fresh.dots(qp, qm))
+        cf.write_text("4\n")  # shrink: append-only, ignored loudly
+        assert watch() == 0 and eng.count == 13
+
+    def test_masks_follower(self, rng):
+        """Coordinator-held keyed share follows the masks count (same
+        logical DB; no sidecar needed on the coordinator)."""
+        from mpc_iris_tpu.cli import make_keyed_masks_follower
+
+        key = native.derive_insecure_key(6)
+        eng = KeyedShareEngine(key, 0, count=5, chunk=4)
+        masks = rng.integers(0, 256, (9, BITS_BYTES), dtype=np.uint8)
+        me = MasksEngine(masks[:5], chunk=4)
+        follow = make_keyed_masks_follower(eng, me)
+        assert follow() == 0
+        me.refresh(masks)
+        assert follow() == 4 and eng.count == 9
+
+
 class TestMasksRefresh:
     @pytest.mark.parametrize("storage", ["dense", "packed"])
     def test_grow(self, rng, storage):
@@ -262,6 +301,53 @@ class TestParticipantWatch:
         qm = query.mask.data[None]
         fresh = ShareEngine(full, chunk=4)
         np.testing.assert_array_equal(second, fresh.dots(qp, qm)[0])
+
+
+class TestKeyedParticipantWatch:
+    def test_keyed_server_follows_count_file(self, rng, tmp_path):
+        """End-to-end keyed DB growth: a keyed participant with a
+        --watch-count-style hook serves the grown count to the second query
+        (zero share bytes ever written — growth arrives as a number)."""
+        from mpc_iris_tpu.cli import make_keyed_count_watcher
+        from mpc_iris_tpu.protocol.wire import read_records
+        from mpc_iris_tpu.types import Template
+
+        key = native.derive_insecure_key(11)
+        eng = KeyedShareEngine(key, 0, count=7, chunk=4)
+        cf = tmp_path / "mpc.count"
+        cf.write_text("7\n")
+        query = Template.random(np.random.default_rng(4))
+
+        async def ask(port):
+            reader, writer = await asyncio.open_connection("127.0.0.1", port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            recs, _eof = await read_records(reader, 1000)
+            writer.close()
+            await writer.wait_closed()
+            return recs
+
+        async def go():
+            server = ParticipantServer(
+                eng, "127.0.0.1", 0,
+                refresh=make_keyed_count_watcher(str(cf), eng),
+            )
+            _, port = await server.start()
+            try:
+                first = await ask(port)
+                cf.write_text("11\n")  # DB grows while serving
+                second = await ask(port)
+            finally:
+                await server.close()
+            return first, second
+
+        first, second = asyncio.run(go())
+        assert first.shape[0] == 7 and second.shape[0] == 11
+        qp = query.pattern.data[None]
+        qm = query.mask.data[None]
+        fresh = KeyedShareEngine(key, 0, count=11, chunk=4)
+        np.testing.assert_array_equal(second, fresh.dots(qp, qm)[0])
+        np.testing.assert_array_equal(second[:7], first)
 
 
 class TestCoordinatorWatch:
