@@ -103,10 +103,12 @@ def cmd_prepare(args) -> int:
         # Reuse a saved key (--save-key output) — required when appending to
         # a DB served by keyed participants: their streams are addressed by
         # (key, share, row), so appended rows must extend the SAME streams.
-        share_key = bytes.fromhex(open(args.key).read().strip())
-        if len(share_key) != 32:
-            print(f"error: key file {args.key} holds {len(share_key)} bytes, "
-                  "want 32", file=sys.stderr)
+        from mpc_iris_tpu.protocol.keyagree import read_key32
+
+        try:
+            share_key = read_key32(args.key)
+        except (OSError, ValueError) as e:
+            print(f"error: --key {args.key}: {e}", file=sys.stderr)
             return 1
     elif args.insecure_seed is not None:
         # Explicit testing path: brute-forceable key space, reproducible files.
@@ -156,6 +158,14 @@ def cmd_prepare(args) -> int:
         if len(set(counts.values())) != 1:
             print(f"error: --append: record counts disagree across the "
                   f"store: {counts}", file=sys.stderr)
+            return 1
+        if os.path.exists(f"{base}.share-{n_shares}"):
+            # A smaller count would pass the existence checks above but
+            # write (n-1)-party share math into an n-party store — every
+            # appended entry would silently reconstruct wrong.
+            print(f"error: --append: {base}.share-{n_shares} exists — the "
+                  f"store was built with more than {n_shares} shares; pass "
+                  "the original share count", file=sys.stderr)
             return 1
         row = counts[masks_path]
         if args.key is None and args.insecure_seed is None:
@@ -497,16 +507,21 @@ def make_share_watcher(path: str, engine):
     """Zero-arg DB-sync callable for a file-backed share engine: stat the
     share file and adopt any appended whole records (the reference's TODO at
     src/main.rs:415). Torn trailing bytes from an in-progress append are
-    ignored until the writer completes the record. Returns rows added (0 on
-    no change) so callers can log."""
+    ignored until the writer completes the record, and transient file errors
+    (momentarily missing/replaced file) skip the sync instead of killing the
+    serving loop. Returns rows added (0 on no change) so callers can log."""
     row_bytes = 2 * BITS
 
     def refresh() -> int:
-        rows = os.path.getsize(path) // row_bytes
-        if rows <= engine.count:
+        try:
+            rows = os.path.getsize(path) // row_bytes
+            if rows <= engine.count:
+                return 0
+            mm = np.memmap(path, dtype="<u2", mode="r", shape=(rows, BITS))
+            added = engine.refresh(mm)
+        except (OSError, ValueError) as e:
+            print(f"db sync: skipping {path}: {e}", file=sys.stderr)
             return 0
-        mm = np.memmap(path, dtype="<u2", mode="r", shape=(rows, BITS))
-        added = engine.refresh(mm)
         print(f"db sync: +{added} entries from {path} "
               f"({engine.count} total)", file=sys.stderr)
         return added
@@ -561,15 +576,21 @@ def make_keyed_masks_follower(local_engine, masks_engine):
 
 def make_masks_watcher(path: str, engine):
     """DB-sync callable for a masks engine (coordinator side of the
-    reference's sync TODO): adopt appended whole 1,600-byte mask records."""
+    reference's sync TODO): adopt appended whole 1,600-byte mask records.
+    Transient file errors skip the sync (same contract as
+    make_share_watcher) — a blipping mount must not kill the query loop."""
 
     def refresh() -> int:
-        rows = os.path.getsize(path) // BITS_BYTES
-        if rows <= engine.count:
+        try:
+            rows = os.path.getsize(path) // BITS_BYTES
+            if rows <= engine.count:
+                return 0
+            mm = np.memmap(path, dtype=np.uint8, mode="r",
+                           shape=(rows, BITS_BYTES))
+            added = engine.refresh(mm)
+        except (OSError, ValueError) as e:
+            print(f"db sync: skipping {path}: {e}", file=sys.stderr)
             return 0
-        mm = np.memmap(path, dtype=np.uint8, mode="r",
-                       shape=(rows, BITS_BYTES))
-        added = engine.refresh(mm)
         print(f"db sync: +{added} masks from {path} "
               f"({engine.count} total)", file=sys.stderr)
         return added

@@ -531,6 +531,7 @@ class ShareEngine:
         moot when the whole DB fits resident (no streamed transient)."""
         kernel_self_test()
         n = shares_u16.shape[0]
+        self._chunk_req = chunk  # pre-clamp request, for refresh() warnings
         chunk = min(chunk, max(128, n))
         num_chunks = max(1, -(-n // chunk))
         self._explicit_budget = hbm_budget is not None
@@ -585,9 +586,12 @@ class ShareEngine:
         straight in. Previously-resident full chunks are reused as-is; a
         previously-padded tail chunk is re-transferred, and residency is
         re-fit to the budget (growing past HBM demotes resident chunks to
-        the streamed out-of-core path). Safe to call between queries while
-        earlier streams finish: mutations only append/trim bookkeeping, and
-        in-flight streams captured their chunk count at generator start."""
+        the streamed out-of-core path). Safe to call concurrently with
+        serving: the resident list is REPLACED, never mutated, so an
+        in-flight dots_chunk that snapshotted the old list keeps valid
+        slots, and it reads identical bytes either way (the source is
+        append-only and streams trim to the count captured at generator
+        start)."""
         n_new = shares_u16.shape[0]
         if shares_u16.ndim != 2 or shares_u16.shape[1] != BITS:
             raise ValueError(f"share source must be [N, {BITS}] u16")
@@ -601,17 +605,32 @@ class ShareEngine:
         self._source = shares_u16
         self.count = n_new
         self._num_chunks = max(1, -(-n_new // self.chunk))
+        self._warn_frozen_layout(n_new)
         n_res = min(self._num_chunks,
                     self._max_resident(self._num_chunks, self.chunk))
-        # Shrink the readable view first so concurrent dots_chunk() calls
-        # never index a slot under mutation, then splice and regrow.
         keep = min(len(self._resident), full_before, n_res)
-        self._n_resident = keep
-        del self._resident[keep:]
+        resident = self._resident[:keep]  # full chunks: device copies reused
         for c in range(keep, n_res):
-            self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
+            resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
+        self._resident = resident  # atomic swap under the GIL
         self._n_resident = n_res
         return added
+
+    def _warn_frozen_layout(self, n_new: int) -> None:
+        """Growth keeps the construction-time chunk (it is baked into every
+        compiled shape); warn when a fresh build on the grown DB would pick
+        a much larger one — per-chunk dispatch overhead dominates small
+        chunks on the real TPU (~27 ms each), so a rebuild is worth it."""
+        fresh = min(self._chunk_req, max(128, n_new))
+        if fresh >= 4 * self.chunk:
+            import sys
+
+            print(
+                f"{type(self).__name__}: DB grew to {n_new} but the engine "
+                f"keeps its construction-time chunk {self.chunk} (a fresh "
+                f"build would pick {fresh}); rebuild for fewer, larger "
+                "dispatches", file=sys.stderr,
+            )
 
     def _chunk_u16(self, c: int) -> np.ndarray:
         """Host u16 [chunk, K] view for chunk c, zero-padded at the tail.
@@ -644,8 +663,9 @@ class ShareEngine:
         host->device transfer of the raw u16 rows first (the hot loop is then
         transfer-bound, exactly like the reference's mmap-streaming
         participant on a memory-bandwidth-starved host)."""
-        if chunk_index < self._n_resident:
-            planes = self._resident[chunk_index]
+        res = self._resident  # snapshot: refresh() swaps the list, never mutates
+        if chunk_index < len(res):
+            planes = res[chunk_index]
             return _share_dots_chunk(q_enc, planes[0], planes[1])
         return _share_dots_chunk_u16(q_enc, self._put(self._chunk_u16(chunk_index)))
 
@@ -731,6 +751,7 @@ class KeyedShareEngine:
         # conversion when passed as a traced jit argument.
         self._sid = jnp.uint32(check_stream_id(stream_id))
         self.count = int(count)
+        self._chunk_req = chunk  # pre-clamp request, for refresh() warnings
         self.chunk = min(chunk, max(128, self.count))
         if hbm_budget is None:
             # The regen step holds ~2.5-3 GB of Pallas ChaCha working state
@@ -758,7 +779,8 @@ class KeyedShareEngine:
         just learning the new row count — every row is derived from the
         32-byte key on demand, so nothing is loaded. Resident-head planes
         are whole keystream chunks and stay valid under growth; the head is
-        extended if the budget still has room."""
+        extended if the budget still has room. Concurrency-safe like
+        ShareEngine.refresh: the resident list is replaced, not mutated."""
         count = int(count)
         if count < self.count:
             raise ValueError(
@@ -767,12 +789,15 @@ class KeyedShareEngine:
             )
         added = count - self.count
         self.count = count
+        ShareEngine._warn_frozen_layout(self, count)
         n_res = min(self.num_chunks(), self._max_resident)
-        for c in range(self._n_resident, n_res):
-            self._resident.append(
+        resident = self._resident[:]
+        for c in range(len(resident), n_res):
+            resident.append(
                 _keyed_planes_chunk(self._kw, self._sid,
                                     np.uint32(c * self.chunk), self.chunk)
             )
+        self._resident = resident  # atomic swap under the GIL
         self._n_resident = n_res
         return added
 
@@ -791,8 +816,9 @@ class KeyedShareEngine:
         """uint16 [B, chunk, 31] for one DB chunk (async): resident head
         planes dispatch straight into the matmuls; tail chunks regenerate
         inside the dispatch. ``q_nat`` = `_q_transform`'d query planes."""
-        if chunk_index < self._n_resident:
-            planes = self._resident[chunk_index]
+        res = self._resident  # snapshot: refresh() swaps the list, never mutates
+        if chunk_index < len(res):
+            planes = res[chunk_index]
             return _share_dots_chunk(q_nat, planes[0], planes[1])
         # np.uint32 row offset: raw ints >= 2^31 (valid row addresses)
         # overflow jit's default int32 argument conversion.

@@ -273,6 +273,7 @@ class ShardedShareEngine(_ShardedBase):
         party or a bigger mesh. The reference mmaps its share file the same
         way (src/main.rs:386-400), minus the multi-host axis it lacks."""
         n = shares_u16.shape[0]
+        self._chunk_req = chunk  # pre-clamp request, for refresh() warnings
         chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         n, k = shares_u16.shape
@@ -280,34 +281,17 @@ class ShardedShareEngine(_ShardedBase):
         block = chunk * d
         g_blocks = max(1, -(-n // block))
         self.count = n
-        lo, hi = self.db_span
-        span_rows = (hi - lo) * chunk  # this process's slice of one block
-        u16_sharding = NamedSharding(mesh, P("db", None, None))
+        self._u16_sharding = NamedSharding(mesh, P("db", None, None))
         planes_sharding = NamedSharding(mesh, P("db", None, None, None))
-        reformat = jax.jit(
+        # Cached across refreshes: a fresh lambda per call would miss jit's
+        # cache and retrace on every DB-growth event.
+        self._reformat = jax.jit(
             lambda s: jnp.stack(shares_to_planes(s), axis=1),
             out_shardings=planes_sharding,
         )
-        single = jax.process_count() == 1
-        self._blocks = []  # per block: int8 [D, 2, chunk, K], sharded on "db"
-        for j in range(g_blocks):
-            # Within one block, this process's chunks are consecutive in
-            # global entry order: ONE contiguous source slice per block.
-            start = (j * d + lo) * chunk
-            end = min(n, start + span_rows)
-            rows = np.ascontiguousarray(
-                shares_u16[start:end], dtype=np.uint16
-            ) if end > start else np.zeros((0, k), np.uint16)
-            if rows.shape[0] < span_rows:
-                rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
-            local = rows.reshape(hi - lo, chunk, k)
-            if single:
-                dev = jax.device_put(local, u16_sharding)
-            else:
-                dev = jax.make_array_from_process_local_data(
-                    u16_sharding, local, (d, chunk, k)
-                )
-            self._blocks.append(reformat(dev))
+        # per block: int8 [D, 2, chunk, K], sharded on "db"
+        self._blocks = [self._load_block(j, shares_u16, n)
+                        for j in range(g_blocks)]
 
         def spmd(q_enc, planes_j):
             # local: planes_j [1, 2, c, K] -> [B, c, 31]
@@ -323,6 +307,32 @@ class ShardedShareEngine(_ShardedBase):
             ),
         )
 
+    def _load_block(self, j: int, src, n: int):
+        """Transfer block j's process-local slice and byte-split on device.
+
+        Within one block, this process's chunks are consecutive in global
+        entry order: ONE contiguous source slice per block (a shared
+        memmap'd file never pages in other hosts' rows)."""
+        d = self.n_shards
+        lo, hi = self.db_span
+        span_rows = (hi - lo) * self.chunk
+        k = src.shape[1]
+        start = (j * d + lo) * self.chunk
+        end = min(n, start + span_rows)
+        rows = np.ascontiguousarray(
+            src[start:end], dtype=np.uint16
+        ) if end > start else np.zeros((0, k), np.uint16)
+        if rows.shape[0] < span_rows:
+            rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
+        local = rows.reshape(hi - lo, self.chunk, k)
+        if jax.process_count() == 1:
+            dev = jax.device_put(local, self._u16_sharding)
+        else:
+            dev = jax.make_array_from_process_local_data(
+                self._u16_sharding, local, (d, self.chunk, k)
+            )
+        return self._reformat(dev)
+
     def num_blocks(self) -> int:
         return len(self._blocks)
 
@@ -336,8 +346,9 @@ class ShardedShareEngine(_ShardedBase):
         still fit the mesh's combined HBM. In multi-process universes every
         process must call refresh() with its own re-opened source before
         the next query (the per-block global arrays are assembled from
-        process-local data)."""
-        n_new, k = shares_u16.shape
+        process-local data). The block list is replaced, never mutated, so
+        an in-flight stream keeps valid slots (and identical prefix bytes)."""
+        n_new, _ = shares_u16.shape
         if n_new < self.count:
             raise ValueError(
                 f"refresh is append-only: new count {n_new} < current "
@@ -347,36 +358,23 @@ class ShardedShareEngine(_ShardedBase):
         if added == 0:
             self.count = n_new
             return 0
-        d = self.n_shards
-        block = self.chunk * d
+        fresh = effective_chunk(self._chunk_req, n_new, self.n_shards)
+        if fresh >= 4 * self.chunk:
+            import sys
+
+            print(
+                f"ShardedShareEngine: DB grew to {n_new} but keeps its "
+                f"construction-time chunk {self.chunk} (a fresh build would "
+                f"pick {fresh}); rebuild for fewer, larger dispatches",
+                file=sys.stderr,
+            )
+        block = self.chunk * self.n_shards
         full_before = self.count // block  # blocks with no padded rows
         g_blocks = max(1, -(-n_new // block))
-        lo, hi = self.db_span
-        span_rows = (hi - lo) * self.chunk
-        u16_sharding = NamedSharding(self.mesh, P("db", None, None))
-        planes_sharding = NamedSharding(self.mesh, P("db", None, None, None))
-        reformat = jax.jit(
-            lambda s: jnp.stack(shares_to_planes(s), axis=1),
-            out_shardings=planes_sharding,
-        )
-        single = jax.process_count() == 1
-        del self._blocks[full_before:]
+        blocks = self._blocks[:full_before]  # device copies reused
         for j in range(full_before, g_blocks):
-            start = (j * d + lo) * self.chunk
-            end = min(n_new, start + span_rows)
-            rows = np.ascontiguousarray(
-                shares_u16[start:end], dtype=np.uint16
-            ) if end > start else np.zeros((0, k), np.uint16)
-            if rows.shape[0] < span_rows:
-                rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
-            local = rows.reshape(hi - lo, self.chunk, k)
-            if single:
-                dev = jax.device_put(local, u16_sharding)
-            else:
-                dev = jax.make_array_from_process_local_data(
-                    u16_sharding, local, (d, self.chunk, k)
-                )
-            self._blocks.append(reformat(dev))
+            blocks.append(self._load_block(j, shares_u16, n_new))
+        self._blocks = blocks  # atomic swap under the GIL
         self.count = n_new
         return added
 
@@ -579,8 +577,21 @@ class ShardedMasksEngine(_ShardedBase):
         """Adopt a grown (append-only) masks source; returns entries added.
         Re-blocks and re-transfers the whole (local slice of the) masks DB —
         cheap at 1.6 KB/entry packed for the rare append event. Same
-        multi-process contract as ShardedShareEngine.refresh."""
+        multi-process contract as ShardedShareEngine.refresh. The
+        construction-time storage choice is frozen (it is baked into the
+        compiled step); warn when growth crosses the auto-storage threshold
+        where a fresh build would have picked packed."""
         n_new = masks_packed.shape[0]
+        if (not self._packed
+                and n_new // self.mesh.shape["db"] > 400_000):
+            import sys
+
+            print(
+                f"ShardedMasksEngine: DB grew to {n_new} with dense "
+                "storage (12.8 KB/entry/shard); a fresh build would pick "
+                "packed (1.6 KB) — rebuild to avoid exhausting HBM",
+                file=sys.stderr,
+            )
         if n_new < self.count:
             raise ValueError(
                 f"refresh is append-only: new count {n_new} < current "

@@ -161,6 +161,15 @@ def test_prepare_append_validation(workdir):
         f.write(b"x" * 1500)  # whole record again, but counts now disagree
     assert main(["prepare", "db.json", "2", "mpc", "--key", "mpc.key",
                  "--append"]) == 1
+    # Appending with a SMALLER share count than the store was built with
+    # would write (n-1)-party share math into an n-party store: refused.
+    assert main(["prepare", "db.json", "3", "mpc3", "--insecure-seed", "5",
+                 "--save-key", "mpc3.key"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc3", "--key", "mpc3.key",
+                 "--append"]) == 1
+    # A missing/typo'd key file is a clean error, not a traceback.
+    assert main(["prepare", "db.json", "3", "mpc3", "--key", "nope.key",
+                 "--append"]) == 1
 
 
 def test_share_engine_from_spec_dispatch(workdir):

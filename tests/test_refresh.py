@@ -124,6 +124,11 @@ class TestWatcherTornRecords:
         with open(path, "ab") as f:
             f.write(tail[1000:])  # append completes
         assert watch() == 2 and eng.count == 9
+        # A transiently missing file skips the sync instead of raising —
+        # a watcher exception would kill the serving loop.
+        path.rename(tmp_path / "moved-away")
+        assert watch() == 0 and eng.count == 9
+        (tmp_path / "moved-away").rename(path)
         qp, qm = _queries(rng)
         np.testing.assert_array_equal(
             eng.dots(qp, qm), ShareEngine(full, chunk=4).dots(qp, qm))
