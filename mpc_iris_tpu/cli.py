@@ -687,6 +687,154 @@ def cmd_participant(args) -> int:
 # ------------------------------------------------------------------ coordinator
 
 
+def append_store_rows(base: str, n_shares: int, share_key: bytes,
+                      pats: np.ndarray, msks: np.ndarray) -> int:
+    """Append entries to a store (masks + locally-present share files + the
+    atomic count sidecar); returns the first appended index.
+
+    Share rows continue the store's addressable keystreams at the next row
+    (SPEC §6.1), so keyed parties need only the new count. The data share
+    (index n-1) must be local — it is the one share that cannot be
+    regenerated from the key. Keyed parties' share FILES are optional
+    locally; any that are present are appended too (byte-identical to their
+    keystreams, so file-backed and keyed serving stay interchangeable)."""
+    from mpc_iris_tpu import native
+
+    masks_path = f"{base}.masks"
+    row = os.path.getsize(masks_path) // BITS_BYTES
+    enc = native.encode_u16_native(pats, msks)
+    shares = native.share_split(enc, n_shares, share_key, row_offset=row)
+    with open(masks_path, "ab") as f:
+        f.write(msks.tobytes())
+    for i in range(n_shares):
+        p = f"{base}.share-{i}"
+        if i == n_shares - 1 or os.path.exists(p):
+            with open(p, "ab") as f:
+                f.write(shares[i].astype("<u2", copy=False).tobytes())
+    tmp = f"{base}.count.tmp"
+    with open(tmp, "w") as cf:
+        cf.write(f"{row + pats.shape[0]}\n")
+    os.replace(tmp, f"{base}.count")
+    return row
+
+
+def cmd_enroll(args) -> int:
+    """Uniqueness-check-and-insert — the spec notebook's actual use case
+    ("Uniqueness": check a new iris code against the DB, enroll if no match).
+    For each candidate template: run the full MPC min-distance query (like
+    `coordinator`), and if the minimum FHD is >= --threshold, append the
+    entry to the store (SPEC §6.1). Candidates are processed SEQUENTIALLY so
+    a duplicate of a just-enrolled candidate is caught — provided every
+    queried party adopts appends before the next query: same-host roles do
+    via --watch/--watch-count on the same files; across hosts, deliver the
+    appended records/count before continuing."""
+    from mpc_iris_tpu.models import MasksEngine
+    from mpc_iris_tpu.protocol import Coordinator
+    from mpc_iris_tpu.protocol.keyagree import read_key32
+
+    try:
+        ssl_ctx = _client_tls_context(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    try:
+        share_key = read_key32(args.key)
+    except (OSError, ValueError) as e:
+        print(f"error: --key {args.key}: {e}", file=sys.stderr)
+        return 1
+
+    base = args.store
+    masks_path = f"{base}.masks"
+    data_share = f"{base}.share-{args.count - 1}"
+    counts = {}
+    for p in [masks_path, data_share]:
+        rec = BITS_BYTES if p == masks_path else 2 * BITS
+        if not os.path.exists(p):
+            print(f"error: {p} does not exist (enroll extends an existing "
+                  "store; run `prepare` first)", file=sys.stderr)
+            return 1
+        size = os.path.getsize(p)
+        if size % rec:
+            print(f"error: {p} is not a whole number of records",
+                  file=sys.stderr)
+            return 1
+        counts[p] = size // rec
+    for i in range(args.count - 1):  # keyed parties' files, if kept locally
+        p = f"{base}.share-{i}"
+        if os.path.exists(p):
+            counts[p] = os.path.getsize(p) // (2 * BITS)
+    if os.path.exists(f"{base}.share-{args.count}"):
+        print(f"error: {base}.share-{args.count} exists — the store was "
+              f"built with more than {args.count} shares; pass the original "
+              "share count", file=sys.stderr)
+        return 1
+    if len(set(counts.values())) != 1:
+        print(f"error: record counts disagree across the store: {counts}",
+              file=sys.stderr)
+        return 1
+
+    print(device_banner(), file=sys.stderr)
+    masks = open_masks(masks_path)
+    masks_engine = MasksEngine(masks, chunk=args.chunk)
+    local_engine = None
+    if args.share:
+        try:
+            local_engine = _share_engine_from_spec(args.share, args.chunk,
+                                                   batch_hint=1)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+    participants = [_parse_addr(a) for a in args.participants]
+    try:
+        coord = Coordinator(masks_engine, participants,
+                            local_engine=local_engine, ssl_context=ssl_ctx)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    # Our own appends must be visible to the next candidate's query: watch
+    # the engines this process holds (remote parties watch their own inputs).
+    watchers = [make_masks_watcher(masks_path, masks_engine)]
+    if args.share:
+        if args.share.startswith("keyed:"):
+            watchers.append(
+                make_keyed_masks_follower(local_engine, masks_engine))
+        else:
+            watchers.append(make_share_watcher(args.share, local_engine))
+
+    async def run() -> tuple[int, int]:
+        enrolled = dup = cand = 0
+        with open(args.input, "rb") as f:
+            for pats, msks in _batched_templates(f, args.batch):
+                for i in range(pats.shape[0]):
+                    for w in watchers:
+                        await asyncio.to_thread(w)
+                    t = Template.from_bytes(
+                        pats[i].tobytes() + msks[i].tobytes())
+                    outcome = await coord.query(t)
+                    if outcome.distance < args.threshold:
+                        print(f"candidate {cand}: DUPLICATE of entry "
+                              f"{outcome.index} at distance "
+                              f"{outcome.distance} — not enrolled")
+                        dup += 1
+                    else:
+                        idx = append_store_rows(
+                            base, args.count, share_key,
+                            pats[i:i + 1], msks[i:i + 1])
+                        print(f"candidate {cand}: unique (closest entry "
+                              f"{outcome.index} at distance "
+                              f"{outcome.distance}); enrolled at index {idx}")
+                        enrolled += 1
+                    cand += 1
+        return enrolled, dup
+
+    enrolled, dup = asyncio.run(run())
+    print(f"enrolled {enrolled}, rejected {dup} duplicates "
+          f"(store now {os.path.getsize(masks_path) // BITS_BYTES} entries)",
+          file=sys.stderr)
+    return 0
+
+
 def _client_tls_context(args):
     """Client-side TLS context from --tls-* flags (coordinator/benchmark),
     or None when TLS is off. Raises ValueError on inconsistent flags or
@@ -1227,6 +1375,36 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--tls-key", default=None, metavar="PEM",
                        help="private key for --tls-cert")
         g.set_defaults(fn=cmd_coordinator, warmup=True)
+
+    g = sub.add_parser(
+        "enroll",
+        help="uniqueness-check candidate templates against the live DB and "
+        "append the unique ones to the store (the spec's 'Uniqueness' use "
+        "case; sequential, so within-run duplicates are caught)",
+    )
+    g.add_argument("input", help="candidate templates (JSON array)")
+    g.add_argument("store", help="store base: <store>.masks, "
+                   "<store>.share-i, <store>.count")
+    g.add_argument("participants", nargs="*",
+                   help="share-holding parties to query (host:port)")
+    g.add_argument("--count", type=int, default=3,
+                   help="total share count n the store was prepared with")
+    g.add_argument("--key", required=True, metavar="PATH",
+                   help="the store's share key (--save-key output): appended "
+                   "rows must continue the same keystreams")
+    g.add_argument("--threshold", type=float, required=True,
+                   help="FHD below which a candidate is a DUPLICATE (the "
+                   "enrollment policy; the spec suggests ~0.36)")
+    g.add_argument("--share", default=None,
+                   help="this process's own share, if it is also a party: a "
+                   "share file or keyed:<s>:<count>:<keyfile>")
+    g.add_argument("--chunk", type=parse_si, default=8192)
+    g.add_argument("--batch", type=parse_si, default=1000,
+                   help="JSON parse batch (queries stay sequential)")
+    g.add_argument("--tls-ca", default=None, metavar="PEM")
+    g.add_argument("--tls-cert", default=None, metavar="PEM")
+    g.add_argument("--tls-key", default=None, metavar="PEM")
+    g.set_defaults(fn=cmd_enroll)
 
     g = sub.add_parser(
         "tls-cert",
