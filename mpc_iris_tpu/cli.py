@@ -386,6 +386,108 @@ def cmd_rerandomize(args) -> int:
     return 0
 
 
+def cmd_rekey(args) -> int:
+    """Rotate a keyed deployment's share-key epoch (SPEC §4.3).
+
+    Keyed shares s < n-1 are fixed functions of the 32-byte key, so the
+    file-oriented `rerandomize` cannot refresh them. Rotation replaces the
+    key: for every row, new_data = old_data + Σ_s ks_old(s,row) −
+    Σ_s ks_new(s,row) (wrapping u16), computed WITHOUT ever reconstructing
+    the plaintext — the keystream sums come from share-splitting all-zero
+    rows (shares of 0 are exactly the keystreams and their negated sum).
+    Rewrites the data share (index n-1) and any locally-kept keyed-party
+    files atomically (tmp+rename per file), then writes the new key (0600).
+    Run it offline: parties must switch key/files for an epoch together."""
+    from mpc_iris_tpu import native
+    from mpc_iris_tpu.protocol.keyagree import read_key32
+
+    try:
+        old_key = read_key32(args.old_key)
+    except (OSError, ValueError) as e:
+        print(f"error: --old-key {args.old_key}: {e}", file=sys.stderr)
+        return 1
+    if args.insecure_new_seed is not None:
+        new_key = native.derive_insecure_key(args.insecure_new_seed)
+        print("warning: --insecure-new-seed keys are NOT cryptographically "
+              "secure (testing only)", file=sys.stderr)
+    else:
+        new_key = os.urandom(32)
+    if new_key == old_key:
+        print("error: new key equals old key", file=sys.stderr)
+        return 1
+    if os.path.exists(args.new_key_out):
+        print(f"error: {args.new_key_out} exists — refusing to overwrite a "
+              "key file", file=sys.stderr)
+        return 1
+
+    base = args.store
+    n_shares = args.count
+    data_path = f"{base}.share-{n_shares - 1}"
+    rec = 2 * BITS
+    if not os.path.exists(data_path):
+        print(f"error: {data_path} does not exist (the data share must be "
+              "local to rekey)", file=sys.stderr)
+        return 1
+    if os.path.exists(f"{base}.share-{n_shares}"):
+        print(f"error: {base}.share-{n_shares} exists — the store was built "
+              f"with more than {n_shares} shares; pass the original share "
+              "count", file=sys.stderr)
+        return 1
+    size = os.path.getsize(data_path)
+    if size % rec:
+        print(f"error: {data_path} is not a whole number of records",
+              file=sys.stderr)
+        return 1
+    n = size // rec
+    keyed_local = [i for i in range(n_shares - 1)
+                   if os.path.exists(f"{base}.share-{i}")]
+    for i in keyed_local:
+        if os.path.getsize(f"{base}.share-{i}") != size:
+            print(f"error: record counts disagree: {base}.share-{i}",
+                  file=sys.stderr)
+            return 1
+
+    data = np.memmap(data_path, dtype="<u2", mode="r", shape=(n, BITS))
+    outs = {i: open(f"{base}.share-{i}.rekey.tmp", "wb")
+            for i in [*keyed_local, n_shares - 1]}
+    progress = Progress("rekey", total=n, unit="templates")
+    try:
+        zeros = None
+        with np.errstate(over="ignore"):
+            for start in range(0, n, args.batch):
+                end = min(n, start + args.batch)
+                if zeros is None or zeros.shape[0] != end - start:
+                    zeros = np.zeros((end - start, BITS), np.uint16)
+                # Shares of 0: zs[s] = ks(s, row) for s < n-1, and
+                # zs[n-1] = -(sum of keystreams).
+                zs_old = native.share_split(zeros, n_shares, old_key,
+                                            row_offset=start)
+                zs_new = native.share_split(zeros, n_shares, new_key,
+                                            row_offset=start)
+                block = np.array(data[start:end], dtype=np.uint16, copy=True)
+                block -= zs_old[n_shares - 1]  # += sum of old keystreams
+                block += zs_new[n_shares - 1]  # -= sum of new keystreams
+                outs[n_shares - 1].write(block.astype("<u2").tobytes())
+                for i in keyed_local:
+                    outs[i].write(zs_new[i].astype("<u2").tobytes())
+                progress.update(end - start, (end - start) * rec)
+    finally:
+        for f in outs.values():
+            f.close()
+    del data
+    progress.finish()
+    for i in outs:
+        os.replace(f"{base}.share-{i}.rekey.tmp", f"{base}.share-{i}")
+    fd = os.open(args.new_key_out, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                 0o600)
+    with os.fdopen(fd, "w") as kf:
+        kf.write(new_key.hex() + "\n")
+    print(f"rekeyed {n} entries across {len(outs)} local share files; new "
+          f"key in {args.new_key_out} (0600) — switch every party to the "
+          "new epoch together", file=sys.stderr)
+    return 0
+
+
 # ------------------------------------------------------------------ key agreement
 
 
@@ -1259,6 +1361,27 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output", default=None, help="write here instead of in place")
     g.add_argument("--batch", type=int, default=1000)
     g.set_defaults(fn=cmd_rerandomize)
+
+    g = sub.add_parser(
+        "rekey",
+        help="rotate a keyed deployment's share-key epoch: rewrite the data "
+        "share (and locally-kept keyed files) for a fresh key without ever "
+        "reconstructing the plaintext",
+    )
+    g.add_argument("store", help="store base: rewrites <store>.share-(n-1) "
+                   "and any local <store>.share-i in place (tmp+rename)")
+    g.add_argument("--count", type=int, default=3,
+                   help="total share count n the store was prepared with")
+    g.add_argument("--old-key", required=True, metavar="PATH",
+                   help="the store's current share key")
+    g.add_argument("--new-key-out", required=True, metavar="PATH",
+                   help="where to write the fresh key (refuses to overwrite)")
+    g.add_argument(
+        "--insecure-new-seed", type=int, default=None, metavar="N",
+        help="TESTING ONLY: derive the new key from this small seed",
+    )
+    g.add_argument("--batch", type=int, default=1000)
+    g.set_defaults(fn=cmd_rekey)
 
     g = sub.add_parser(
         "keygen",

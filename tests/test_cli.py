@@ -172,6 +172,58 @@ def test_prepare_append_validation(workdir):
                  "--append"]) == 1
 
 
+def test_rekey_epoch_rotation(workdir):
+    """`rekey` rotates the keyed epoch: plaintext is preserved (never
+    reconstructed), the NEW key's streams match the rewritten files, and the
+    OLD key's no longer do."""
+    assert main(["generate", "db.json", "9", "--seed", "51"]) == 0
+    assert main(["prepare", "db.json", "3", "mpc", "--insecure-seed", "4",
+                 "--save-key", "mpc.key"]) == 0
+    assert main(["decrypt", "mpc.share-0", "mpc.share-1", "mpc.share-2",
+                 "--output", "before.json"]) == 0
+    olds = {i: (workdir / f"mpc.share-{i}").read_bytes() for i in range(3)}
+
+    assert main(["rekey", "mpc", "--count", "3", "--old-key", "mpc.key",
+                 "--new-key-out", "mpc.key2", "--insecure-new-seed", "5",
+                 "--batch", "4"]) == 0
+    for i in range(3):  # every local share file was rewritten
+        assert (workdir / f"mpc.share-{i}").read_bytes() != olds[i], i
+
+    # File reconstruction unchanged; the new key regenerates the keyed files.
+    assert main(["decrypt", "mpc.share-0", "mpc.share-1", "mpc.share-2",
+                 "--output", "after.json"]) == 0
+    assert (workdir / "before.json").read_bytes() == \
+        (workdir / "after.json").read_bytes()
+    assert main(["decrypt", "keyed:0:9:mpc.key2", "keyed:1:9:mpc.key2",
+                 "mpc.share-2", "--output", "after2.json"]) == 0
+    assert (workdir / "after2.json").read_bytes() == \
+        (workdir / "after.json").read_bytes()
+    # The old epoch's key now reconstructs garbage.
+    assert main(["decrypt", "keyed:0:9:mpc.key", "mpc.share-1", "mpc.share-2",
+                 "--output", "stale.json"]) == 0
+    assert (workdir / "stale.json").read_bytes() != \
+        (workdir / "after.json").read_bytes()
+
+    # Keyed deployment shape: party 0 keeps no share file locally — rekey
+    # rewrites only what is local; keyed:0 with the next key still works.
+    os.remove(workdir / "mpc.share-0")
+    assert main(["rekey", "mpc", "--count", "3", "--old-key", "mpc.key2",
+                 "--new-key-out", "mpc.key3", "--insecure-new-seed", "6",
+                 "--batch", "4"]) == 0
+    assert main(["decrypt", "keyed:0:9:mpc.key3", "mpc.share-1",
+                 "mpc.share-2", "--output", "after3.json"]) == 0
+    assert (workdir / "after3.json").read_bytes() == \
+        (workdir / "after.json").read_bytes()
+
+    # Refusals: overwrite a key file, rotate to the same key, missing data.
+    assert main(["rekey", "mpc", "--count", "3", "--old-key", "mpc.key3",
+                 "--new-key-out", "mpc.key2"]) == 1
+    assert main(["rekey", "mpc", "--count", "3", "--old-key", "mpc.key3",
+                 "--new-key-out", "k4", "--insecure-new-seed", "6"]) == 1
+    assert main(["rekey", "mpc", "--count", "2", "--old-key", "mpc.key3",
+                 "--new-key-out", "k4", "--insecure-new-seed", "7"]) == 1
+
+
 def test_share_engine_from_spec_dispatch(workdir):
     """The unified share constructor behind participant and coordinator
     --share: a file path opens a ShareEngine, a keyed:<s>:<count>:<keyfile>
