@@ -446,6 +446,22 @@ def cmd_rekey(args) -> int:
             print(f"error: record counts disagree: {base}.share-{i}",
                   file=sys.stderr)
             return 1
+        # The rotation math assumes shares 0..n-2 are PURE keystream of the
+        # old key. A rerandomized store (keystream + refresh noise) or a
+        # wrong --old-key would silently corrupt reconstruction — spot-check
+        # the first and last rows against the old key's streams.
+        mm = np.memmap(f"{base}.share-{i}", dtype="<u2", mode="r",
+                       shape=(n, BITS))
+        for r in (0, n - 1):
+            if not np.array_equal(np.asarray(mm[r]),
+                                  native.row_stream_u16(old_key, i, r)):
+                print(f"error: {base}.share-{i} row {r} does not match the "
+                      "old key's keystream — the store was rerandomized "
+                      "(keyed serving no longer applies; see SPEC 4.2) or "
+                      "--old-key is wrong; refusing to rotate",
+                      file=sys.stderr)
+                return 1
+        del mm
 
     data = np.memmap(data_path, dtype="<u2", mode="r", shape=(n, BITS))
     outs = {i: open(f"{base}.share-{i}.rekey.tmp", "wb")

@@ -222,6 +222,25 @@ def test_rekey_epoch_rotation(workdir):
                  "--new-key-out", "k4", "--insecure-new-seed", "6"]) == 1
     assert main(["rekey", "mpc", "--count", "2", "--old-key", "mpc.key3",
                  "--new-key-out", "k4", "--insecure-new-seed", "7"]) == 1
+    # A wrong --old-key (or a rerandomized store) would silently corrupt:
+    # the keystream spot-check refuses it when a keyed file is local.
+    assert main(["rekey", "mpc", "--count", "3", "--old-key", "mpc.key2",
+                 "--new-key-out", "k4", "--insecure-new-seed", "7"]) == 1
+
+
+def test_rekey_refuses_rerandomized_store(workdir):
+    """After rerandomize the keyed files are keystream + noise; rotating
+    them as if pure keystream corrupts reconstruction — rekey must refuse."""
+    assert main(["generate", "db.json", "5", "--seed", "52"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "4",
+                 "--save-key", "mpc.key"]) == 0
+    assert main(["rerandomize", "mpc.share-0", "--index", "0",
+                 "--pair", "1:99"]) == 0
+    assert main(["rerandomize", "mpc.share-1", "--index", "1",
+                 "--pair", "0:99"]) == 0
+    assert main(["rekey", "mpc", "--count", "2", "--old-key", "mpc.key",
+                 "--new-key-out", "k2", "--insecure-new-seed", "8"]) == 1
+    assert not os.path.exists(workdir / "k2")
 
 
 def test_share_engine_from_spec_dispatch(workdir):
