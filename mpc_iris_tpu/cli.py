@@ -89,6 +89,76 @@ def cmd_generate(args) -> int:
 # ------------------------------------------------------------------ prepare
 
 
+def _validate_store(base: str, n_shares: int, *, require_all_shares: bool,
+                    require_masks: bool = True) -> tuple[int, list[int]]:
+    """On-disk consistency checks shared by prepare --append, enroll and
+    rekey; returns (entry count, indices of present share files).
+
+    Every present file must be a whole number of records and all counts
+    must agree; `<base>.share-<n_shares>` must NOT exist (a smaller-than-
+    built share count would silently write (n-1)-party math into an
+    n-party store). The data share (index n_shares-1) is always required;
+    keyed-party files 0..n-2 are optional unless ``require_all_shares``.
+    Raises ValueError with a CLI-ready message."""
+    counts = {}
+    present = []
+    masks_path = f"{base}.masks"
+    if require_masks or os.path.exists(masks_path):
+        if not os.path.exists(masks_path):
+            raise ValueError(
+                f"{masks_path} does not exist (run prepare first)")
+        size = os.path.getsize(masks_path)
+        if size % BITS_BYTES:
+            raise ValueError(
+                f"{masks_path} is not a whole number of records")
+        counts[masks_path] = size // BITS_BYTES
+    rec = 2 * BITS
+    for i in range(n_shares):
+        p = f"{base}.share-{i}"
+        if not os.path.exists(p):
+            if require_all_shares or i == n_shares - 1:
+                raise ValueError(
+                    f"{p} does not exist (run prepare first"
+                    + ("" if i == n_shares - 1 else
+                       "; keyed parties may drop their files, but "
+                       "--append needs all of them") + ")")
+            continue
+        size = os.path.getsize(p)
+        if size % rec:
+            raise ValueError(f"{p} is not a whole number of records")
+        counts[p] = size // rec
+        present.append(i)
+    if os.path.exists(f"{base}.share-{n_shares}"):
+        raise ValueError(
+            f"{base}.share-{n_shares} exists — the store was built with "
+            f"more than {n_shares} shares; pass the original share count")
+    if len(set(counts.values())) != 1:
+        raise ValueError(f"record counts disagree across the store: {counts}")
+    return next(iter(counts.values())), present
+
+
+def _check_keyed_streams(base: str, key: bytes, keyed_local: list[int],
+                         count: int) -> str | None:
+    """Spot-check local keyed share files' first/last rows against ``key``'s
+    streams (SPEC §4.1); returns a CLI-ready error string on mismatch.
+    Catches a wrong key and rerandomized stores (keystream + noise) before
+    an operation that assumes pure keystreams writes anything."""
+    from mpc_iris_tpu import native
+
+    for i in keyed_local:
+        mm = np.memmap(f"{base}.share-{i}", dtype="<u2", mode="r",
+                       shape=(count, BITS))
+        for r in {0, count - 1}:
+            if not np.array_equal(np.asarray(mm[r]),
+                                  native.row_stream_u16(key, i, r)):
+                return (
+                    f"{base}.share-{i} row {r} does not match the key's "
+                    "keystream — the store was rerandomized (keyed serving "
+                    "no longer applies; see SPEC 4.2) or the key is wrong")
+        del mm
+    return None
+
+
 def cmd_prepare(args) -> int:
     """Pipelined ETL: native streaming JSON parse -> native encode + share split
     -> file writes (the reference's 3-stage prepare pipeline, src/main.rs:268-383,
@@ -142,32 +212,11 @@ def cmd_prepare(args) -> int:
         # appended rows continue the same addressable streams, so keyed
         # participants stay valid (refresh the row count, SPEC §4.1); running
         # file-backed roles pick the rows up via --watch.
-        counts = {}
-        for p in [masks_path, *share_paths]:
-            rec = BITS_BYTES if p == masks_path else 2 * BITS
-            if not os.path.exists(p):
-                print(f"error: --append: {p} does not exist (run prepare "
-                      "without --append to create the store)", file=sys.stderr)
-                return 1
-            size = os.path.getsize(p)
-            if size % rec:
-                print(f"error: --append: {p} is not a whole number of "
-                      "records", file=sys.stderr)
-                return 1
-            counts[p] = size // rec
-        if len(set(counts.values())) != 1:
-            print(f"error: --append: record counts disagree across the "
-                  f"store: {counts}", file=sys.stderr)
+        try:
+            row, _ = _validate_store(base, n_shares, require_all_shares=True)
+        except ValueError as e:
+            print(f"error: --append: {e}", file=sys.stderr)
             return 1
-        if os.path.exists(f"{base}.share-{n_shares}"):
-            # A smaller count would pass the existence checks above but
-            # write (n-1)-party share math into an n-party store — every
-            # appended entry would silently reconstruct wrong.
-            print(f"error: --append: {base}.share-{n_shares} exists — the "
-                  f"store was built with more than {n_shares} shares; pass "
-                  "the original share count", file=sys.stderr)
-            return 1
-        row = counts[masks_path]
         if args.key is None and args.insecure_seed is None:
             print("warning: --append with a fresh random key: file-backed "
                   "parties are unaffected, but keyed:<s>:...:<keyfile> specs "
@@ -415,89 +464,104 @@ def cmd_rekey(args) -> int:
     if new_key == old_key:
         print("error: new key equals old key", file=sys.stderr)
         return 1
-    if os.path.exists(args.new_key_out):
-        print(f"error: {args.new_key_out} exists — refusing to overwrite a "
-              "key file", file=sys.stderr)
-        return 1
 
     base = args.store
     n_shares = args.count
     data_path = f"{base}.share-{n_shares - 1}"
     rec = 2 * BITS
-    if not os.path.exists(data_path):
-        print(f"error: {data_path} does not exist (the data share must be "
-              "local to rekey)", file=sys.stderr)
+    try:
+        n, present = _validate_store(base, n_shares,
+                                     require_all_shares=False,
+                                     require_masks=False)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 1
-    if os.path.exists(f"{base}.share-{n_shares}"):
-        print(f"error: {base}.share-{n_shares} exists — the store was built "
-              f"with more than {n_shares} shares; pass the original share "
-              "count", file=sys.stderr)
+    if n == 0:
+        print("error: the store is empty — nothing to rekey", file=sys.stderr)
         return 1
-    size = os.path.getsize(data_path)
-    if size % rec:
-        print(f"error: {data_path} is not a whole number of records",
+    keyed_local = [i for i in present if i < n_shares - 1]
+    # The rotation math assumes shares 0..n-2 are PURE keystream of the old
+    # key; a rerandomized store or a wrong --old-key would silently corrupt
+    # reconstruction of every entry.
+    err = _check_keyed_streams(base, old_key, keyed_local, n)
+    if err is not None:
+        print(f"error: {err}; refusing to rotate", file=sys.stderr)
+        return 1
+    if not keyed_local:
+        print("warning: no local keyed share file to verify --old-key "
+              "against — a wrong key here corrupts the store irrecoverably; "
+              "double-check it is the store's current epoch key",
+              file=sys.stderr)
+
+    # The new key is written FIRST (O_EXCL: no overwrite, no TOCTOU): once
+    # any share file is replaced the old epoch cannot fully serve, and in a
+    # keyed deployment the new keystream sums exist nowhere else — losing
+    # the key after the replaces would destroy the DB.
+    try:
+        fd = os.open(args.new_key_out,
+                     os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+    except OSError as e:
+        print(f"error: cannot create {args.new_key_out}: {e}",
               file=sys.stderr)
         return 1
-    n = size // rec
-    keyed_local = [i for i in range(n_shares - 1)
-                   if os.path.exists(f"{base}.share-{i}")]
-    for i in keyed_local:
-        if os.path.getsize(f"{base}.share-{i}") != size:
-            print(f"error: record counts disagree: {base}.share-{i}",
-                  file=sys.stderr)
-            return 1
-        # The rotation math assumes shares 0..n-2 are PURE keystream of the
-        # old key. A rerandomized store (keystream + refresh noise) or a
-        # wrong --old-key would silently corrupt reconstruction — spot-check
-        # the first and last rows against the old key's streams.
-        mm = np.memmap(f"{base}.share-{i}", dtype="<u2", mode="r",
-                       shape=(n, BITS))
-        for r in (0, n - 1):
-            if not np.array_equal(np.asarray(mm[r]),
-                                  native.row_stream_u16(old_key, i, r)):
-                print(f"error: {base}.share-{i} row {r} does not match the "
-                      "old key's keystream — the store was rerandomized "
-                      "(keyed serving no longer applies; see SPEC 4.2) or "
-                      "--old-key is wrong; refusing to rotate",
-                      file=sys.stderr)
-                return 1
-        del mm
+    with os.fdopen(fd, "w") as kf:
+        kf.write(new_key.hex() + "\n")
 
     data = np.memmap(data_path, dtype="<u2", mode="r", shape=(n, BITS))
     outs = {i: open(f"{base}.share-{i}.rekey.tmp", "wb")
             for i in [*keyed_local, n_shares - 1]}
     progress = Progress("rekey", total=n, unit="templates")
+    replaced = False
     try:
-        zeros = None
-        with np.errstate(over="ignore"):
-            for start in range(0, n, args.batch):
-                end = min(n, start + args.batch)
-                if zeros is None or zeros.shape[0] != end - start:
-                    zeros = np.zeros((end - start, BITS), np.uint16)
-                # Shares of 0: zs[s] = ks(s, row) for s < n-1, and
-                # zs[n-1] = -(sum of keystreams).
-                zs_old = native.share_split(zeros, n_shares, old_key,
-                                            row_offset=start)
-                zs_new = native.share_split(zeros, n_shares, new_key,
-                                            row_offset=start)
-                block = np.array(data[start:end], dtype=np.uint16, copy=True)
-                block -= zs_old[n_shares - 1]  # += sum of old keystreams
-                block += zs_new[n_shares - 1]  # -= sum of new keystreams
-                outs[n_shares - 1].write(block.astype("<u2").tobytes())
-                for i in keyed_local:
-                    outs[i].write(zs_new[i].astype("<u2").tobytes())
-                progress.update(end - start, (end - start) * rec)
-    finally:
-        for f in outs.values():
-            f.close()
-    del data
-    progress.finish()
-    for i in outs:
-        os.replace(f"{base}.share-{i}.rekey.tmp", f"{base}.share-{i}")
-    fd = os.open(args.new_key_out, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
-                 0o600)
-    with os.fdopen(fd, "w") as kf:
-        kf.write(new_key.hex() + "\n")
+        try:
+            zeros = None
+            with np.errstate(over="ignore"):
+                for start in range(0, n, args.batch):
+                    end = min(n, start + args.batch)
+                    if zeros is None or zeros.shape[0] != end - start:
+                        zeros = np.zeros((end - start, BITS), np.uint16)
+                    # Shares of 0: zs[s] = ks(s, row) for s < n-1, and
+                    # zs[n-1] = -(sum of keystreams).
+                    zs_old = native.share_split(zeros, n_shares, old_key,
+                                                row_offset=start)
+                    zs_new = native.share_split(zeros, n_shares, new_key,
+                                                row_offset=start)
+                    block = np.array(data[start:end], dtype=np.uint16,
+                                     copy=True)
+                    block -= zs_old[n_shares - 1]  # += sum of old keystreams
+                    block += zs_new[n_shares - 1]  # -= sum of new keystreams
+                    outs[n_shares - 1].write(block.astype("<u2").tobytes())
+                    for i in keyed_local:
+                        outs[i].write(zs_new[i].astype("<u2").tobytes())
+                    progress.update(end - start, (end - start) * rec)
+        finally:
+            for f in outs.values():
+                f.close()
+        del data
+        progress.finish()
+        # Keyed files first, the data share LAST: keyed files are
+        # regenerable from either key, so the epoch is defined by the data
+        # share and a crash mid-replace leaves a recoverable store (old
+        # epoch still decodable).
+        for i in keyed_local:
+            os.replace(f"{base}.share-{i}.rekey.tmp", f"{base}.share-{i}")
+            replaced = True
+        os.replace(f"{data_path}.rekey.tmp", data_path)
+    except BaseException:
+        # Nothing switched epochs yet -> remove the stray new key (once any
+        # file was replaced, BOTH keys matter and must be kept). Tmp files
+        # are always safe to drop.
+        if not replaced:
+            try:
+                os.unlink(args.new_key_out)
+            except OSError:
+                pass
+        for i in outs:
+            try:
+                os.unlink(f"{base}.share-{i}.rekey.tmp")
+            except OSError:
+                pass
+        raise
     print(f"rekeyed {n} entries across {len(outs)} local share files; new "
           f"key in {args.new_key_out} (0600) — switch every party to the "
           "new epoch together", file=sys.stderr)
@@ -692,6 +756,22 @@ def make_keyed_masks_follower(local_engine, masks_engine):
     return refresh
 
 
+def make_db_watchers(masks_path: str, masks_engine, share_spec,
+                     local_engine) -> list:
+    """The coordinator-side DB-sync hook set (shared by coordinator --watch
+    and enroll): adopt appended masks, then bring a local share engine along
+    — a keyed local share follows the refreshed masks count (same logical
+    DB), a file-backed one stats its own file."""
+    watchers = [make_masks_watcher(masks_path, masks_engine)]
+    if share_spec:
+        if share_spec.startswith("keyed:"):
+            watchers.append(
+                make_keyed_masks_follower(local_engine, masks_engine))
+        else:
+            watchers.append(make_share_watcher(share_spec, local_engine))
+    return watchers
+
+
 def make_masks_watcher(path: str, engine):
     """DB-sync callable for a masks engine (coordinator side of the
     reference's sync TODO): adopt appended whole 1,600-byte mask records.
@@ -822,13 +902,28 @@ def append_store_rows(base: str, n_shares: int, share_key: bytes,
     row = os.path.getsize(masks_path) // BITS_BYTES
     enc = native.encode_u16_native(pats, msks)
     shares = native.share_split(enc, n_shares, share_key, row_offset=row)
-    with open(masks_path, "ab") as f:
-        f.write(msks.tobytes())
-    for i in range(n_shares):
-        p = f"{base}.share-{i}"
-        if i == n_shares - 1 or os.path.exists(p):
+    targets = [masks_path] + [
+        f"{base}.share-{i}" for i in range(n_shares)
+        if i == n_shares - 1 or os.path.exists(f"{base}.share-{i}")
+    ]
+    sizes = {p: os.path.getsize(p) for p in targets}
+    try:
+        with open(masks_path, "ab") as f:
+            f.write(msks.tobytes())
+        for p in targets[1:]:
+            i = int(p.rsplit("-", 1)[1])
             with open(p, "ab") as f:
                 f.write(shares[i].astype("<u2", copy=False).tobytes())
+    except BaseException:
+        # A partial append (interrupt, ENOSPC) would leave the store with
+        # unequal counts that every later append refuses — roll the touched
+        # files back to their pre-append sizes before propagating.
+        for p, size in sizes.items():
+            try:
+                os.truncate(p, size)
+            except OSError:
+                pass
+        raise
     tmp = f"{base}.count.tmp"
     with open(tmp, "w") as cf:
         cf.write(f"{row + pats.shape[0]}\n")
@@ -863,33 +958,29 @@ def cmd_enroll(args) -> int:
 
     base = args.store
     masks_path = f"{base}.masks"
-    data_share = f"{base}.share-{args.count - 1}"
-    counts = {}
-    for p in [masks_path, data_share]:
-        rec = BITS_BYTES if p == masks_path else 2 * BITS
-        if not os.path.exists(p):
-            print(f"error: {p} does not exist (enroll extends an existing "
-                  "store; run `prepare` first)", file=sys.stderr)
-            return 1
-        size = os.path.getsize(p)
-        if size % rec:
-            print(f"error: {p} is not a whole number of records",
-                  file=sys.stderr)
-            return 1
-        counts[p] = size // rec
-    for i in range(args.count - 1):  # keyed parties' files, if kept locally
-        p = f"{base}.share-{i}"
-        if os.path.exists(p):
-            counts[p] = os.path.getsize(p) // (2 * BITS)
-    if os.path.exists(f"{base}.share-{args.count}"):
-        print(f"error: {base}.share-{args.count} exists — the store was "
-              f"built with more than {args.count} shares; pass the original "
-              "share count", file=sys.stderr)
+    try:
+        store_count, present = _validate_store(base, args.count,
+                                               require_all_shares=False)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
         return 1
-    if len(set(counts.values())) != 1:
-        print(f"error: record counts disagree across the store: {counts}",
-              file=sys.stderr)
+    if store_count == 0:
+        print("error: the store is empty — bootstrap it with `prepare` "
+              "before enrolling against it", file=sys.stderr)
         return 1
+    # A wrong --key would append rows splitting against the WRONG streams:
+    # keyed parties reconstruct garbage for them (and a later duplicate of
+    # such an entry would not be caught). Verify against any local keyed
+    # file; with none present the key cannot be checked here.
+    keyed_local = [i for i in present if i < args.count - 1]
+    err = _check_keyed_streams(base, share_key, keyed_local, store_count)
+    if err is not None:
+        print(f"error: --key check failed: {err}", file=sys.stderr)
+        return 1
+    if not keyed_local:
+        print("warning: no local keyed share file to verify --key against — "
+              "a wrong key makes every appended entry reconstruct as "
+              "garbage for keyed parties", file=sys.stderr)
 
     print(device_banner(), file=sys.stderr)
     masks = open_masks(masks_path)
@@ -912,13 +1003,8 @@ def cmd_enroll(args) -> int:
 
     # Our own appends must be visible to the next candidate's query: watch
     # the engines this process holds (remote parties watch their own inputs).
-    watchers = [make_masks_watcher(masks_path, masks_engine)]
-    if args.share:
-        if args.share.startswith("keyed:"):
-            watchers.append(
-                make_keyed_masks_follower(local_engine, masks_engine))
-        else:
-            watchers.append(make_share_watcher(args.share, local_engine))
+    watchers = make_db_watchers(masks_path, masks_engine,
+                                args.share, local_engine)
 
     async def run() -> tuple[int, int]:
         enrolled = dup = cand = 0
@@ -946,7 +1032,19 @@ def cmd_enroll(args) -> int:
                     cand += 1
         return enrolled, dup
 
-    enrolled, dup = asyncio.run(run())
+    try:
+        enrolled, dup = asyncio.run(run())
+    except KeyboardInterrupt:
+        # append_store_rows rolls a torn append back, so the store is whole;
+        # already-enrolled candidates stay enrolled.
+        print("\ninterrupted — store is consistent; rerun with the "
+              "remaining candidates", file=sys.stderr)
+        return 130
+    except ConnectionError as e:
+        print(f"error: participant connection failed mid-run: {e} — store "
+              "is consistent; rerun with the remaining candidates",
+              file=sys.stderr)
+        return 1
     print(f"enrolled {enrolled}, rejected {dup} duplicates "
           f"(store now {os.path.getsize(masks_path) // BITS_BYTES} entries)",
           file=sys.stderr)
@@ -1027,15 +1125,8 @@ def cmd_coordinator(args) -> int:
         # masks (and local share rows) before each query round. Participants
         # sync their own files via `participant --watch`; the per-round
         # shortest-prefix alignment tolerates transiently unequal counts.
-        watchers.append(make_masks_watcher(args.masks, masks_engine))
-        if args.share:
-            if args.share.startswith("keyed:"):
-                # Same logical DB as the masks: the keyed local share just
-                # follows the (already-refreshed) masks count.
-                watchers.append(
-                    make_keyed_masks_follower(local_engine, masks_engine))
-            else:
-                watchers.append(make_share_watcher(args.share, local_engine))
+        watchers = make_db_watchers(args.masks, masks_engine,
+                                    args.share, local_engine)
         print("--watch: syncing appended rows before each query round",
               file=sys.stderr)
 
