@@ -988,8 +988,9 @@ def cmd_enroll(args) -> int:
     local_engine = None
     if args.share:
         try:
-            local_engine = _share_engine_from_spec(args.share, args.chunk,
-                                                   batch_hint=1)
+            local_engine = _share_engine_from_spec(
+                args.share, args.chunk,
+                batch_hint=args.round if args.wire == "batched" else 1)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -1008,28 +1009,66 @@ def cmd_enroll(args) -> int:
 
     async def run() -> tuple[int, int]:
         enrolled = dup = cand = 0
+
+        def settle(t, outcome, kept, p_row, m_row):
+            """Sequential-equivalent verdict for one candidate: the DB
+            minimum from the MPC round, folded with exact plaintext
+            distances to candidates kept EARLIER in the same round (the
+            enroller holds candidate plaintext, and Template.distance is
+            the same reference-exact f64 the MPC decode reproduces, so the
+            fold equals querying the grown DB). Strict < keeps the
+            earliest index on ties, matching the argmin semantics."""
+            nonlocal enrolled, dup, cand
+            best_d, best_i = outcome.distance, outcome.index
+            for kt, kidx in kept:
+                d = t.distance(kt)
+                if d < best_d:
+                    best_d, best_i = d, kidx
+            if best_d < args.threshold:
+                print(f"candidate {cand}: DUPLICATE of entry {best_i} at "
+                      f"distance {best_d} — not enrolled")
+                dup += 1
+            else:
+                idx = append_store_rows(base, args.count, share_key,
+                                        p_row[None], m_row[None])
+                print(f"candidate {cand}: unique (closest entry {best_i} "
+                      f"at distance {best_d}); enrolled at index {idx}")
+                kept.append((t, idx))
+                enrolled += 1
+            cand += 1
+
+        pending = []  # batched wire: (template, pattern row, mask row)
+
+        async def flush():
+            if not pending:
+                return
+            for w in watchers:
+                await asyncio.to_thread(w)
+            outcomes = await coord.query_batch([t for t, _, _ in pending])
+            kept = []
+            for (t, p_row, m_row), outcome in zip(pending, outcomes):
+                settle(t, outcome, kept, p_row, m_row)
+            pending.clear()
+
         with open(args.input, "rb") as f:
             for pats, msks in _batched_templates(f, args.batch):
                 for i in range(pats.shape[0]):
-                    for w in watchers:
-                        await asyncio.to_thread(w)
                     t = Template.from_bytes(
                         pats[i].tobytes() + msks[i].tobytes())
-                    outcome = await coord.query(t)
-                    if outcome.distance < args.threshold:
-                        print(f"candidate {cand}: DUPLICATE of entry "
-                              f"{outcome.index} at distance "
-                              f"{outcome.distance} — not enrolled")
-                        dup += 1
+                    if args.wire == "batched":
+                        # One MPC round per --round candidates; the kept
+                        # cross-check in settle() preserves sequential
+                        # semantics within the round. Copies: the rows must
+                        # outlive this parse batch.
+                        pending.append((t, pats[i].copy(), msks[i].copy()))
+                        if len(pending) >= args.round:
+                            await flush()
                     else:
-                        idx = append_store_rows(
-                            base, args.count, share_key,
-                            pats[i:i + 1], msks[i:i + 1])
-                        print(f"candidate {cand}: unique (closest entry "
-                              f"{outcome.index} at distance "
-                              f"{outcome.distance}); enrolled at index {idx}")
-                        enrolled += 1
-                    cand += 1
+                        for w in watchers:
+                            await asyncio.to_thread(w)
+                        outcome = await coord.query(t)
+                        settle(t, outcome, [], pats[i], msks[i])
+        await flush()
         return enrolled, dup
 
     try:
@@ -1630,7 +1669,16 @@ def build_parser() -> argparse.ArgumentParser:
                    "share file or keyed:<s>:<count>:<keyfile>")
     g.add_argument("--chunk", type=parse_si, default=8192)
     g.add_argument("--batch", type=parse_si, default=1000,
-                   help="JSON parse batch (queries stay sequential)")
+                   help="JSON parse batch (verdicts are always "
+                   "sequential-equivalent)")
+    g.add_argument(
+        "--wire", choices=["reference", "batched"], default="reference",
+        help="batched = ONE MPC round per --round candidates (participants "
+        "must run --wire batched); within-round duplicates are still caught "
+        "via exact plaintext cross-checks among the round's kept candidates",
+    )
+    g.add_argument("--round", type=parse_si, default=64,
+                   help="candidates per MPC round on the batched wire")
     g.add_argument("--tls-ca", default=None, metavar="PEM")
     g.add_argument("--tls-cert", default=None, metavar="PEM")
     g.add_argument("--tls-key", default=None, metavar="PEM")

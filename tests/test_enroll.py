@@ -112,6 +112,71 @@ def test_enroll_end_to_end(workdir, capsys):
         (workdir / "dec2.json").read_bytes()
 
 
+def test_enroll_batched_matches_sequential_semantics(workdir, capsys):
+    """Batched wire: one MPC round for the whole candidate set, with
+    within-round duplicates caught by the kept-candidate cross-check —
+    verdicts must equal the sequential path's."""
+    assert main(["generate", "db.json", "8", "--seed", "45"]) == 0
+    assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "3",
+                 "--save-key", "mpc.key"]) == 0
+
+    objs = json.loads((workdir / "db.json").read_bytes())
+    f1 = Template.random(np.random.default_rng(91))
+    f2 = Template.random(np.random.default_rng(92))
+    cands = [objs[2],                 # duplicate of an existing entry
+             f1.to_json_obj(),        # unique
+             f1.rotated(-7).to_json_obj(),  # duplicate of f1, SAME round
+             f2.to_json_obj()]        # unique
+    (workdir / "cands.json").write_text(json.dumps(cands))
+
+    key = read_key32(str(workdir / "mpc.key"))
+    eng = KeyedShareEngine(key, 0, count=8, chunk=4)
+    holder = _start_participant_thread_batched(
+        eng, make_keyed_count_watcher(str(workdir / "mpc.count"), eng))
+    try:
+        rc = main(["enroll", "cands.json", "mpc",
+                   f"127.0.0.1:{holder['port']}",
+                   "--count", "2", "--key", "mpc.key",
+                   "--threshold", "0.2", "--share", "mpc.share-1",
+                   "--chunk", "4", "--wire", "batched", "--round", "4"])
+    finally:
+        _stop_participant_thread(holder)
+    assert rc == 0
+
+    out = capsys.readouterr().out.splitlines()
+    verdicts = [l for l in out if l.startswith("candidate ")]
+    assert len(verdicts) == 4
+    assert "DUPLICATE of entry 2 at distance 0.0" in verdicts[0]
+    assert "enrolled at index 8" in verdicts[1]
+    assert "DUPLICATE of entry 8 at distance 0.0" in verdicts[2]
+    assert "enrolled at index 9" in verdicts[3]
+    assert open_masks("mpc.masks").shape[0] == 10
+    assert (workdir / "mpc.count").read_text().strip() == "10"
+
+
+def _start_participant_thread_batched(engine, refresh):
+    holder = {}
+    ready = threading.Event()
+
+    def run():
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        server = ParticipantServer(engine, "127.0.0.1", 0, wire="batched",
+                                   refresh=refresh)
+        _, holder["port"] = loop.run_until_complete(server.start())
+        holder["loop"] = loop
+        ready.set()
+        loop.run_forever()
+        loop.run_until_complete(server.close())
+        loop.close()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert ready.wait(120), "participant server failed to start"
+    holder["thread"] = th
+    return holder
+
+
 def test_enroll_validation(workdir):
     assert main(["generate", "db.json", "4", "--seed", "42"]) == 0
     assert main(["prepare", "db.json", "2", "mpc", "--insecure-seed", "7",
