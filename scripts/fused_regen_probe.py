@@ -90,21 +90,22 @@ def make_kernel(m_rows, n_rows, tile_m, tile_n, tile_k, regen_rows=128,
         hi_ref[sl, :] = hi
 
     def _matmuls(q_ref, rs_ref, out_ref, lo_ref, hi_ref):
-        def slab(s, acc):
+        # Static unroll over K slabs: Mosaic must statically prove slice
+        # alignment (a dynamic fori_loop index fails inside pl.when regions),
+        # and the unrolled independent dot chains schedule better anyway.
+        d_lo = jnp.zeros((tile_m, tile_n), jnp.int32)
+        d_hi = jnp.zeros((tile_m, tile_n), jnp.int32)
+        for s in range(n_slabs):
             sl = pl.dslice(s * tile_k, tile_k)
             q = q_ref[:, sl]
-            d_lo = jax.lax.dot_general(
+            d_lo = d_lo + jax.lax.dot_general(
                 q, lo_ref[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            d_hi = jax.lax.dot_general(
+            d_hi = d_hi + jax.lax.dot_general(
                 q, hi_ref[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return acc[0] + d_lo, acc[1] + d_hi
-
-        zero = jnp.zeros((tile_m, tile_n), jnp.int32)
-        d_lo, d_hi = jax.lax.fori_loop(0, n_slabs, slab, (zero, zero))
         corr = rs_ref[...][:, :1] * jnp.int32(128)  # 128 * rowsum(q)
         total = (d_lo + corr) + ((d_hi + corr) << 8)
         out_ref[...] = total.astype(jnp.uint16)
