@@ -90,7 +90,17 @@ def main():
     p.add_argument("--chunk", type=int, default=None,
                    help="DB chunk per scan step (default 32768; 65536 for "
                    "share-keyed — halves per-chunk dispatch overhead)")
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--iters", type=int, default=None,
+                   help="timed passes (default 3; 15 in --latency mode)")
+    p.add_argument(
+        "--latency", action="store_true",
+        help="single-query latency mode: B=1, report the p50 per-query "
+        "end-to-end wall time (one dispatch + one result fetch, i.e. the "
+        "one-query-per-connection serving shape of the reference, "
+        "src/main.rs:411-447) instead of batched throughput. The JSON line "
+        "reports value = p50 seconds/query (unit s/query); vs_baseline is "
+        "the equivalent cmp/s against the 1e9 north star",
+    )
     p.add_argument(
         "--mode", choices=["plaintext", "packed", "share", "share-keyed"],
         default="packed",
@@ -128,7 +138,19 @@ def main():
     if args.db is None:
         args.db = 262144 if args.mode in ("plaintext", "share") else 1048576
     if args.chunk is None:
-        args.chunk = 65536 if args.mode == "share-keyed" else 32768
+        # Latency: at B=1 the per-chunk fixed work (scan step, unpack/regen)
+        # dominates, so fewer, larger chunks win (measured sweep in
+        # docs/RESULTS.md latency section).
+        if args.latency:
+            args.chunk = 65536
+        else:
+            args.chunk = 65536 if args.mode == "share-keyed" else 32768
+    if args.iters is None:
+        args.iters = 15 if args.latency else 3
+    if args.latency:
+        if args.batch not in (None, 1):
+            p.error("--latency is the B=1 serving shape; drop --batch")
+        args.batch = 1
     if args.batch is None:
         # Measured batch-sweep optima (docs/RESULTS.md): the packed path keeps
         # climbing to B=1536 (B=2048 forces a smaller chunk and regresses);
@@ -288,8 +310,29 @@ def main():
         times.append(dt)
         log(f"iter {i}: {dt:.3f}s")
 
-    dt = min(times)
     comparisons = b * n * 31
+    if args.latency:
+        p50 = float(np.median(times))
+        rate = comparisons / p50
+        log(
+            f"p50 query latency: {p50 * 1e3:.1f} ms (min {min(times)*1e3:.1f}, "
+            f"max {max(times)*1e3:.1f}) over {len(times)} queries; "
+            f"equivalent {rate:.3e} cmp/s"
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"p50 single-query latency ({args.mode} path, "
+                    f"{n}-entry DB, B=1; equivalent cmp/s in vs_baseline x 1e9)",
+                    "value": p50,
+                    "unit": "s/query",
+                    "vs_baseline": rate / 1e9,
+                }
+            )
+        )
+        return
+
+    dt = min(times)
     rate = comparisons / dt
     tops = macs_per_pass / dt / 1e12
     log(

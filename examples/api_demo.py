@@ -24,8 +24,6 @@ Reference parity notes: the plaintext path equals Template.distance
 encode/share/dot/decode pipeline (src/lib.rs:16-107, src/encoded_bits.rs:22-38).
 """
 
-import os
-
 import numpy as np
 
 from mpc_iris_tpu import Template, native
@@ -38,6 +36,13 @@ from mpc_iris_tpu.models.engines import (
 from mpc_iris_tpu.ops.decode import decode_distance_batch_np
 
 N_DB, B, N_PARTIES, CHUNK = 1024, 4, 3, 256
+
+
+def check(cond, what):
+    """Exactness checks must survive `python -O` (a bare assert would
+    vanish and the demo-as-test would pass vacuously — ADVICE r2)."""
+    if not cond:
+        raise RuntimeError(f"api_demo check failed: {what}")
 
 
 def main():
@@ -64,10 +69,10 @@ def main():
     eng = PlaintextEngine(patterns, masks, chunk=CHUNK)
     results = eng.match(qpat, qmsk)
     for want, r in zip(q_idx, results):
-        assert (r.index, r.distance) == (want, 0.0), r
+        check((r.index, r.distance) == (want, 0.0), r)
     # Winner distances are bit-identical to the scalar reference oracle:
     oracle = queries[0].distance(db[int(q_idx[0])])
-    assert results[0].distance == oracle
+    check(results[0].distance == oracle, "f64 parity with Template.distance")
     print(f"    self-match winners exact; f64 parity with Template.distance")
 
     # ------------------------------------------------- 3. MPC in-process
@@ -75,7 +80,9 @@ def main():
     # split into N_PARTIES additive shares. Shares s < n-1 are addressable
     # ChaCha20 keystreams of `key` (docs/SPEC.md section 4.1); the last share
     # carries the data. This is what `prepare` writes to mpc.share-i files.
-    key = os.urandom(32)
+    # Derived from the seeded rng so any failure reproduces byte-identically
+    # (a real deployment uses a CSPRNG, e.g. os.urandom(32)).
+    key = rng.bytes(32)
     enc = native.encode_u16_native(patterns, masks)
     shares = native.share_split(enc, N_PARTIES, key)  # u16 [n, N_DB, 12800]
 
@@ -92,10 +99,10 @@ def main():
     dist = decode_distance_batch_np(
         dots.reshape(-1, 31), dens.reshape(-1, 31)
     ).reshape(B, -1)
-    assert (dist.argmin(axis=1) == q_idx).all()
+    check((dist.argmin(axis=1) == q_idx).all(), "MPC winners == planted")
     # The MPC pipeline reproduces the plaintext engine bit-for-bit:
     for b, r in enumerate(results):
-        assert dist[b].min() == r.distance
+        check(dist[b].min() == r.distance, "MPC f64 == plaintext f64")
     print("    MPC distances == plaintext engine distances (bit-exact f64)")
 
     # ------------------------------------------------- 4. keyed party
@@ -110,10 +117,10 @@ def main():
     # Parties 0 and 1 refresh their shares with opposite-signed halves of a
     # pairwise zero-sum ChaCha20 stream: each share changes, the sum doesn't.
     print("[5] rerandomize: pairwise refresh, reconstruction invariant")
-    pair_key = os.urandom(32)
+    pair_key = rng.bytes(32)
     s0 = native.rerandomize(shares[0].copy(), pair_key, +1)
     s1 = native.rerandomize(shares[1].copy(), pair_key, -1)
-    assert not np.array_equal(s0, shares[0])
+    check(not np.array_equal(s0, shares[0]), "share 0 changed")
     np.testing.assert_array_equal(
         native.share_sum([s0, s1]), native.share_sum([shares[0], shares[1]])
     )

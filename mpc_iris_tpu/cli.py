@@ -868,7 +868,7 @@ def cmd_participant(args) -> int:
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire,
                                ssl_context=ssl_ctx,  # ctx validated up top
-                               refresh=refresh)
+                               refresh=refresh, read_timeout=args.timeout)
 
     async def run():
         await server.start()
@@ -997,7 +997,8 @@ def cmd_enroll(args) -> int:
     participants = [_parse_addr(a) for a in args.participants]
     try:
         coord = Coordinator(masks_engine, participants,
-                            local_engine=local_engine, ssl_context=ssl_ctx)
+                            local_engine=local_engine, ssl_context=ssl_ctx,
+                            round_timeout=args.timeout)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1155,7 +1156,7 @@ def cmd_coordinator(args) -> int:
 
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine,
-                        ssl_context=ssl_ctx)
+                        ssl_context=ssl_ctx, round_timeout=args.timeout)
     rng = np.random.default_rng(args.seed)
 
     watchers = []
@@ -1578,6 +1579,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the startup compile warm-up pass")
     g.add_argument("--warmup-batch", type=parse_si, default=16,
                    help="batch size to warm on the batched wire")
+    g.add_argument("--timeout", type=float, default=None, metavar="SECONDS",
+                   help="close a connection whose client sends no complete "
+                   "query within this many seconds (a silent client "
+                   "otherwise pins its connection forever; SPEC section 5). "
+                   "default: wait forever, like the reference")
     g.add_argument("--watch", action="store_true",
                    help="before each request, adopt rows appended to the "
                    "share file since startup (DB sync — a TODO in the "
@@ -1627,6 +1633,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="queries per round on the batched wire")
         g.add_argument("--threshold", type=float, default=None,
                        help="print DUPLICATE/unique verdicts against this FHD")
+        g.add_argument("--timeout", type=float, default=None, metavar="SECONDS",
+                       help="per-read-round deadline for each participant's "
+                       "reply stream; a connected-but-silent party aborts "
+                       "the query loudly instead of hanging it forever "
+                       "(StalledPartyError, SPEC section 5). default: wait "
+                       "forever, like the reference")
         g.add_argument("--watch", action="store_true",
                        help="before each query round, adopt rows appended to "
                        "the masks file (and a file-backed --share) since "
@@ -1677,6 +1689,10 @@ def build_parser() -> argparse.ArgumentParser:
         "must run --wire batched); within-round duplicates are still caught "
         "via exact plaintext cross-checks among the round's kept candidates",
     )
+    g.add_argument("--timeout", type=float, default=None, metavar="SECONDS",
+                   help="per-read-round deadline for participant replies "
+                   "(see coordinator --timeout); an enroll run aborts "
+                   "loudly on a stalled party rather than hanging")
     g.add_argument("--round", type=parse_si, default=64,
                    help="candidates per MPC round on the batched wire")
     g.add_argument("--tls-ca", default=None, metavar="PEM")

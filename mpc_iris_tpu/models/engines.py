@@ -893,6 +893,10 @@ class MasksEngine:
         storage: "dense" = unpacked int8 planes in HBM (12.8 KB/entry);
         "packed" = raw bit planes (1.6 KB/entry, 8x capacity) unpacked per
         chunk on device; "auto" picks packed past 400k entries.
+
+        The DB lives as PER-CHUNK device arrays (like ShareEngine's resident
+        list) so :meth:`refresh` transfers only appended chunks — O(added),
+        not O(total) — and the list swap keeps concurrent streams valid.
         """
         kernel_self_test()
         n = masks_packed.shape[0]
@@ -900,27 +904,37 @@ class MasksEngine:
         if storage == "auto":
             storage = "packed" if n > 400_000 else "dense"
         self.storage = storage
-        if storage == "packed":
-            mask_c, self.count = _pad_chunks(
-                np.ascontiguousarray(masks_packed, dtype=np.uint8), chunk
-            )
-        else:
-            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-            mask_c, self.count = _pad_chunks(m, chunk)
         self._device = device
-        self.db_mask = jax.device_put(mask_c, device=device)
+        self._source = masks_packed
+        self.count = n
         self.chunk = chunk
+        num_chunks = max(1, -(-n // chunk))
+        self._blocks = [self._put_chunk(c) for c in range(num_chunks)]
+
+    def _put_chunk(self, c: int):
+        """Host chunk c (packed uint8 or unpacked int8 per storage mode),
+        zero-padded at the tail, transferred to the device."""
+        start = c * self.chunk
+        end = min(self.count, start + self.chunk)
+        rows = np.ascontiguousarray(self._source[start:end], dtype=np.uint8)
+        if self.storage != "packed":
+            rows = unpack_bits(rows, xp=np).astype(np.int8)
+        if end - start < self.chunk:
+            rows = np.pad(rows, [(0, self.chunk - (end - start)), (0, 0)])
+        return jax.device_put(rows, device=self._device)
 
     def refresh(self, masks_packed: np.ndarray) -> int:
         """Adopt a grown (append-only) masks source; returns entries added.
 
-        The coordinator half of the reference's DB-sync TODO: a re-opened
-        memmap of the appended-to masks file replaces the device copy. The
-        chunked device array is contiguous, so growth re-transfers the whole
-        DB (1.6 KB/entry packed) — fine for the rare append event; the old
-        array is dropped first so peak HBM stays one copy + one chunk.
-        NOT safe concurrently with an in-flight stream() (the coordinator
-        refreshes between query rounds, never mid-stream)."""
+        The coordinator half of the reference's DB-sync TODO
+        (src/main.rs:402). Cost is O(added): full device chunks are reused
+        as-is; only a previously-padded tail chunk is re-transferred and new
+        chunks appended — the same per-block policy as the share engines, so
+        enroll-style hot appends stay cheap at any DB size. Safe concurrently
+        with serving: the block list is REPLACED, never mutated, so an
+        in-flight stream that snapshotted the old list keeps valid chunks
+        (the source is append-only and streams trim to the count captured at
+        generator start)."""
         n_new = masks_packed.shape[0]
         if n_new < self.count:
             raise ValueError(
@@ -930,24 +944,24 @@ class MasksEngine:
         added = n_new - self.count
         if added == 0:
             return 0
-        if self.storage == "packed":
-            mask_c, self.count = _pad_chunks(
-                np.ascontiguousarray(masks_packed, dtype=np.uint8), self.chunk
-            )
-        else:
-            m = unpack_bits(np.asarray(masks_packed), xp=np).astype(np.int8)
-            mask_c, self.count = _pad_chunks(m, self.chunk)
-        self.db_mask = None  # free before the new put (bounds peak HBM)
-        self.db_mask = jax.device_put(mask_c, device=self._device)
+        full_before = self.count // self.chunk  # chunks that had no padding
+        self._source = masks_packed
+        self.count = n_new
+        num_chunks = max(1, -(-n_new // self.chunk))
+        blocks = self._blocks[:full_before]  # device copies reused
+        for c in range(full_before, num_chunks):
+            blocks.append(self._put_chunk(c))
+        self._blocks = blocks  # atomic swap under the GIL
         return added
 
     def num_chunks(self) -> int:
-        return self.db_mask.shape[0]
+        return len(self._blocks)
 
     def dots_chunk(self, q_mask, chunk_index: int):
+        blocks = self._blocks  # snapshot: refresh() swaps, never mutates
         if self.storage == "packed":
-            return _mask_dots_chunk_packed(q_mask, self.db_mask[chunk_index])
-        return _mask_dots_chunk(q_mask, self.db_mask[chunk_index])
+            return _mask_dots_chunk_packed(q_mask, blocks[chunk_index])
+        return _mask_dots_chunk(q_mask, blocks[chunk_index])
 
     def dots(self, masks_packed) -> np.ndarray:
         """Full denominator tensor uint16 [B, N, 31] in wire order."""

@@ -534,24 +534,24 @@ class ShardedMasksEngine(_ShardedBase):
 
     def __init__(self, masks_packed, mesh, chunk: int = DEFAULT_CHUNK,
                  storage: str = "auto"):
+        """The masks DB lives as PER-BLOCK sharded device arrays (like
+        ShardedShareEngine._blocks) so :meth:`refresh` transfers only
+        appended blocks — O(added), not O(total)."""
         n = masks_packed.shape[0]
         chunk = effective_chunk(chunk, n, mesh.shape["db"])
         super().__init__(mesh, chunk)
         if storage == "auto":
             storage = "packed" if n // mesh.shape["db"] > 400_000 else "dense"
         self.storage = storage
-        if storage == "packed":
-            mask_b, self.count = self._blocked_local(
-                np.asarray(masks_packed, dtype=np.uint8)
-            )
-        else:
-            mask_b, self.count = self._blocked_local(
-                np.asarray(masks_packed),
-                transform=lambda r: unpack_bits(r, xp=np).astype(np.int8),
-            )
-        self.db_mask = self._put_db_local(mask_b)
         packed = storage == "packed"
         self._packed = packed
+        self._mask_sharding = NamedSharding(mesh, P("db", None, None))
+        self.count = n
+        self._source = masks_packed
+        block = chunk * self.n_shards
+        g_blocks = max(1, -(-n // block))
+        self._blocks = [self._load_block(j, masks_packed, n)
+                        for j in range(g_blocks)]
 
         def spmd(q_mask, mask_j):
             if packed:
@@ -570,17 +570,43 @@ class ShardedMasksEngine(_ShardedBase):
             ),
         )
 
+    def _load_block(self, j: int, src, n: int):
+        """Transfer block j's process-local slice (one contiguous source
+        read; a shared memmap'd masks file never pages in other hosts'
+        rows), storage-transformed on host, as a [D, chunk, W] sharded
+        array."""
+        d = self.n_shards
+        lo, hi = self.db_span
+        span_rows = (hi - lo) * self.chunk
+        start = (j * d + lo) * self.chunk
+        end = min(n, start + span_rows)
+        rows = (np.ascontiguousarray(src[start:end], dtype=np.uint8)
+                if end > start else np.zeros((0, src.shape[1]), np.uint8))
+        if not self._packed:
+            rows = unpack_bits(rows, xp=np).astype(np.int8)
+        if rows.shape[0] < span_rows:
+            rows = np.pad(rows, [(0, span_rows - rows.shape[0]), (0, 0)])
+        local = rows.reshape(hi - lo, self.chunk, rows.shape[1])
+        if jax.process_count() == 1:
+            return jax.device_put(local, self._mask_sharding)
+        return jax.make_array_from_process_local_data(
+            self._mask_sharding, local, (d, self.chunk, local.shape[2])
+        )
+
     def num_blocks(self) -> int:
-        return self.db_mask.shape[0]
+        return len(self._blocks)
 
     def refresh(self, masks_packed) -> int:
         """Adopt a grown (append-only) masks source; returns entries added.
-        Re-blocks and re-transfers the whole (local slice of the) masks DB —
-        cheap at 1.6 KB/entry packed for the rare append event. Same
-        multi-process contract as ShardedShareEngine.refresh. The
-        construction-time storage choice is frozen (it is baked into the
-        compiled step); warn when growth crosses the auto-storage threshold
-        where a fresh build would have picked packed."""
+
+        Cost is O(added): complete blocks are reused; a previously-padded
+        tail block is re-loaded and new blocks appended (each process reads
+        only its own slice, as at construction). Same multi-process contract
+        as ShardedShareEngine.refresh; the block list is replaced, never
+        mutated, so in-flight streams keep valid slots. The construction-time
+        storage choice is frozen (it is baked into the compiled step); warn
+        when growth crosses the auto-storage threshold where a fresh build
+        would have picked packed."""
         n_new = masks_packed.shape[0]
         if (not self._packed
                 and n_new // self.mesh.shape["db"] > 400_000):
@@ -600,17 +626,15 @@ class ShardedMasksEngine(_ShardedBase):
         if n_new == self.count:
             return 0
         added = n_new - self.count
-        if self._packed:
-            mask_b, self.count = self._blocked_local(
-                np.asarray(masks_packed, dtype=np.uint8)
-            )
-        else:
-            mask_b, self.count = self._blocked_local(
-                np.asarray(masks_packed),
-                transform=lambda r: unpack_bits(r, xp=np).astype(np.int8),
-            )
-        self.db_mask = None  # free before the new put (bounds peak HBM)
-        self.db_mask = self._put_db_local(mask_b)
+        block = self.chunk * self.n_shards
+        full_before = self.count // block  # blocks with no padded rows
+        g_blocks = max(1, -(-n_new // block))
+        self._source = masks_packed
+        self.count = n_new
+        blocks = self._blocks[:full_before]  # device copies reused
+        for j in range(full_before, g_blocks):
+            blocks.append(self._load_block(j, masks_packed, n_new))
+        self._blocks = blocks  # atomic swap under the GIL
         return added
 
     def stream(self, masks_packed, entry_major: bool = False):
@@ -618,14 +642,19 @@ class ShardedMasksEngine(_ShardedBase):
 
         q = jnp.asarray(masks_packed)
         _, q_mask = prepare_query_planes(jnp.zeros_like(q), q)
+        blocks = self._blocks  # snapshot: refresh() swaps, never mutates
         if entry_major:
             dispatch = lambda j: self._fetchable(
-                _to_entry_major(self._block(q_mask, self.db_mask[j]))
+                _to_entry_major(self._block(q_mask, blocks[j]))
             )
         else:
-            dispatch = lambda j: self._fetchable(self._block(q_mask, self.db_mask[j]))
+            dispatch = lambda j: self._fetchable(self._block(q_mask, blocks[j]))
+        # len(blocks)/count captured together with the snapshot so a refresh
+        # racing this generator cannot index past the snapshot list.
         yield from pipelined_stream(
-            dispatch, self.num_blocks(), self.count, self.chunk * self.n_shards,
+            dispatch, len(blocks), min(self.count, len(blocks) * self.chunk
+                                       * self.n_shards),
+            self.chunk * self.n_shards,
             entry_axis=0 if entry_major else 1,
         )
 

@@ -16,6 +16,15 @@ streaming overlaps the MXU chunk scans — the tokio-pipeline equivalent
 """
 
 from mpc_iris_tpu.protocol.participant import ParticipantServer
-from mpc_iris_tpu.protocol.coordinator import Coordinator, QueryOutcome
+from mpc_iris_tpu.protocol.coordinator import (
+    Coordinator,
+    QueryOutcome,
+    StalledPartyError,
+)
 
-__all__ = ["ParticipantServer", "Coordinator", "QueryOutcome"]
+__all__ = [
+    "ParticipantServer",
+    "Coordinator",
+    "QueryOutcome",
+    "StalledPartyError",
+]

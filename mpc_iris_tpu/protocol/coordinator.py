@@ -32,6 +32,27 @@ from mpc_iris_tpu.types import Template
 log = logging.getLogger("mpc_iris_tpu.coordinator")
 
 
+class StalledPartyError(ConnectionError):
+    """A connected participant produced no complete read round within the
+    coordinator's per-round deadline.
+
+    Policy (docs/SPEC.md section 5): the query is ABORTED loudly, naming the
+    stalled part(ies) — never silently truncated. A uniqueness check over a
+    truncated scan could falsely report "unique" while the unseen tail holds a
+    match, so availability failures must surface to the operator, not to the
+    verdict. The reference has no deadline at all (a silent participant hangs
+    its coordinator forever, src/main.rs:538-555); this is the refinement."""
+
+
+class _Stalled:
+    """Sentinel read result marking the party whose round timed out."""
+
+    __slots__ = ("party",)
+
+    def __init__(self, party: str):
+        self.party = party
+
+
 @jax.jit
 def _sum_decode_argmin_device_batch(shares, dens):
     """Batched single-dispatch step: tuple of P uint16 [n, B, 31] ENTRY-major
@@ -134,7 +155,7 @@ def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
 class Coordinator:
     def __init__(self, masks_engine, participants: list[tuple[str, int]],
                  local_engine=None, batch_records: int | None = None,
-                 ssl_context=None):
+                 ssl_context=None, round_timeout: float | None = None):
         """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
@@ -143,6 +164,12 @@ class Coordinator:
         (:func:`records_per_read`) so per-round memory stays bounded for any B.
         ssl_context: optional `ssl.SSLContext` (tlsutil.client_context) used
         for every participant connection — the wire inside is unchanged.
+        round_timeout: per-read-round deadline in seconds for each remote
+        party's byte stream (one round buffers at most READ_BYTE_BUDGET
+        bytes, so a healthy party always finishes a round in bounded time).
+        On expiry the query is aborted with :class:`StalledPartyError` naming
+        the silent part(ies) — see SPEC section 5. None (default) waits
+        forever, matching the reference's behavior (src/main.rs:538-555).
         """
         if not participants and local_engine is None:
             raise ValueError(
@@ -154,6 +181,28 @@ class Coordinator:
         self.local_engine = local_engine
         self.batch_records = batch_records
         self.ssl_context = ssl_context
+        self.round_timeout = round_timeout
+
+    async def _read_round(self, coro, party: str):
+        """Run one party's read-round coroutine under the deadline; a timeout
+        yields a ``(_Stalled, False)`` marker instead of raising so the
+        concurrent gather finishes and ALL stalled parties get named."""
+        if not self.round_timeout:
+            return await coro
+        try:
+            return await asyncio.wait_for(coro, self.round_timeout)
+        except asyncio.TimeoutError:
+            return _Stalled(party), False
+
+    def _check_stalled(self, read_results) -> None:
+        stalled = [r.party for r, _eof in read_results
+                   if isinstance(r, _Stalled)]
+        if stalled:
+            raise StalledPartyError(
+                f"participant(s) {', '.join(stalled)} produced no complete "
+                f"read round within {self.round_timeout}s — aborting the "
+                "query (connected-but-silent party; see SPEC section 5)"
+            )
 
     async def _connect_all(self):
         """Open one connection per participant with a clear error on failure.
@@ -216,8 +265,11 @@ class Coordinator:
         try:
             while True:
                 # Read one batch from every source concurrently (join!,
-                # main.rs:560).
-                reads = [read_records(r, records) for (r, _w) in conns]
+                # main.rs:560), each remote read under the round deadline.
+                reads = [
+                    self._read_round(read_records(r, records), f"{h}:{p}")
+                    for (r, _w), (h, p) in zip(conns, self.participants)
+                ]
                 gathered = await asyncio.gather(
                     denom_pump.next_item(),
                     *( [local_pump.next_item()] if local_pump is not None else [] ),
@@ -229,6 +281,7 @@ class Coordinator:
                 if local_pump is not None:
                     local = gathered[1]
                     off = 2
+                self._check_stalled(gathered[off:])
                 share_batches = [arr for arr, _eof in gathered[off:]]
                 for k, arr in enumerate(share_batches):
                     party_records[k] += arr.shape[0]
@@ -334,8 +387,10 @@ class Coordinator:
         try:
             while True:
                 reads = [
-                    read_batched_records(r, b, records)
-                    for (r, _w) in conns
+                    self._read_round(
+                        read_batched_records(r, b, records), f"{h}:{p}"
+                    )
+                    for (r, _w), (h, p) in zip(conns, self.participants)
                 ]
                 gathered = await asyncio.gather(
                     denom_pump.next_item(),
@@ -348,6 +403,7 @@ class Coordinator:
                 if local_pump is not None:
                     local = gathered[1]
                     off = 2
+                self._check_stalled(gathered[off:])
                 share_batches = [arr for arr, _eof in gathered[off:]]
                 for k, arr in enumerate(share_batches):
                     party_records[k] += arr.shape[0]

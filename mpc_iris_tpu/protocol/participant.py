@@ -26,7 +26,8 @@ log = logging.getLogger("mpc_iris_tpu.participant")
 
 class ParticipantServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
-                 wire: str = "reference", ssl_context=None, refresh=None):
+                 wire: str = "reference", ssl_context=None, refresh=None,
+                 read_timeout: float | None = None):
         """engine: ShareEngine or ShardedShareEngine (anything with .stream).
 
         wire: "reference" = one raw template per connection (byte-compatible
@@ -43,6 +44,12 @@ class ParticipantServer:
         share file and engine.refresh() any appended rows. Called in a
         worker thread under a server-wide lock (concurrent connections
         sync once, not racily).
+
+        read_timeout: deadline in seconds for receiving the complete query
+        after a client connects. A connected-but-silent client otherwise
+        pins its connection (and its refresh-lock turn) forever; on expiry
+        the connection is logged and closed without computing anything
+        (SPEC section 5). None (default) waits forever like the reference.
         """
         if wire not in ("reference", "batched"):
             raise ValueError(f"unknown wire mode {wire!r}")
@@ -52,6 +59,7 @@ class ParticipantServer:
         self.wire = wire
         self.ssl_context = ssl_context
         self.refresh = refresh
+        self.read_timeout = read_timeout
         self._refresh_lock = asyncio.Lock()
         self._server: asyncio.AbstractServer | None = None
 
@@ -86,9 +94,15 @@ class ParticipantServer:
                 async with self._refresh_lock:
                     await asyncio.to_thread(self.refresh)
             if self.wire == "batched":
-                qpat, qmsk = await read_batched_query(reader)
+                read = read_batched_query(reader)
+                if self.read_timeout:
+                    read = asyncio.wait_for(read, self.read_timeout)
+                qpat, qmsk = await read
             else:
-                raw = await read_template_bytes(reader)
+                read = read_template_bytes(reader)
+                if self.read_timeout:
+                    read = asyncio.wait_for(read, self.read_timeout)
+                raw = await read
                 qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
                 qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
             batched = self.wire == "batched"
@@ -119,6 +133,12 @@ class ParticipantServer:
                 log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
             finally:
                 pump.close()
+        except asyncio.TimeoutError:
+            log.warning(
+                "connection from %s sent no complete query within %.1fs — "
+                "closing (stalled client, SPEC section 5)",
+                peer, self.read_timeout,
+            )
         except (asyncio.IncompleteReadError, ConnectionResetError, ValueError) as e:
             log.warning("connection from %s dropped/invalid: %s", peer, e)
         finally:

@@ -15,5 +15,8 @@ def test_api_demo_small():
     spec = importlib.util.spec_from_file_location("api_demo", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.N_DB, mod.B, mod.CHUNK = 256, 2, 128
+    # Smallest sizes the engines accept (chunk floor 128) — multi-chunk scans
+    # are covered by the engine tests; the demo's checks raise (not bare
+    # assert), so this works under `python -O` too.
+    mod.N_DB, mod.B, mod.CHUNK = 128, 2, 128
     mod.main()

