@@ -1206,6 +1206,47 @@ def cmd_coordinator(args) -> int:
             ))
         print(f"warmup done in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
+    if args.serve:
+        # Serve queries on --bind (the reference resolver declares the bind
+        # address but self-generates queries instead, src/main.rs:139):
+        # one raw 3,200-byte template per inbound connection, 24-byte
+        # (i64 index, f64 distance, u64 total) LE reply — SPEC section 5.2.
+        from mpc_iris_tpu.protocol import QueryServer
+
+        host, port = _parse_addr(args.bind)
+
+        def refresh_all():
+            for w in watchers:
+                w()
+
+        # --wire batched + --serve = micro-batching: concurrent clients
+        # aggregate (up to --batch, --window seconds) into one MPC round
+        # over the batched participant wire. Clients always speak the
+        # single-query serving wire either way.
+        server = QueryServer(
+            coord, host, port,
+            refresh=refresh_all if watchers else None,
+            read_timeout=args.timeout,
+            max_batch=args.batch if args.wire == "batched" else 1,
+            batch_window=args.window,
+        )
+        if args.wire == "batched":
+            print(f"micro-batching up to {args.batch} concurrent queries "
+                  f"per MPC round ({args.window * 1e3:.0f} ms window); "
+                  "participants must run --wire batched", file=sys.stderr)
+
+        async def serve():
+            await server.start()
+            print(f"serving uniqueness queries on {server.port}",
+                  file=sys.stderr)
+            await server.serve_forever()
+
+        try:
+            asyncio.run(serve())
+        except KeyboardInterrupt:
+            pass
+        return 0
+
     async def run():
         n = 0
         while args.queries == 0 or n < args.queries:
@@ -1308,6 +1349,52 @@ def cmd_benchmark(args) -> int:
 
     asyncio.run(run())
     return 0
+
+
+# ------------------------------------------------------------------ query (client)
+
+
+def cmd_query(args) -> int:
+    """Client for a serving coordinator (SPEC section 5.2): send each input
+    template to `coordinator --serve` and print the outcome record."""
+    from mpc_iris_tpu.io.json_stream import iter_json_array
+    from mpc_iris_tpu.protocol import query_remote
+
+    host, port = _parse_addr(args.service)
+    try:
+        ssl_ctx = _client_tls_context(args)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    templates = []
+    with open(args.input, "rb") as f:
+        for item in iter_json_array(f):
+            templates.append(Template.from_json_obj(item))
+            if args.count and len(templates) >= args.count:
+                break
+
+    async def run() -> int:
+        worst = 0
+        for i, t in enumerate(templates):
+            t0 = time.monotonic()
+            try:
+                outcome = await query_remote(host, port, t, ssl_context=ssl_ctx)
+            except (ConnectionError, OSError, asyncio.IncompleteReadError) as e:
+                print(f"query {i}: FAILED ({e})", file=sys.stderr)
+                worst = 1
+                continue
+            dt = time.monotonic() - t0
+            verdict = ""
+            if args.threshold is not None:
+                verdict = ("  DUPLICATE" if outcome.distance < args.threshold
+                           else "  unique")
+            print(f"query {i}: closest entry {outcome.index} of "
+                  f"{outcome.total} at distance {outcome.distance} "
+                  f"({dt:.3f}s){verdict}")
+        return worst
+
+    return asyncio.run(run())
 
 
 # ------------------------------------------------------------------ match (local)
@@ -1614,8 +1701,25 @@ def build_parser() -> argparse.ArgumentParser:
                        "<keyfile> (regenerated on device, no file)")
         g.add_argument(
             "--bind", default="127.0.0.1:8080",
-            help="reserved (reference-CLI parity): like the reference resolver, "
-            "queries are self-generated rather than served on a socket",
+            help="with --serve: accept query templates on this address "
+            "(without --serve, queries are self-generated like the "
+            "reference resolver, which declares a bind but never serves "
+            "on it — src/main.rs:139)",
+        )
+        g.add_argument(
+            "--serve", action="store_true",
+            help="run as a uniqueness SERVICE: one raw 3,200-byte template "
+            "per inbound connection on --bind, reply = 24-byte LE record "
+            "(i64 winning index, f64 distance, u64 entries compared) — "
+            "SPEC section 5.2. Concurrent clients are served concurrently; "
+            "with --wire batched they micro-batch into shared MPC rounds "
+            "(up to --batch per round)",
+        )
+        g.add_argument(
+            "--window", type=float, default=0.005, metavar="SECONDS",
+            help="micro-batching window for --serve --wire batched: after "
+            "the first queued query, wait at most this long for more "
+            "before dispatching the MPC round (default 5 ms)",
         )
         g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
         g.add_argument("--chunk", type=parse_si, default=8192)
@@ -1656,6 +1760,26 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--tls-key", default=None, metavar="PEM",
                        help="private key for --tls-cert")
         g.set_defaults(fn=cmd_coordinator, warmup=True)
+
+    g = sub.add_parser(
+        "query",
+        help="client for a serving coordinator (`coordinator --serve`): "
+        "send templates from a JSON file and print index/distance outcomes "
+        "(SPEC section 5.2)",
+    )
+    g.add_argument("service", help="host:port of `coordinator --serve`")
+    g.add_argument("input", help="query templates (JSON array)")
+    g.add_argument("--count", type=parse_si, default=0,
+                   help="stop after this many templates (0 = all)")
+    g.add_argument("--threshold", type=float, default=None,
+                   help="print DUPLICATE/unique verdicts against this FHD")
+    g.add_argument("--tls-ca", default=None, metavar="PEM",
+                   help="connect over TLS, trusting this bundle")
+    g.add_argument("--tls-cert", default=None, metavar="PEM",
+                   help="client certificate for mutual TLS")
+    g.add_argument("--tls-key", default=None, metavar="PEM",
+                   help="private key for --tls-cert")
+    g.set_defaults(fn=cmd_query)
 
     g = sub.add_parser(
         "enroll",

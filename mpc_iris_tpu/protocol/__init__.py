@@ -19,12 +19,16 @@ from mpc_iris_tpu.protocol.participant import ParticipantServer
 from mpc_iris_tpu.protocol.coordinator import (
     Coordinator,
     QueryOutcome,
+    QueryServer,
     StalledPartyError,
+    query_remote,
 )
 
 __all__ = [
     "ParticipantServer",
     "Coordinator",
     "QueryOutcome",
+    "QueryServer",
     "StalledPartyError",
+    "query_remote",
 ]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import struct
 from dataclasses import dataclass
 
 import jax
@@ -445,3 +446,186 @@ class Coordinator:
             QueryOutcome(i, fraction_to_f64(nn, dd), processed)
             for (nn, dd, i) in best
         ]
+
+
+# ------------------------------------------------------------- serving front
+
+# Reply record of the query-serving wire (SPEC section 5.2): little-endian
+# i64 winning index, f64 distance (bit-identical to the reference decode),
+# u64 entries compared. 24 fixed bytes; the request is the raw 3,200-byte
+# template, exactly the participant wire's query format.
+SERVE_REPLY = struct.Struct("<qdQ")
+
+
+class QueryServer:
+    """Network front for the uniqueness service: accepts one raw 3,200-byte
+    query template per connection and replies with the 24-byte outcome record.
+
+    The reference resolver DECLARES a bind address but never serves on it —
+    queries are self-generated in a loop (src/main.rs:139, 476-639). This
+    implements the serving half: each inbound connection runs one full MPC
+    round over the wrapped :class:`Coordinator` (fan-out to participants,
+    fused decode, exact argmin). Concurrent connections are served
+    concurrently — participants handle simultaneous coordinator rounds
+    bit-exactly (pinned by TestConcurrentConnections).
+    """
+
+    def __init__(self, coordinator: Coordinator, host: str = "127.0.0.1",
+                 port: int = 8080, ssl_context=None,
+                 read_timeout: float | None = None, refresh=None,
+                 max_batch: int = 1, batch_window: float = 0.005):
+        """coordinator: the configured Coordinator to run rounds on.
+        ssl_context: optional server-side TLS for the client-facing socket
+        (independent of the coordinator's participant-facing TLS).
+        read_timeout: deadline for receiving the 3,200 query bytes after a
+        client connects (None = wait forever).
+        refresh: optional zero-arg callable run before each query (the same
+        --watch DB-sync hook participants use), serialized server-wide.
+
+        max_batch > 1 enables MICRO-BATCHING: concurrent client queries are
+        aggregated (up to max_batch, waiting at most batch_window seconds
+        after the first) into ONE MPC round over the batched wire — the
+        participants must run ``--wire batched``. Each client still sees the
+        single-query serving wire; outcomes are identical to solo rounds
+        (the batched protocol is bit-exact per query). This converts P
+        concurrent clients from P full DB scans into one ~P-amortized scan —
+        the serving analogue of the bench's batch-throughput curve."""
+        self.coordinator = coordinator
+        self.host = host
+        self.port = port
+        self.ssl_context = ssl_context
+        self.read_timeout = read_timeout
+        self.refresh = refresh
+        self.max_batch = max_batch
+        self.batch_window = batch_window
+        self._refresh_lock = asyncio.Lock()
+        self._server: asyncio.AbstractServer | None = None
+        self._queue: asyncio.Queue | None = None
+        self._dispatcher: asyncio.Task | None = None
+
+    async def start(self) -> tuple[str, int]:
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port, ssl=self.ssl_context
+        )
+        if self.max_batch > 1:
+            self._queue = asyncio.Queue()
+            self._dispatcher = asyncio.get_running_loop().create_task(
+                self._dispatch_loop()
+            )
+        sock = self._server.sockets[0].getsockname()
+        log.info("query server listening on %s:%s", sock[0], sock[1])
+        self.port = sock[1]
+        return sock[0], sock[1]
+
+    async def serve_forever(self) -> None:
+        if self._server is None:
+            await self.start()
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def close(self) -> None:
+        if self._dispatcher is not None:
+            self._dispatcher.cancel()
+            try:
+                await self._dispatcher
+            except asyncio.CancelledError:
+                pass
+            self._dispatcher = None
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+
+    async def _dispatch_loop(self):
+        """Collect queued (template, future) pairs into batched MPC rounds."""
+        loop = asyncio.get_running_loop()
+        while True:
+            batch = [await self._queue.get()]
+            deadline = loop.time() + self.batch_window
+            while len(batch) < self.max_batch:
+                remaining = deadline - loop.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(
+                        await asyncio.wait_for(self._queue.get(), remaining)
+                    )
+                except asyncio.TimeoutError:
+                    break
+            try:
+                outcomes = await self.coordinator.query_batch(
+                    [t for t, _ in batch]
+                )
+            except asyncio.CancelledError:
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.cancel()
+                raise
+            except Exception as e:
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(
+                            ConnectionError(f"batched MPC round failed: {e}")
+                        )
+            else:
+                for (_, fut), outcome in zip(batch, outcomes):
+                    if not fut.done():
+                        fut.set_result(outcome)
+
+    async def _handle(self, reader, writer):
+        from mpc_iris_tpu.protocol.wire import read_template_bytes
+
+        peer = writer.get_extra_info("peername")
+        try:
+            read = read_template_bytes(reader)
+            if self.read_timeout:
+                read = asyncio.wait_for(read, self.read_timeout)
+            raw = await read
+            if self.refresh is not None:
+                async with self._refresh_lock:
+                    await asyncio.to_thread(self.refresh)
+            template = Template.from_bytes(raw)
+            if self._queue is not None:
+                fut = asyncio.get_running_loop().create_future()
+                await self._queue.put((template, fut))
+                outcome = await fut
+            else:
+                outcome = await self.coordinator.query(template)
+            writer.write(SERVE_REPLY.pack(
+                outcome.index, outcome.distance, outcome.total
+            ))
+            await writer.drain()
+        except asyncio.TimeoutError:
+            log.warning("client %s sent no complete query within %.1fs — "
+                        "closing", peer, self.read_timeout)
+        except (asyncio.IncompleteReadError, ConnectionResetError) as e:
+            log.warning("client %s dropped: %s", peer, e)
+        except (ConnectionError, OSError) as e:
+            # Participant-side failure (unreachable/stalled party): surface it
+            # to the client as a closed connection with no reply record, and
+            # loudly in the server log — never a fabricated outcome.
+            log.error("query from %s failed: %s", peer, e)
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except (ConnectionResetError, BrokenPipeError):
+                pass
+
+
+async def query_remote(host: str, port: int, template: Template,
+                       ssl_context=None) -> QueryOutcome:
+    """Client half of the serving wire: send one template, read the 24-byte
+    outcome record."""
+    reader, writer = await asyncio.open_connection(host, port, ssl=ssl_context)
+    try:
+        writer.write(template.to_bytes())
+        await writer.drain()
+        raw = await reader.readexactly(SERVE_REPLY.size)
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+    index, distance, total = SERVE_REPLY.unpack(raw)
+    return QueryOutcome(index, distance, total)

@@ -29,6 +29,7 @@ Run:
 """
 
 import argparse
+import functools
 import time
 
 import jax
@@ -67,29 +68,42 @@ def main():
     sid = jnp.uint32(0)
 
     fold = jax.jit(lambda x: x.astype(jnp.uint32).sum())
-    # Donated planes: the mm consumes the regen output so the runtime can
-    # reuse the (2, chunk, K) buffer across in-flight chunks.
-    mm = jax.jit(lambda q, planes: _share_dots_chunk(q, planes[0], planes[1]),
-                 donate_argnums=(1,))
+    mm = jax.jit(lambda q, planes: _share_dots_chunk(q, planes[0], planes[1]))
 
-    def run_fused():
-        acc = np.uint64(0)
-        for c in range(T):
-            out = _share_dots_chunk_keyed(q_nat, kw, sid,
-                                          np.uint32(c * chunk), chunk)
-            acc += np.uint64(np.asarray(fold(out)))
+    # Every variant defers ALL host fetches to the end (one scalar per chunk,
+    # summed after the loop): a per-chunk np.asarray would add a ~27 ms
+    # tunnel round trip per chunk and masquerade as pipelining gains.
+    @functools.partial(jax.jit, static_argnames=("t", "c"))
+    def scan_pass(q, *, t, c):
+        def step(acc, i):
+            out = _share_dots_chunk_keyed(q, kw, sid, i * c, c)
+            return acc + out.astype(jnp.uint32).sum(), None
+
+        acc, _ = jax.lax.scan(step, jnp.uint32(0),
+                              jnp.arange(t, dtype=jnp.uint32))
         return acc
 
-    def run_serial2():
-        acc = np.uint64(0)
+    def run_scan1():
+        # The engine's current shape: ONE dispatch, tail in lax.scan.
+        return np.uint64(np.asarray(scan_pass(q_nat, t=T, c=chunk)))
+
+    def run_fused_loop():
+        sums = [fold(_share_dots_chunk_keyed(q_nat, kw, sid,
+                                             np.uint32(c * chunk), chunk))
+                for c in range(T)]
+        return sum(np.uint64(np.asarray(s)) for s in sums)
+
+    def run_split_loop():
+        # regen then mm as two programs per chunk, queue order r0,m0,r1,m1…
+        sums = []
         for c in range(T):
             planes = _keyed_planes_chunk(kw, sid, np.uint32(c * chunk), chunk)
-            acc += np.uint64(np.asarray(fold(mm(q_nat, planes))))
-        return acc
+            sums.append(fold(mm(q_nat, planes)))
+        return sum(np.uint64(np.asarray(s)) for s in sums)
 
     def run_pipelined():
-        # One chunk of lookahead: regen(c+1) is dispatched before mm(c)'s
-        # result is touched; the only host sync is the final scalar fetches.
+        # One chunk of lookahead: regen(c+1) enqueued before mm(c),
+        # queue order r0,r1,m0,r2,m1,…
         sums = []
         planes = _keyed_planes_chunk(kw, sid, np.uint32(0), chunk)
         for c in range(T):
@@ -99,8 +113,8 @@ def main():
             planes = nxt
         return sum(np.uint64(np.asarray(s)) for s in sums)
 
-    runs = {"fused": run_fused, "serial2": run_serial2,
-            "pipelined": run_pipelined}
+    runs = {"scan1": run_scan1, "fused-loop": run_fused_loop,
+            "split-loop": run_split_loop, "pipelined": run_pipelined}
     checks = {}
     for name, fn in runs.items():
         checks[name] = fn()  # compile + warm
@@ -113,8 +127,11 @@ def main():
         rate = b * T * chunk * 31 / dt
         print(f"{name:10s}: {dt:.3f}s  ({dt / T * 1e3:.1f} ms/chunk, "
               f"{rate:.3e} cmp/s)")
-    assert len(set(checks.values())) == 1, f"checksum mismatch: {checks}"
-    print("checksums identical across variants")
+    # scan1 accumulates in uint32 on device (wraps); loop variants sum uint64
+    # on host — compare mod 2^32.
+    mods = {int(v) & 0xFFFFFFFF for v in checks.values()}
+    assert len(mods) == 1, f"checksum mismatch: {checks}"
+    print("checksums identical across variants (mod 2^32)")
 
 
 if __name__ == "__main__":

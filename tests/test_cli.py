@@ -267,3 +267,64 @@ def test_share_engine_from_spec_dispatch(workdir):
 
     with pytest.raises(ValueError):
         _share_engine_from_spec("keyed:0:16:/nonexistent-key", 8)
+
+
+def test_query_client_cli(workdir, capsys):
+    """`query` client against a live QueryServer (SPEC section 5.2): verdicts
+    and distances come back over the 24-byte serving wire."""
+    import asyncio
+    import threading
+
+    from mpc_iris_tpu.models import MasksEngine, ShareEngine
+    from mpc_iris_tpu.protocol import Coordinator, QueryServer
+
+    assert main(["generate", "db.json", "12", "--seed", "31"]) == 0
+    assert main(["prepare", "db.json", "1", "mpc", "--insecure-seed", "2"]) == 0
+    masks = open_masks("mpc.masks")
+    share = open_share("mpc.share-0")
+
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    state = {}
+
+    async def serve():
+        coord = Coordinator(
+            MasksEngine(np.asarray(masks), chunk=8), [],
+            local_engine=ShareEngine(np.asarray(share), chunk=8),
+        )
+        server = QueryServer(coord, "127.0.0.1", 0)
+        await server.start()
+        state["server"] = server
+        state["port"] = server.port
+        ready.set()
+        await server.serve_forever()
+
+    def run_loop():
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(serve())
+        except asyncio.CancelledError:
+            pass
+
+    t = threading.Thread(target=run_loop, daemon=True)
+    t.start()
+    assert ready.wait(timeout=60)
+    try:
+        # Self-queries from the DB itself: every verdict is DUPLICATE at 0.0.
+        rc = main(["query", f"127.0.0.1:{state['port']}", "db.json",
+                   "--count", "3", "--threshold", "0.5"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        lines = [l for l in out.splitlines() if l.startswith("query ")]
+        assert len(lines) == 3
+        for i, l in enumerate(lines):
+            assert f"closest entry {i} of 12" in l
+            assert "at distance 0.0" in l and "DUPLICATE" in l
+    finally:
+        fut = asyncio.run_coroutine_threadsafe(state["server"].close(), loop)
+        try:
+            fut.result(timeout=10)
+        except Exception:
+            pass
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=10)
