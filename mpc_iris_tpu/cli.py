@@ -1126,6 +1126,10 @@ def cmd_coordinator(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    if args.all_under is not None and (args.serve or args.wire == "batched"):
+        print("error: --all-under runs self-generated audit queries on the "
+              "reference wire; drop --serve/--wire batched", file=sys.stderr)
+        return 1
     if ssl_ctx is not None:
         print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
 
@@ -1275,6 +1279,18 @@ def cmd_coordinator(args) -> int:
                     f"{total / max(dt, 1e-9):.0f} query-entries/s",
                     file=sys.stderr,
                 )
+            elif args.all_under is not None:
+                # MPC dedup audit: every entry under the threshold, not just
+                # the argmin winner (same wire bytes as a normal query).
+                query = Template.random(rng)
+                t0 = time.monotonic()
+                out = await coord.query_under(query, args.all_under)
+                dt = time.monotonic() - t0
+                print(f"query {n}: {len(out.matches)} of {out.total} entries "
+                      f"under {args.all_under} ({dt:.3f}s)")
+                for m in out.matches:
+                    print(f"  entry {m.index} at distance {m.distance}")
+                n += 1
             else:
                 query = Template.random(rng)
                 t0 = time.monotonic()
@@ -1453,6 +1469,26 @@ def cmd_match(args) -> int:
         with device_trace(args.profile_dir):
             engine.match(qpat, qmsk)  # traced warm pass
         print(f"wrote device trace to {args.profile_dir}", file=sys.stderr)
+
+    if args.all_under is not None:
+        # Dedup audit: the full under-threshold collision list per query
+        # (exact rational compare; the spec's uniqueness flow keeps only the
+        # argmin — this is its audit complement).
+        t0 = time.monotonic()
+        lists = engine.find_under(qpat, qmsk, args.all_under)
+        dt = time.monotonic() - t0
+        for i, hits in enumerate(lists):
+            print(f"query {i}: {len(hits)} entr"
+                  f"{'y' if len(hits) == 1 else 'ies'} under {args.all_under}")
+            for m in hits:
+                print(f"  entry {m.index} at distance {m.distance}")
+        cmp_rate = len(lists) * dpat.shape[0] / max(dt, 1e-9)
+        print(
+            f"{len(lists)} queries x {dpat.shape[0]} entries in {dt:.3f}s "
+            f"({cmp_rate:.3e} full matches/s incl. 31 rotations)",
+            file=sys.stderr,
+        )
+        return 0
 
     t0 = time.monotonic()
     results = engine.match(qpat, qmsk)
@@ -1737,6 +1773,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="queries per round on the batched wire")
         g.add_argument("--threshold", type=float, default=None,
                        help="print DUPLICATE/unique verdicts against this FHD")
+        g.add_argument("--all-under", type=float, default=None, metavar="FHD",
+                       help="dedup audit: per query, list EVERY DB entry with "
+                       "distance strictly under this FHD (exact rational "
+                       "compare) instead of just the argmin winner; "
+                       "reference-wire self-generated queries only")
         g.add_argument("--timeout", type=float, default=None, metavar="SECONDS",
                        help="per-read-round deadline for each participant's "
                        "reply stream; a connected-but-silent party aborts "
@@ -1887,6 +1928,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--threshold", type=float, default=None,
         help="uniqueness threshold: report DUPLICATE when the minimum distance "
         "is below it (the spec notebook's uniqueness check; ~0.36 typical)",
+    )
+    g.add_argument(
+        "--all-under", type=float, default=None, metavar="FHD",
+        help="dedup audit: per query, list EVERY DB entry with distance "
+        "strictly under this FHD (exact rational compare; ascending "
+        "distance) instead of just the argmin winner",
     )
     g.add_argument(
         "--profile-dir", default=None,

@@ -237,6 +237,60 @@ def _match_scan_packed(q_enc, q_mask, db_pat, db_msk, *, interpret=False, fused=
 
 
 @jax.jit
+def _fractions_scan(q_enc, q_mask, db_enc, db_mask):
+    """Per-entry minimal fractions over a dense DB scan.
+
+    q_enc/q_mask: int8 [B, 31, K]; db_enc/db_mask: int8 [C, c, K].
+    Returns uint16 [2, B, C*c]: per entry the min-over-31-rotations exact
+    (numerator, denominator) pair — the full distance *spectrum* of the scan
+    (vs `_match_scan`, which folds it to the single argmin winner). Feeds the
+    threshold-audit path (`PlaintextEngine.find_under`); both values fit u16
+    (num <= den <= 12,800)."""
+    b = q_enc.shape[0]
+    qe = q_enc.reshape(b * N_ROTATIONS, BITS)
+    qm = q_mask.reshape(b * N_ROTATIONS, BITS)
+    chunk = db_enc.shape[1]
+
+    def step(_, xs):
+        enc_c, mask_c = xs
+        dot = dot_bits_batch_i4(qe, enc_c).reshape(b, N_ROTATIONS, chunk)
+        den = dot_bits_batch_i4(qm, mask_c).reshape(b, N_ROTATIONS, chunk)
+        num = (den - dot) >> 1
+        n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)  # [B, c]
+        return None, jnp.stack([n_r.astype(jnp.uint16), d_r.astype(jnp.uint16)])
+
+    _, ys = jax.lax.scan(step, None, (db_enc, db_mask))
+    # ys: [C, 2, B, c] -> [2, B, C*c]
+    return jnp.moveaxis(ys, 0, 2).reshape(2, b, -1)
+
+
+@jax.jit
+def _fractions_scan_packed(q_enc, q_mask, db_pat, db_msk):
+    """`_fractions_scan` over BIT-PACKED uint8 [C, c, 1600] DB planes
+    (on-device unpack+encode per chunk, same as `_match_scan_packed`)."""
+    from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
+
+    b = q_enc.shape[0]
+    qe = q_enc.reshape(b * N_ROTATIONS, BITS)
+    qm = q_mask.reshape(b * N_ROTATIONS, BITS)
+    chunk = db_pat.shape[1]
+
+    def step(_, xs):
+        pat_c, msk_c = xs
+        p = unpack_bits(pat_c).astype(jnp.int8)
+        m = unpack_bits(msk_c).astype(jnp.int8)
+        enc_c = encode_grid_i8(p, m)
+        dot = dot_bits_batch_i4(qe, enc_c).reshape(b, N_ROTATIONS, chunk)
+        den = dot_bits_batch_i4(qm, m).reshape(b, N_ROTATIONS, chunk)
+        num = (den - dot) >> 1
+        n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)
+        return None, jnp.stack([n_r.astype(jnp.uint16), d_r.astype(jnp.uint16)])
+
+    _, ys = jax.lax.scan(step, None, (db_pat, db_msk))
+    return jnp.moveaxis(ys, 0, 2).reshape(2, b, -1)
+
+
+@jax.jit
 def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
     """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
     b = q_enc.shape[0]
@@ -391,6 +445,32 @@ class MatchResult:
     denominator: int
 
 
+def find_under_from_fractions(nd: np.ndarray,
+                              threshold: float) -> list[list[MatchResult]]:
+    """Host half of the threshold audit: uint16 [2, B, N] per-entry minimal
+    (numerator, denominator) pairs -> per query, every entry with distance
+    EXACTLY under the threshold (ops.decode.under_threshold_mask_np),
+    ascending by reported f64 distance, index-ordered within equal-f64 ties."""
+    from mpc_iris_tpu.ops.decode import (
+        fractions_to_f64_np,
+        under_threshold_mask_np,
+    )
+
+    hits = under_threshold_mask_np(nd[0], nd[1], threshold)
+    results: list[list[MatchResult]] = []
+    for b in range(nd.shape[1]):
+        idx = np.nonzero(hits[b])[0]
+        n_b = nd[0, b, idx].astype(np.int64)
+        d_b = nd[1, b, idx].astype(np.int64)
+        dist = fractions_to_f64_np(n_b, d_b)
+        order = np.lexsort((idx, dist))
+        results.append([
+            MatchResult(int(idx[k]), float(dist[k]), int(n_b[k]), int(d_b[k]))
+            for k in order
+        ])
+    return results
+
+
 def _results_from_triples(n, d, i) -> list[MatchResult]:
     n, d, i = np.asarray(n), np.asarray(d), np.asarray(i)
     return [
@@ -488,6 +568,53 @@ class PlaintextEngine:
             ).reshape(b, -1)
             out.append(vals)
         return np.concatenate(out, axis=1)[:, : self.count]
+
+    def min_fractions(self, patterns_packed, masks_packed) -> np.ndarray:
+        """Per-entry minimal exact fractions: uint16 [2, B, N] of the
+        min-over-31-rotations (numerator, denominator) pair per (query, entry).
+
+        This is the full distance spectrum of the scan, in exact integer form
+        (`fractions_to_f64_np` decodes it bit-identically to the reference) —
+        one device array per dispatch. Costs 4·B bytes of device output per
+        entry, so it's meant for audit-sized batches (B up to a few dozen at
+        multi-million-entry DBs), not the bulk-throughput path."""
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        b = q_enc.shape[0]
+        n_padded = (self.db_pat if self.storage == "packed" else self.db_enc)
+        out_bytes = 4 * b * n_padded.shape[0] * n_padded.shape[1]
+        if out_bytes > 4 * (1 << 30):
+            raise ValueError(
+                f"min_fractions output would be {out_bytes / 2**30:.1f} GiB "
+                f"on device (B={b}); split the query batch"
+            )
+        if self.storage == "packed":
+            out = _fractions_scan_packed(q_enc, q_mask, self.db_pat, self.db_msk)
+        else:
+            out = _fractions_scan(q_enc, q_mask, self.db_enc, self.db_mask)
+        return np.asarray(out)[:, :, : self.count]
+
+    def find_under(self, patterns_packed, masks_packed,
+                   threshold: float) -> list[list[MatchResult]]:
+        """ALL DB entries with distance strictly under ``threshold``, per query
+        (ascending distance, index-ordered within ties) — the dedup-audit
+        complement of `match` (which returns only the argmin winner).
+
+        The spec's uniqueness flow compares the minimum distance against a
+        threshold (specification.ipynb "Uniqueness"); this returns the entire
+        collision list instead, with the same exactness bar: the device
+        streams exact integer fractions and the threshold comparison is exact
+        in the rational order (ops.decode.under_threshold_mask_np), so a
+        threshold placed exactly ON a representable distance excludes it
+        (strict <) deterministically."""
+        from mpc_iris_tpu.ops.decode import (
+            fractions_to_f64_np,
+            under_threshold_mask_np,
+        )
+
+        nd = self.min_fractions(patterns_packed, masks_packed)
+        return find_under_from_fractions(nd, threshold)
 
 
 def default_hbm_budget() -> int:

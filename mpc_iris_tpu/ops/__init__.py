@@ -31,6 +31,8 @@ from mpc_iris_tpu.ops.dot import (
 from mpc_iris_tpu.ops.decode import (
     decode_distance,
     decode_distance_batch_np,
+    fractions_to_f64_np,
+    under_threshold_mask_np,
     numerators,
     fraction_min_rotations,
     fraction_argmin,
@@ -50,6 +52,8 @@ __all__ = [
     "planes_to_shares",
     "decode_distance",
     "decode_distance_batch_np",
+    "fractions_to_f64_np",
+    "under_threshold_mask_np",
     "numerators",
     "fraction_min_rotations",
     "fraction_argmin",

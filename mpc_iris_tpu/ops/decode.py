@@ -183,6 +183,59 @@ def decode_distance_batch_np(dots, dens) -> np.ndarray:
     return vals.min(axis=-1)
 
 
+def fractions_to_f64_np(nums, dens) -> np.ndarray:
+    """Vectorized host decode of (numerator, denominator) pairs to f64.
+
+    Correctly-rounded f64 division per element (bit-identical to
+    :func:`fraction_to_f64`); d == 0 collapses to +inf (the reference's
+    0/0 -> NaN -> skipped-by-min-fold semantics)."""
+    n = np.asarray(nums, dtype=np.int64)
+    d = np.asarray(dens, dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = n.astype(np.float64) / d.astype(np.float64)
+    return np.where(d == 0, np.inf, vals)
+
+
+def under_threshold_mask_np(nums, dens, threshold: float) -> np.ndarray:
+    """EXACT boolean mask of ``n/d < threshold`` per element (d == 0 never
+    matches: an all-invalid comparison has distance +inf).
+
+    The comparison is exact in the rational order — ``threshold`` (a finite
+    f64) is interpreted as the exact binary rational it represents. Fast
+    path: the correctly-rounded f64 quotient decides every element whose
+    quotient differs from the threshold (monotone rounding to a representable
+    bound cannot cross it); elements whose f64 quotient EQUALS the threshold
+    are the only ambiguous ones (the true rational may be on either side) and
+    are settled with arbitrary-precision integer cross-products. This keeps
+    uniqueness verdicts exact even for thresholds adversarially placed on a
+    representable distance (strict ``<``: an exactly-equal distance is NOT
+    under the threshold) — the same strictness as the reference's f64
+    ``<`` compare in its running argmin (src/main.rs:613-621).
+    """
+    n = np.asarray(nums, dtype=np.int64)
+    d = np.asarray(dens, dtype=np.int64)
+    t = float(threshold)
+    valid = d > 0
+    if np.isnan(t) or t <= 0.0:
+        return np.zeros(n.shape, dtype=bool)
+    if np.isinf(t):
+        return valid  # every valid distance is < +inf
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vals = n.astype(np.float64) / d.astype(np.float64)
+    definite = valid & (vals < t)
+    ambiguous = valid & (vals == t)
+    if ambiguous.any():
+        tn, td = t.as_integer_ratio()
+        flat = ambiguous.reshape(-1)
+        nf = n.reshape(-1)
+        df = d.reshape(-1)
+        res = np.zeros(flat.shape, dtype=bool)
+        for i in np.nonzero(flat)[0]:
+            res[i] = int(nf[i]) * td < tn * int(df[i])
+        definite = definite | res.reshape(ambiguous.shape)
+    return definite
+
+
 def fraction_to_f64(n: int, d: int) -> float:
     """Host f64 of a winning integer pair, with the reference's 0/0 -> NaN -> +inf
     min-fold semantics collapsed to +inf."""

@@ -243,6 +243,34 @@ class ShardedPlaintextEngine(_ShardedBase):
             )
         )
 
+        def spmd_fractions(q_enc, q_mask, db_a, db_b):
+            # local: q [B_local, 31, K]; db [C_local, 1, c, K or K/8].
+            # Returns [2, B_local, C_local, 1, c]: the shard axis re-expanded
+            # so the GLOBAL array's flattened entry order is the strided
+            # layout's global order ((j*D + i)*c + p — see module docstring).
+            from mpc_iris_tpu.models.engines import (
+                _fractions_scan,
+                _fractions_scan_packed,
+            )
+
+            local_a = db_a.reshape(db_a.shape[0], c, db_a.shape[-1])
+            local_b = db_b.reshape(db_b.shape[0], c, db_b.shape[-1])
+            scan = _fractions_scan_packed if packed else _fractions_scan
+            nd = scan(q_enc, q_mask, local_a, local_b)  # [2, B, C_local*c]
+            b = nd.shape[1]
+            return nd.reshape(2, b, db_a.shape[0], 1, c)
+
+        self._fractions = jax.jit(
+            shard_map(
+                spmd_fractions,
+                mesh=self.mesh,
+                in_specs=(P("batch", None, None), P("batch", None, None),
+                          P(None, "db", None, None), P(None, "db", None, None)),
+                out_specs=P(None, "batch", None, "db", None),
+                check_vma=False,
+            )
+        )
+
     def match_arrays(self, q_enc, q_mask):
         return self._match(q_enc, q_mask, self.db_enc, self.db_mask)
 
@@ -254,6 +282,30 @@ class ShardedPlaintextEngine(_ShardedBase):
         q_mask = jax.device_put(q_mask, self._query_sharding())
         n, d, i = self.match_arrays(q_enc, q_mask)
         return _results_from_triples(n, d, i)
+
+    def min_fractions(self, patterns_packed, masks_packed) -> np.ndarray:
+        """uint16 [2, B, N]: per-entry minimal (numerator, denominator) pair,
+        gathered across the mesh in global DB order (the sharded sibling of
+        models.PlaintextEngine.min_fractions; same audit-batch caveats)."""
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        q_enc = jax.device_put(q_enc, self._query_sharding())
+        q_mask = jax.device_put(q_mask, self._query_sharding())
+        out = self._fetchable(
+            self._fractions(q_enc, q_mask, self.db_enc, self.db_mask)
+        )
+        nd = np.asarray(out)
+        b = nd.shape[1]
+        return nd.reshape(2, b, -1)[:, :, : self.count]
+
+    def find_under(self, patterns_packed, masks_packed, threshold: float):
+        """ALL DB entries with distance strictly under ``threshold`` per query
+        (== models.PlaintextEngine.find_under, DB sharded across the mesh)."""
+        from mpc_iris_tpu.models.engines import find_under_from_fractions
+
+        nd = self.min_fractions(patterns_packed, masks_packed)
+        return find_under_from_fractions(nd, threshold)
 
 
 class ShardedShareEngine(_ShardedBase):

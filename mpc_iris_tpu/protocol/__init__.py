@@ -18,16 +18,20 @@ streaming overlaps the MXU chunk scans — the tokio-pipeline equivalent
 from mpc_iris_tpu.protocol.participant import ParticipantServer
 from mpc_iris_tpu.protocol.coordinator import (
     Coordinator,
+    MatchAt,
     QueryOutcome,
     QueryServer,
     StalledPartyError,
+    UnderThresholdOutcome,
     query_remote,
 )
 
 __all__ = [
     "ParticipantServer",
     "Coordinator",
+    "MatchAt",
     "QueryOutcome",
+    "UnderThresholdOutcome",
     "QueryServer",
     "StalledPartyError",
     "query_remote",

@@ -99,6 +99,27 @@ def _sum_decode_argmin_device(shares, dens):
     return jnp.stack([n_b, d_b, i_b])
 
 
+@jax.jit
+def _sum_decode_minfrac_device(shares, dens):
+    """Single-dispatch per-entry decode for the threshold-audit path: tuple of
+    P uint16 [n, 31] per-party dot-share batches + denominators -> int32
+    [2, n] per-entry minimal (numerator, denominator) fractions.
+
+    Identical share reconstruction and wrapping decode as
+    :func:`_sum_decode_argmin_device`, but the entry axis is kept (only the
+    rotation axis is min-folded) so the host can list EVERY entry under a
+    threshold instead of just the argmin winner."""
+    import jax.numpy as jnp
+
+    dots = shares[0]
+    for s in shares[1:]:
+        dots = dots + s
+    den = dens.astype(jnp.int32)
+    num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
+    n_r, d_r, _ = fraction_min_rotations(num, den, axis=1)  # [n]
+    return jnp.stack([n_r, d_r])
+
+
 def _frac_less_host(n1: int, d1: int, n2: int, d2: int) -> bool:
     """Exact n1/d1 < n2/d2 on Python ints, d == 0 as +inf."""
     if d1 == 0:
@@ -124,6 +145,23 @@ async def _close_all(conns, pumps):
 class QueryOutcome:
     index: int
     distance: float
+    total: int  # entries compared
+
+
+@dataclass
+class MatchAt:
+    """One under-threshold hit from a dedup audit."""
+
+    index: int
+    distance: float  # reference-exact f64 decode of the winning fraction
+
+
+@dataclass
+class UnderThresholdOutcome:
+    """Result of `Coordinator.query_under`: every DB entry whose distance is
+    strictly under the threshold (ascending distance, index within ties)."""
+
+    matches: list[MatchAt]
     total: int  # entries compared
 
 
@@ -231,10 +269,21 @@ class Coordinator:
             ) from errs[0]
         return results
 
-    async def query(self, template: Template) -> QueryOutcome:
+    async def _stream_rounds(self, template: Template, records: int):
+        """Async generator over aligned read rounds for ONE query: yields
+        ``(offset, share_batches, denom)`` per round, where share_batches is a
+        tuple of uint16 [n, 31] per-party dot batches (plus the local engine's,
+        if any) and denom the matching denominators.
+
+        Owns the whole protocol round-trip: participant fan-out, the local
+        denominator/share device pumps (compute overlapping network reads —
+        the reference's `join!`, src/main.rs:560), per-round deadlines,
+        shortest-prefix alignment (src/main.rs:565-569), connection/pump
+        teardown, and the zero-record dead-party check. `query` folds the
+        yielded rounds to the argmin winner; `query_under` collects the full
+        under-threshold match list from the same stream."""
         qmsk = template.mask.data[None]
         qpat = template.pattern.data[None]
-        records = self.batch_records or records_per_read(1)
 
         # Fan out to participants.
         conns = await self._connect_all()
@@ -258,8 +307,6 @@ class Coordinator:
             else None
         )
 
-        best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
-        pending = []  # (batch offset, async device winner triple)
         processed = 0
         party_records = [0] * len(conns)
 
@@ -298,16 +345,10 @@ class Coordinator:
                 if n == 0:
                     break
 
-                # ONE device dispatch per batch: wrapping share reconstruction
-                # (main.rs:597-612), decode and argmin fused — the host never
-                # touches the payload bytes. Dispatch is async: the winner is
-                # fetched after the stream drains, so decode overlaps the next
-                # batch's reads.
-                pending.append(
-                    (processed,
-                     _sum_decode_argmin_device(
-                         tuple(b[:n] for b in share_batches),
-                         denom[:n].astype(np.uint16, copy=False)))
+                yield (
+                    processed,
+                    tuple(b[:n] for b in share_batches),
+                    denom[:n].astype(np.uint16, copy=False),
                 )
                 processed += n
                 if n < records:
@@ -316,11 +357,58 @@ class Coordinator:
             await _close_all(conns, [denom_pump, local_pump])
 
         self._check_dead_parties(processed, party_records)
+
+    async def query(self, template: Template) -> QueryOutcome:
+        records = self.batch_records or records_per_read(1)
+        best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
+        pending = []  # (batch offset, async device winner triple)
+        processed = 0
+
+        # ONE device dispatch per round batch: wrapping share reconstruction
+        # (main.rs:597-612), decode and argmin fused — the host never touches
+        # the payload bytes. Dispatch is async: winners are fetched after the
+        # stream drains, so decode overlaps the next batch's reads.
+        async for offset, shares, denom in self._stream_rounds(template, records):
+            pending.append((offset, _sum_decode_argmin_device(shares, denom)))
+            processed = offset + denom.shape[0]
+
         for offset, triple in pending:
             nb, db_, jb = (int(x) for x in np.asarray(triple))
             if _frac_less_host(nb, db_, best[0], best[1]):
                 best = (nb, db_, offset + jb)
         return QueryOutcome(best[2], fraction_to_f64(best[0], best[1]), processed)
+
+    async def query_under(self, template: Template,
+                          threshold: float) -> UnderThresholdOutcome:
+        """ALL DB entries with distance strictly under ``threshold`` — the
+        MPC dedup audit (plaintext sibling: PlaintextEngine.find_under).
+
+        Same protocol rounds and wire bytes as :meth:`query`; the per-round
+        device dispatch keeps every entry's minimal exact fraction instead of
+        folding to the argmin, and the threshold comparison is exact in the
+        rational order (ops.decode.under_threshold_mask_np). Matches are
+        returned ascending by reported f64 distance (index-ordered within
+        equal-f64 ties)."""
+        from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+
+        records = self.batch_records or records_per_read(1)
+        pending = []  # (batch offset, async device [2, n] min-fraction block)
+        processed = 0
+        async for offset, shares, denom in self._stream_rounds(template, records):
+            pending.append((offset, _sum_decode_minfrac_device(shares, denom)))
+            processed = offset + denom.shape[0]
+
+        matches: list[MatchAt] = []
+        for offset, block in pending:
+            nd = np.asarray(block)
+            hits = under_threshold_mask_np(nd[0], nd[1], threshold)
+            for j in np.nonzero(hits)[0]:
+                matches.append(MatchAt(
+                    offset + int(j),
+                    fraction_to_f64(int(nd[0, j]), int(nd[1, j])),
+                ))
+        matches.sort(key=lambda m: (m.distance, m.index))
+        return UnderThresholdOutcome(matches, processed)
 
     def _check_dead_parties(self, processed: int, party_records: list[int]):
         """A remote party that produced ZERO reply records is a failed

@@ -73,6 +73,27 @@ def test_match_smoke(workdir, capsys):
     assert all("at distance 0.0" in l for l in lines)
 
 
+def test_match_all_under_lists_duplicates(workdir, capsys):
+    """Dedup audit: --all-under lists every entry under the threshold (the
+    self-match queries are rotated DB entries, so each query has >= 1 exact
+    zero-distance hit)."""
+    assert main(["generate", "db.json", "40", "--seed", "11"]) == 0
+    assert main(["match", "db.json", "--batch", "4", "--seed", "2",
+                 "--all-under", "1e-6"]) == 0
+    out = capsys.readouterr().out
+    heads = [l for l in out.splitlines() if l.startswith("query ")]
+    hits = [l for l in out.splitlines() if l.lstrip().startswith("entry ")]
+    assert len(heads) == 4
+    assert len(hits) >= 4
+    assert all("at distance 0.0" in l for l in hits)
+    # strict <: a zero threshold excludes the exact duplicates
+    assert main(["match", "db.json", "--batch", "4", "--seed", "2",
+                 "--all-under", "0.0"]) == 0
+    out = capsys.readouterr().out
+    assert all(" 0 entries under " in l
+               for l in out.splitlines() if l.startswith("query "))
+
+
 def test_rerandomize_cli_roundtrip(workdir):
     """CLI-level regression for the memmap segfault: share files must actually
     change on disk while reconstruction stays identical."""

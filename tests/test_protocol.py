@@ -448,6 +448,61 @@ class TestQueryServer:
 
         assert asyncio.run(go()) == b""
 
+    def test_serve_recovers_after_participant_restart(self, world):
+        """Availability: the coordinator opens fresh participant connections
+        per query, so a crashed-and-restarted participant needs NO server
+        restart — queries fail loudly (closed, no reply bytes) while the party
+        is down and produce bit-identical outcomes once it is back."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+
+        async def raw_query(host, port, q):
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(q.to_bytes())
+            await writer.drain()
+            data = await asyncio.wait_for(reader.read(), timeout=10)
+            writer.close()
+            await writer.wait_closed()
+            return data
+
+        async def go():
+            p0 = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                   "127.0.0.1", 0)
+            p1 = ParticipantServer(ShareEngine(mats[1], chunk=8),
+                                   "127.0.0.1", 0)
+            a0, a1 = await p0.start(), await p1.start()
+            coord = Coordinator(MasksEngine(masks, chunk=8), [a0, a1],
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0)
+            host, port = await server.start()
+            p1b = None
+            try:
+                before = await query_remote(host, port, query)
+                # participant 1 crashes
+                await p1.close()
+                failed = await raw_query(host, port, query)
+                # ... and comes back on the SAME address
+                p1b = ParticipantServer(ShareEngine(mats[1], chunk=8),
+                                        a1[0], a1[1])
+                await p1b.start()
+                after = await query_remote(host, port, query)
+                return before, failed, after
+            finally:
+                await server.close()
+                await p0.close()
+                if p1b is not None:
+                    await p1b.close()
+
+        before, failed, after = asyncio.run(go())
+        assert failed == b""  # down window: closed with no reply record
+        for outcome in (before, after):
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
+
     def test_serve_read_timeout_cuts_silent_client(self, world):
         from mpc_iris_tpu.protocol import QueryServer
 

@@ -1,0 +1,210 @@
+"""Threshold-audit (dedup) capability: every DB entry with distance strictly
+under a threshold, exactly.
+
+The spec's uniqueness flow compares the MINIMUM distance against a threshold
+(specification.ipynb "Uniqueness"); these tests pin the audit complement —
+`PlaintextEngine.find_under` / `ShardedPlaintextEngine.find_under` /
+`Coordinator.query_under` — against the scalar oracle, including thresholds
+placed adversarially ON a representable distance (strict <) and rationals whose
+f64 rounding collides with the threshold.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from mpc_iris_tpu.models import MasksEngine, PlaintextEngine, ShareEngine
+from mpc_iris_tpu.ops.decode import (
+    fractions_to_f64_np,
+    under_threshold_mask_np,
+)
+from mpc_iris_tpu.protocol import Coordinator, ParticipantServer
+from mpc_iris_tpu.types import Bits, Template
+
+from test_protocol import build_party_data
+
+
+@pytest.fixture(scope="module")
+def audit_world():
+    rng = np.random.default_rng(1234)
+    n, b = 61, 3
+    dpat = np.stack([Template.random(rng).pattern.data for _ in range(n)])
+    dmsk = np.stack([Template.random(rng).mask.data for _ in range(n)])
+    qpat = np.stack([Template.random(rng).pattern.data for _ in range(b)])
+    qmsk = np.stack([Template.random(rng).mask.data for _ in range(b)])
+    # plant exact and near matches for query 0
+    qpat[0] = Bits(dpat[7]).rotated(-3).data
+    qmsk[0] = Bits(dmsk[7]).rotated(-3).data
+    dpat[20] = dpat[7]
+    dmsk[20] = dmsk[7]
+    # an all-invalid DB entry: d == 0 -> +inf, never under any threshold
+    dmsk[11] = np.zeros_like(dmsk[11])
+
+    oracle = np.empty((b, n))
+    for i in range(b):
+        tq = Template(Bits(qpat[i]), Bits(qmsk[i]))
+        for j in range(n):
+            oracle[i, j] = tq.distance(Template(Bits(dpat[j]), Bits(dmsk[j])))
+    return dpat, dmsk, qpat, qmsk, oracle
+
+
+def check_against_oracle(lists, oracle, threshold):
+    for b, hits in enumerate(lists):
+        want = np.nonzero(oracle[b] < threshold)[0].tolist()
+        got = sorted(m.index for m in hits)
+        assert got == sorted(want), (b, threshold, got, want)
+        # reported distances are the oracle's f64s; ordering ascending
+        dist_by_idx = {m.index: m.distance for m in hits}
+        for j in want:
+            assert dist_by_idx[j] == oracle[b, j]
+        ds = [m.distance for m in hits]
+        assert ds == sorted(ds)
+
+
+class TestUnderThresholdMask:
+    def test_exact_boundary_rationals(self):
+        # f64(1/3) < 1/3 (the rounding is downward), so with t = f64(1/3):
+        # the fraction 100/300 rounds TO t but is exactly above it -> excluded.
+        t = 1.0 / 3.0
+        n = np.array([100, 1, 1])
+        d = np.array([300, 4, 0])
+        mask = under_threshold_mask_np(n, d, t)
+        assert mask.tolist() == [False, True, False]
+        # nudge the threshold one ulp up: now 1/3 is strictly under it
+        t_up = float(np.nextafter(t, 1.0))
+        assert under_threshold_mask_np(n, d, t_up).tolist() == [True, True, False]
+
+    def test_threshold_on_representable_distance_is_strict(self):
+        # distance exactly equal to the threshold must NOT match (strict <)
+        n = np.array([1, 1])
+        d = np.array([2, 2])
+        assert under_threshold_mask_np(n, d, 0.5).tolist() == [False, False]
+        assert under_threshold_mask_np(n, d, float(np.nextafter(0.5, 1))).tolist() == [True, True]
+
+    def test_degenerate_thresholds(self):
+        n = np.array([0, 3])
+        d = np.array([5, 7])
+        assert under_threshold_mask_np(n, d, 0.0).tolist() == [False, False]
+        assert under_threshold_mask_np(n, d, float("nan")).tolist() == [False, False]
+        assert under_threshold_mask_np(n, d, float("inf")).tolist() == [True, True]
+
+    def test_fractions_to_f64_np(self):
+        n = np.array([1, 0, 5])
+        d = np.array([3, 0, 5])
+        vals = fractions_to_f64_np(n, d)
+        assert vals[0] == np.float64(1) / np.float64(3)
+        assert vals[1] == np.inf
+        assert vals[2] == 1.0
+
+
+class TestPlaintextFindUnder:
+    @pytest.mark.parametrize("storage", ["dense", "packed"])
+    def test_matches_oracle(self, audit_world, storage):
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage=storage)
+        finite = oracle[np.isfinite(oracle)]
+        for t in (0.25, float(np.median(finite)), 1e-9, 2.0):
+            check_against_oracle(eng.find_under(qpat, qmsk, t), oracle, t)
+
+    def test_threshold_on_planted_duplicate(self, audit_world):
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+        # exact-zero duplicates planted at 7 and 20 for query 0
+        hits = eng.find_under(qpat, qmsk, 1e-12)[0]
+        assert [m.index for m in hits] == [7, 20]
+        assert all(m.distance == 0.0 for m in hits)
+        # threshold exactly 0.0: strict < excludes the exact duplicates
+        assert eng.find_under(qpat, qmsk, 0.0)[0] == []
+
+    def test_min_fractions_equals_full_oracle(self, audit_world):
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+        nd = eng.min_fractions(qpat, qmsk)
+        assert nd.shape == (2, qpat.shape[0], dpat.shape[0])
+        assert np.array_equal(fractions_to_f64_np(nd[0], nd[1]), oracle)
+
+
+class TestShardedFindUnder:
+    def test_matches_single_chip(self, audit_world):
+        import jax
+
+        from mpc_iris_tpu.parallel import (
+            ShardedPlaintextEngine,
+            make_mesh,
+            mesh_shape_for,
+        )
+
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        b = qpat.shape[0]
+        db_ax, batch_ax = mesh_shape_for(len(jax.devices()), b)
+        mesh = make_mesh(db=db_ax, batch=batch_ax)
+        seng = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=4)
+        nd = seng.min_fractions(qpat, qmsk)
+        assert np.array_equal(fractions_to_f64_np(nd[0], nd[1]), oracle)
+        t = float(np.median(oracle[np.isfinite(oracle)]))
+        check_against_oracle(seng.find_under(qpat, qmsk, t), oracle, t)
+
+
+class TestCoordinatorQueryUnder:
+    def run_under(self, world, threshold, n_parties=2, local_share=False,
+                  batch_records=7, chunk=8):
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, n_parties)
+
+        async def go():
+            local_engine = None
+            remote = mats
+            if local_share:
+                local_engine = ShareEngine(mats[0], chunk=chunk)
+                remote = mats[1:]
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=chunk), "127.0.0.1", 0)
+                for m in remote
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=chunk), addrs,
+                local_engine=local_engine, batch_records=batch_records,
+            )
+            try:
+                return await coord.query_under(query, threshold)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        return asyncio.run(go())
+
+    @pytest.fixture(scope="class")
+    def world(self):
+        rng = np.random.default_rng(99)
+        db = [Template.random(rng) for _ in range(23)]
+        query = Template.random(rng)
+        db[17] = query.rotated(5)  # exact duplicate
+        db[3] = query.rotated(-2)  # second exact duplicate
+        masks = np.stack([t.mask.data for t in db])
+        return rng, db, query, masks
+
+    def test_matches_oracle(self, world):
+        rng, db, query, masks = world
+        oracle = np.array([query.distance(t) for t in db])
+        t = float(np.median(oracle))
+        out = self.run_under(world, t)
+        assert out.total == len(db)
+        want = sorted(np.nonzero(oracle < t)[0].tolist())
+        assert sorted(m.index for m in out.matches) == want
+        for m in out.matches:
+            assert m.distance == oracle[m.index]
+        ds = [m.distance for m in out.matches]
+        assert ds == sorted(ds)
+
+    def test_duplicates_listed_with_local_share(self, world):
+        rng, db, query, masks = world
+        out = self.run_under(world, 1e-9, n_parties=3, local_share=True)
+        assert [m.index for m in out.matches] == [3, 17]
+        assert all(m.distance == 0.0 for m in out.matches)
+
+    def test_strict_threshold_zero(self, world):
+        out = self.run_under(world, 0.0)
+        assert out.matches == []
+        assert out.total == 23
