@@ -92,6 +92,11 @@ def main():
                    "share-keyed — halves per-chunk dispatch overhead)")
     p.add_argument("--iters", type=int, default=None,
                    help="timed passes (default 3; 15 in --latency mode)")
+    p.add_argument("--fold-segments", type=int, default=0, metavar="S",
+                   help="share-keyed: split the fused whole-DB pass into S "
+                   "dispatches (0 = auto, ~6M entries per segment — single "
+                   "dispatches past ~60 s of device time trip the remote "
+                   "worker's execution deadline)")
     p.add_argument(
         "--latency", action="store_true",
         help="single-query latency mode: B=1, report the p50 per-query "
@@ -240,10 +245,17 @@ def main():
                                batch_hint=b)
         log(f"engine built in {time.monotonic() - t0:.0f}s; "
             f"{eng.resident_entries}/{n} entries resident")
-        # ONE dispatch + ONE scalar fetch for the whole pass: the per-chunk
+        # ONE dispatch + ONE scalar fetch per segment: the per-chunk
         # dots_chunk loop pays ~54 ms of tunnel round trips per chunk (~40%
-        # of a 1M pass); the fused fold removes all of it.
-        fused = eng.fold_pass_fn()
+        # of a 1M pass); the fused fold removes all of it. Auto-segmentation
+        # keeps each dispatch under ~6M entries (~30 s device time): a ~80 s
+        # single dispatch reproducibly trips the remote worker's execution
+        # deadline (docs/RESULTS.md 16M note) while 60 s is fine.
+        segs = args.fold_segments or -(-n // 6_291_456)
+        if segs > 1:
+            log(f"fold pass split into {segs} dispatches "
+                f"(~{n // segs} entries each)")
+        fused = eng.fold_pass_fn(segments=segs)
         run = lambda: np.asarray(fused(q_enc))
 
         # 2 share matmuls; ChaCha regen is elementwise VPU work not counted

@@ -1251,13 +1251,37 @@ def cmd_coordinator(args) -> int:
             pass
         return 0
 
+    q_source = None
+    if args.queries_file:
+        from mpc_iris_tpu.io.json_stream import iter_json_array
+
+        q_source = []
+        with open(args.queries_file, "rb") as f:
+            for item in iter_json_array(f):
+                q_source.append(Template.from_json_obj(item))
+                if args.queries and len(q_source) >= args.queries:
+                    break
+        print(f"loaded {len(q_source)} query templates from "
+              f"{args.queries_file}", file=sys.stderr)
+
     async def run():
         n = 0
-        while args.queries == 0 or n < args.queries:
+
+        def more() -> bool:
+            if q_source is not None:
+                return n < len(q_source)
+            return args.queries == 0 or n < args.queries
+
+        def next_queries(k: int) -> list:
+            if q_source is not None:
+                return q_source[n:n + k]
+            return [Template.random(rng) for _ in range(k)]
+
+        while more():
             for w in watchers:
                 await asyncio.to_thread(w)
             if args.wire == "batched":
-                queries = [Template.random(rng) for _ in range(args.batch)]
+                queries = next_queries(args.batch)
                 t0 = time.monotonic()
                 outcomes = await coord.query_batch(queries)
                 dt = time.monotonic() - t0
@@ -1282,7 +1306,7 @@ def cmd_coordinator(args) -> int:
             elif args.all_under is not None:
                 # MPC dedup audit: every entry under the threshold, not just
                 # the argmin winner (same wire bytes as a normal query).
-                query = Template.random(rng)
+                query = next_queries(1)[0]
                 t0 = time.monotonic()
                 out = await coord.query_under(query, args.all_under)
                 dt = time.monotonic() - t0
@@ -1292,7 +1316,7 @@ def cmd_coordinator(args) -> int:
                     print(f"  entry {m.index} at distance {m.distance}")
                 n += 1
             else:
-                query = Template.random(rng)
+                query = next_queries(1)[0]
                 t0 = time.monotonic()
                 outcome = await coord.query(query)
                 dt = time.monotonic() - t0
@@ -1758,6 +1782,12 @@ def build_parser() -> argparse.ArgumentParser:
             "before dispatching the MPC round (default 5 ms)",
         )
         g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
+        g.add_argument("--queries-file", default=None, metavar="JSON",
+                       help="drive REAL query templates from a JSON array "
+                       "instead of self-generated random ones (reference "
+                       "behavior); runs each once (--queries caps the count). "
+                       "Works with the normal, --wire batched, and "
+                       "--all-under audit modes")
         g.add_argument("--chunk", type=parse_si, default=8192)
         g.add_argument("--seed", type=int, default=None)
         g.add_argument(

@@ -958,8 +958,9 @@ class KeyedShareEngine:
     dots = ShareEngine.dots
     stream = ShareEngine.stream
 
-    def fold_pass_fn(self):
-        """Build a SINGLE-DISPATCH whole-DB checksum pass (bench/self-test).
+    def fold_pass_fn(self, segments: int = 1):
+        """Build a whole-DB checksum pass in ``segments`` dispatches
+        (bench/self-test).
 
         The per-chunk `dots_chunk` loop pays one dispatch + one fetch round
         trip per chunk (~54 ms each on the axon tunnel — ~40% of a 1M-entry
@@ -968,10 +969,18 @@ class KeyedShareEngine:
         multi-GiB head as jaxpr constants — measured minutes of compile +
         host copies; stacking would transiently double its HBM footprint) and
         the tail regenerates inside a `lax.scan`. Returns
-        ``run(q_enc) -> uint32`` device checksum; the protocol path still
-        streams per-chunk outputs to the host instead (its egress IS the
-        product there).
-        """
+        ``run(q_enc) -> uint32`` checksum; the protocol path still streams
+        per-chunk outputs to the host instead (its egress IS the product
+        there).
+
+        segments > 1 splits the chunk range into that many contiguous
+        dispatches (queued back-to-back; one fetch each, deferred) and sums
+        their checksums mod 2^32 — identical value to the single dispatch.
+        Needed when ONE dispatch would run long enough to trip execution
+        deadlines between the host and the device: a ~80 s 16M-entry pass
+        reproducibly killed this environment's remote TPU worker while 60 s
+        passes are fine (docs/RESULTS.md), so keep each segment under ~1 min
+        of device time."""
         if self.num_chunks() * self.chunk != self.count:
             raise ValueError(
                 f"fold_pass_fn folds whole chunks: count={self.count} is not "
@@ -979,27 +988,52 @@ class KeyedShareEngine:
                 "include phantom padding rows); use dots()/stream() for "
                 "ragged row counts"
             )
-        n_tail = self.num_chunks() - self._n_resident
-        return functools.partial(
-            _keyed_fold_pass, kw=self._kw, sid=self._sid,
-            resident=tuple(self._resident), chunk=self.chunk, n_tail=n_tail,
-        )
+        total = self.num_chunks()
+        segments = max(1, min(int(segments), total))
+        if segments == 1:
+            n_tail = total - self._n_resident
+            return functools.partial(
+                _keyed_fold_pass, kw=self._kw, sid=self._sid,
+                resident=tuple(self._resident), chunk=self.chunk,
+                n_tail=n_tail, tail_start=self._n_resident,
+            )
+
+        bounds = [round(s * total / segments) for s in range(segments + 1)]
+        fns = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            res_slice = tuple(self._resident[lo:min(hi, self._n_resident)])
+            tail_start = max(lo, self._n_resident)
+            fns.append(functools.partial(
+                _keyed_fold_pass, kw=self._kw, sid=self._sid,
+                resident=res_slice, chunk=self.chunk,
+                n_tail=max(0, hi - tail_start), tail_start=tail_start,
+            ))
+
+        def run(q_enc):
+            pending = [fn(q_enc) for fn in fns]  # all queued before any fetch
+            acc = 0
+            for p in pending:
+                acc = (acc + int(np.asarray(p))) & 0xFFFFFFFF
+            return np.uint32(acc)
+
+        return run
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "n_tail"))
-def _keyed_fold_pass(q_enc, *, kw, sid, resident, chunk: int, n_tail: int):
-    """One-dispatch keyed checksum pass: unrolled resident head (tuple of
-    [2, chunk, K] plane arrays, passed as real jit args) + `lax.scan` over the
-    regenerated tail. See KeyedShareEngine.fold_pass_fn."""
+@functools.partial(jax.jit, static_argnames=("chunk", "n_tail", "tail_start"))
+def _keyed_fold_pass(q_enc, *, kw, sid, resident, chunk: int, n_tail: int,
+                     tail_start: int):
+    """One-dispatch keyed checksum (sub-)pass: unrolled resident head (tuple
+    of [2, chunk, K] plane arrays, passed as real jit args) + `lax.scan` over
+    ``n_tail`` regenerated chunks starting at chunk index ``tail_start``.
+    See KeyedShareEngine.fold_pass_fn (which also builds segmented passes)."""
     q_nat = _queries_to_natural_k(q_enc)
     acc = jnp.uint32(0)
     for planes in resident:
         out = _share_dots_chunk(q_nat, planes[0], planes[1])
         acc = acc + out.astype(jnp.uint32).sum()
-    n_res = len(resident)
     if n_tail:
         def tail_step(acc, t):
-            row0 = (n_res + t) * chunk
+            row0 = (tail_start + t) * chunk
             out = _share_dots_chunk_keyed(q_nat, kw, sid, row0, chunk)
             return acc + out.astype(jnp.uint32).sum(), None
 

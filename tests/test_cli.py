@@ -94,6 +94,34 @@ def test_match_all_under_lists_duplicates(workdir, capsys):
                for l in out.splitlines() if l.startswith("query "))
 
 
+def test_coordinator_queries_file_all_under(workdir, capsys):
+    """--queries-file drives REAL templates (instead of self-generated random
+    ones) through the coordinator; with --all-under each DB-drawn query must
+    list its own entry at distance 0.0. Exercised with a 1-party local share
+    (no sockets: the coordinator holds the only share)."""
+    assert main(["generate", "db.json", "12", "--seed", "31"]) == 0
+    assert main(["prepare", "db.json", "1", "mpc", "--insecure-seed", "8"]) == 0
+    assert main(["coordinator", "--masks", "mpc.masks", "--share",
+                 "mpc.share-0", "--queries-file", "db.json", "--queries", "3",
+                 "--all-under", "1e-9", "--no-warmup"]) == 0
+    out = capsys.readouterr().out
+    heads = [l for l in out.splitlines() if l.startswith("query ")]
+    hits = [l for l in out.splitlines() if l.lstrip().startswith("entry ")]
+    assert len(heads) == 3
+    assert [f"entry {i} at distance 0.0" in h for i, h in enumerate(hits)] \
+        == [True, True, True]
+    # argmin mode consumes the same file; self-queries win at distance 0.0
+    assert main(["coordinator", "--masks", "mpc.masks", "--share",
+                 "mpc.share-0", "--queries-file", "db.json", "--queries", "2",
+                 "--no-warmup"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("query ")]
+    assert len(lines) == 2
+    assert all("at distance 0.0" in l for l in lines)
+    for i, l in enumerate(lines):
+        assert f"closest entry {i} " in l
+
+
 def test_rerandomize_cli_roundtrip(workdir):
     """CLI-level regression for the memmap segfault: share files must actually
     change on disk while reconstruction stays identical."""

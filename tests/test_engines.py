@@ -275,3 +275,31 @@ def test_keyed_engine_high_stream_id():
     np.testing.assert_array_equal(
         keyed.dots(qpat, qmsk), file_eng.dots(qpat, qmsk)
     )
+
+
+def test_keyed_fold_pass_segmented_matches_single():
+    """fold_pass_fn(segments=S) must produce the SAME uint32 checksum as the
+    single dispatch for every split — including segments that straddle or lie
+    entirely inside the resident head — since uint32 addition is associative
+    mod 2^32. (Segmentation exists because single dispatches past ~60 s of
+    device time trip the remote worker's execution deadline; RESULTS 16M note.)"""
+    from mpc_iris_tpu.models import KeyedShareEngine
+    from mpc_iris_tpu.models.engines import prepare_query_planes
+
+    key = bytes(range(1, 33))
+    count, chunk = 6 * 128, 128  # 6 whole chunks
+    plane_bytes = 2 * 12_800 * chunk
+    rng = np.random.default_rng(7)
+    qpat = rng.integers(0, 256, (2, 1600), dtype=np.uint8)
+    qmsk = rng.integers(0, 256, (2, 1600), dtype=np.uint8)
+    q_enc, _ = prepare_query_planes(qpat, qmsk)
+    q_enc = np.asarray(q_enc)
+
+    # 3 resident chunks + 3 regenerated tail chunks
+    eng = KeyedShareEngine(key, 5, count, chunk=chunk,
+                           hbm_budget=3 * plane_bytes)
+    assert eng._n_resident == 3
+    whole = int(eng.fold_pass_fn()(q_enc))
+    for segments in (2, 3, 4, 6, 99):
+        got = int(eng.fold_pass_fn(segments=segments)(q_enc))
+        assert got == whole, (segments, got, whole)
