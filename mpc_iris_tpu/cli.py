@@ -1160,7 +1160,8 @@ def cmd_coordinator(args) -> int:
 
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine,
-                        ssl_context=ssl_ctx, round_timeout=args.timeout)
+                        ssl_context=ssl_ctx, round_timeout=args.timeout,
+                        strict_scan=args.strict_scan)
     rng = np.random.default_rng(args.seed)
 
     watchers = []
@@ -1814,6 +1815,14 @@ def build_parser() -> argparse.ArgumentParser:
                        "the query loudly instead of hanging it forever "
                        "(StalledPartyError, SPEC section 5). default: wait "
                        "forever, like the reference")
+        g.add_argument("--strict-scan", action="store_true",
+                       help="abort a query loudly (TruncatedScanError) if the "
+                       "reply streams end before the full masks DB is "
+                       "scanned — a participant crashing mid-stream looks "
+                       "like clean EOF, and a uniqueness verdict over the "
+                       "prefix is unsafe (SPEC section 5). default: truncate "
+                       "like the reference (required with --watch, where "
+                       "transiently unequal counts are legitimate)")
         g.add_argument("--watch", action="store_true",
                        help="before each query round, adopt rows appended to "
                        "the masks file (and a file-backed --share) since "

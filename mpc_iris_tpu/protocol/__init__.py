@@ -22,6 +22,7 @@ from mpc_iris_tpu.protocol.coordinator import (
     QueryOutcome,
     QueryServer,
     StalledPartyError,
+    TruncatedScanError,
     UnderThresholdOutcome,
     query_remote,
 )
@@ -34,5 +35,6 @@ __all__ = [
     "UnderThresholdOutcome",
     "QueryServer",
     "StalledPartyError",
+    "TruncatedScanError",
     "query_remote",
 ]

@@ -45,6 +45,21 @@ class StalledPartyError(ConnectionError):
     its coordinator forever, src/main.rs:538-555); this is the refinement."""
 
 
+class TruncatedScanError(ConnectionError):
+    """The reply streams ended before the full masks DB was scanned
+    (strict-scan mode).
+
+    The reference tolerates early EOF by truncating to the shortest common
+    prefix (src/main.rs:538-569) — correct for its self-generated throughput
+    loop, but a uniqueness VERDICT over a truncated scan can falsely report
+    "unique" while the unseen tail holds a match (a participant that crashes
+    mid-stream looks exactly like a clean early EOF). ``strict_scan=True``
+    turns that silent truncation into this loud failure. It stays opt-in
+    because --watch DB growth makes transiently unequal counts legitimate
+    (masks may run ahead of a party's share file between syncs — SPEC
+    section 6.2)."""
+
+
 class _Stalled:
     """Sentinel read result marking the party whose round timed out."""
 
@@ -194,7 +209,8 @@ def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
 class Coordinator:
     def __init__(self, masks_engine, participants: list[tuple[str, int]],
                  local_engine=None, batch_records: int | None = None,
-                 ssl_context=None, round_timeout: float | None = None):
+                 ssl_context=None, round_timeout: float | None = None,
+                 strict_scan: bool = False):
         """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
@@ -209,6 +225,11 @@ class Coordinator:
         On expiry the query is aborted with :class:`StalledPartyError` naming
         the silent part(ies) — see SPEC section 5. None (default) waits
         forever, matching the reference's behavior (src/main.rs:538-555).
+        strict_scan: when True, a query whose aligned streams end before the
+        masks DB is fully scanned raises :class:`TruncatedScanError` (per-
+        party record counts included) instead of returning a verdict over the
+        prefix. Default False == the reference's EOF-tolerant truncation;
+        see TruncatedScanError for when each is right.
         """
         if not participants and local_engine is None:
             raise ValueError(
@@ -221,6 +242,7 @@ class Coordinator:
         self.batch_records = batch_records
         self.ssl_context = ssl_context
         self.round_timeout = round_timeout
+        self.strict_scan = strict_scan
 
     async def _read_round(self, coro, party: str):
         """Run one party's read-round coroutine under the deadline; a timeout
@@ -357,6 +379,7 @@ class Coordinator:
             await _close_all(conns, [denom_pump, local_pump])
 
         self._check_dead_parties(processed, party_records)
+        self._check_truncated(processed, party_records)
 
     async def query(self, template: Template) -> QueryOutcome:
         records = self.batch_records or records_per_read(1)
@@ -409,6 +432,25 @@ class Coordinator:
                 ))
         matches.sort(key=lambda m: (m.distance, m.index))
         return UnderThresholdOutcome(matches, processed)
+
+    def _check_truncated(self, processed: int, party_records: list[int]):
+        """strict_scan: the aligned streams must have covered the WHOLE masks
+        DB (its count at round end), else the verdict is unsafe — raise with
+        per-party record counts so the short party is identifiable."""
+        if not self.strict_scan:
+            return
+        expected = getattr(self.masks_engine, "count", None)
+        if expected is None or processed >= expected:
+            return
+        per_party = ", ".join(
+            f"{h}:{p} sent {c}"
+            for (h, p), c in zip(self.participants, party_records)
+        ) or "local share only"
+        raise TruncatedScanError(
+            f"scan truncated at {processed}/{expected} entries — a verdict "
+            f"over a prefix is unsafe (strict_scan; SPEC section 5). "
+            f"Reply records: {per_party}"
+        )
 
     def _check_dead_parties(self, processed: int, party_records: list[int]):
         """A remote party that produced ZERO reply records is a failed
@@ -524,6 +566,7 @@ class Coordinator:
             await _close_all(conns, [denom_pump, local_pump])
 
         self._check_dead_parties(processed, party_records)
+        self._check_truncated(processed, party_records)
         for offset, triples in pending:
             arr = np.asarray(triples)  # [3, B]
             for q in range(b):

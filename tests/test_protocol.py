@@ -167,6 +167,97 @@ class TestProtocol:
         assert outcome.distance == oracle.min()
 
 
+class TestStrictScan:
+    """strict_scan (SPEC section 5): a participant crashing MID-STREAM looks
+    exactly like clean early EOF, so the default reference-compatible
+    truncation would return a verdict over a prefix; strict mode aborts
+    loudly with per-party record counts."""
+
+    def test_aborts_on_midstream_crash(self, world):
+        from mpc_iris_tpu.protocol import TruncatedScanError
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        half = len(db) // 2
+
+        async def crashing_party(reader, writer):
+            await reader.readexactly(3200)
+            # stream half the records, then "crash" (close mid-scan)
+            full = ShareEngine(mats[1], chunk=8).dots(
+                query.pattern.data[None], query.mask.data[None]
+            )[0]  # [N, 31] u16
+            writer.write(full[:half].astype("<u2").tobytes())
+            await writer.drain()
+            writer.close()
+
+        async def go():
+            real = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                     "127.0.0.1", 0)
+            a0 = await real.start()
+            fake = await asyncio.start_server(crashing_party, "127.0.0.1", 0)
+            a1 = fake.sockets[0].getsockname()[:2]
+            coord = Coordinator(MasksEngine(masks, chunk=8), [a0, a1],
+                                batch_records=7, strict_scan=True)
+            try:
+                with pytest.raises(TruncatedScanError) as ei:
+                    await coord.query(query)
+                return str(ei.value)
+            finally:
+                await real.close()
+                fake.close()
+                await fake.wait_closed()
+
+        msg = asyncio.run(go())
+        assert f"{half}/{len(db)}" in msg
+        assert f"sent {half}" in msg  # the short party is identifiable
+
+    def test_full_scan_passes_strict(self, world):
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7, strict_scan=True)
+            try:
+                return await coord.query(query)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        async def go_batched():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7, strict_scan=True)
+            try:
+                return await coord.query_batch([query, db[2]])
+            finally:
+                for s in servers:
+                    await s.close()
+
+        single = asyncio.run(go())
+        assert single.total == len(db)
+        assert (single.index, single.distance) == (
+            int(np.argmin(oracle)), oracle.min()
+        )
+        batch = asyncio.run(go_batched())
+        assert batch[0].total == len(db)
+        assert (batch[0].index, batch[0].distance) == (
+            int(np.argmin(oracle)), oracle.min()
+        )
+        assert batch[1].distance == 0.0 and batch[1].index == 2
+
+
 class TestRechunk:
     def test_rechunk_sizes(self):
         chunks = [np.ones((1, n, 31), dtype=np.uint16) * i
