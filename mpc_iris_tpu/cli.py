@@ -998,7 +998,8 @@ def cmd_enroll(args) -> int:
     try:
         coord = Coordinator(masks_engine, participants,
                             local_engine=local_engine, ssl_context=ssl_ctx,
-                            round_timeout=args.timeout)
+                            round_timeout=args.timeout,
+                            strict_scan=args.strict_scan)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1897,6 +1898,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-read-round deadline for participant replies "
                    "(see coordinator --timeout); an enroll run aborts "
                    "loudly on a stalled party rather than hanging")
+    g.add_argument("--strict-scan", action="store_true",
+                   help="abort if a candidate's scan ends before the full "
+                   "masks DB (see coordinator --strict-scan) — a truncated "
+                   "scan here would ENROLL a duplicate. Leave off when "
+                   "remote parties sync appended rows with a lag (their "
+                   "--watch window makes transiently short scans legitimate)")
     g.add_argument("--round", type=parse_si, default=64,
                    help="candidates per MPC round on the batched wire")
     g.add_argument("--tls-ca", default=None, metavar="PEM")

@@ -115,6 +115,23 @@ def _sum_decode_argmin_device(shares, dens):
 
 
 @jax.jit
+def _sum_decode_minfrac_device_batch(shares, dens):
+    """Batched threshold-audit step: tuple of P uint16 [n, B, 31] ENTRY-major
+    dot-share batches + denominators -> int32 [2, n, B] per-entry minimal
+    (numerator, denominator) fractions (the per-entry sibling of
+    :func:`_sum_decode_argmin_device_batch`)."""
+    import jax.numpy as jnp
+
+    dots = shares[0]
+    for s in shares[1:]:
+        dots = dots + s
+    den = dens.astype(jnp.int32)
+    num = ((den - dots.astype(jnp.int32)) & jnp.int32(0xFFFF)) >> 1
+    n_r, d_r, _ = fraction_min_rotations(num, den, axis=2)  # [n, B]
+    return jnp.stack([n_r, d_r])
+
+
+@jax.jit
 def _sum_decode_minfrac_device(shares, dens):
     """Single-dispatch per-entry decode for the threshold-audit path: tuple of
     P uint16 [n, 31] per-party dot-share batches + denominators -> int32
@@ -469,12 +486,13 @@ class Coordinator:
                 "connection, TLS, or wire-mode failure"
             )
 
-    async def query_batch(self, templates: list[Template]) -> list[QueryOutcome]:
-        """Batched uniqueness check over the batched wire extension.
-
-        Participants must run ``wire="batched"``. One connection round carries
-        all B queries; replies stream as entry-major B-groups; denominators and
-        decode are vectorized over the batch on device. Amortizes connection,
+    async def _stream_rounds_batched(self, templates: list[Template]):
+        """Batched-wire sibling of :meth:`_stream_rounds`: yields
+        ``(offset, share_batches, denom)`` per aligned read round, entry-major
+        ([n, B, 31] uint16 per party). Participants must run
+        ``wire="batched"``. One connection round carries all B queries;
+        replies stream as entry-major B-groups; denominators and decode are
+        vectorized over the batch on device. Amortizes connection,
         rotation-expansion and dispatch overheads ~B-fold vs :meth:`query`.
         """
         from mpc_iris_tpu.protocol.wire import batched_query_bytes, read_batched_records
@@ -510,8 +528,6 @@ class Coordinator:
             else None
         )
 
-        best = [(0, 0, -1)] * b
-        pending = []
         processed = 0
         party_records = [0] * len(conns)
 
@@ -552,12 +568,10 @@ class Coordinator:
                 if n == 0:
                     break
 
-                # Single fused dispatch: share reconstruction + decode + argmin.
-                pending.append(
-                    (processed,
-                     _sum_decode_argmin_device_batch(
-                         tuple(s[:n] for s in share_batches),
-                         denom[:n].astype(np.uint16, copy=False)))
+                yield (
+                    processed,
+                    tuple(s[:n] for s in share_batches),
+                    denom[:n].astype(np.uint16, copy=False),
                 )
                 processed += n
                 if n < records:
@@ -567,6 +581,24 @@ class Coordinator:
 
         self._check_dead_parties(processed, party_records)
         self._check_truncated(processed, party_records)
+
+    async def query_batch(self, templates: list[Template]) -> list[QueryOutcome]:
+        """Batched uniqueness check over the batched wire extension: one
+        connection round carries B queries; each round's fused dispatch is
+        the batched sibling of `query`'s (share reconstruction + decode +
+        rotation-min + per-query entry-argmin in ONE device call)."""
+        b = len(templates)
+        best = [(0, 0, -1)] * b
+        pending = []
+        processed = 0
+        async for offset, shares, denom in self._stream_rounds_batched(
+            templates
+        ):
+            pending.append(
+                (offset, _sum_decode_argmin_device_batch(shares, denom))
+            )
+            processed = offset + denom.shape[0]
+
         for offset, triples in pending:
             arr = np.asarray(triples)  # [3, B]
             for q in range(b):
@@ -577,6 +609,37 @@ class Coordinator:
             QueryOutcome(i, fraction_to_f64(nn, dd), processed)
             for (nn, dd, i) in best
         ]
+
+    async def query_batch_under(self, templates: list[Template],
+                                threshold: float) -> list[UnderThresholdOutcome]:
+        """Batched MPC dedup audit: one batched-wire round audits B templates,
+        returning per query EVERY entry with distance strictly under the
+        threshold (`query_under` ⊗ `query_batch`; same wire bytes as
+        query_batch, per-entry min fractions kept on device)."""
+        from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+
+        pending = []
+        processed = 0
+        async for offset, shares, denom in self._stream_rounds_batched(
+            templates
+        ):
+            pending.append(
+                (offset, _sum_decode_minfrac_device_batch(shares, denom))
+            )
+            processed = offset + denom.shape[0]
+
+        per_query: list[list[MatchAt]] = [[] for _ in templates]
+        for offset, block in pending:
+            nd = np.asarray(block)  # [2, n, B]
+            hits = under_threshold_mask_np(nd[0], nd[1], threshold)
+            for j, q in zip(*np.nonzero(hits)):
+                per_query[q].append(MatchAt(
+                    offset + int(j),
+                    fraction_to_f64(int(nd[0, j, q]), int(nd[1, j, q])),
+                ))
+        for matches in per_query:
+            matches.sort(key=lambda m: (m.distance, m.index))
+        return [UnderThresholdOutcome(m, processed) for m in per_query]
 
 
 # ------------------------------------------------------------- serving front

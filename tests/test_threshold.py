@@ -208,3 +208,41 @@ class TestCoordinatorQueryUnder:
         out = self.run_under(world, 0.0)
         assert out.matches == []
         assert out.total == 23
+
+    def test_batched_audit_matches_single(self, world):
+        """query_batch_under over the batched wire: per-query audit lists
+        identical to sequential query_under runs."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        q2 = db[5]
+        oracle_q = np.array([query.distance(t) for t in db])
+        t = float(np.median(oracle_q))
+
+        async def go():
+            servers = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await s.start() for s in servers]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            try:
+                return await coord.query_batch_under([query, q2], t)
+            finally:
+                for s in servers:
+                    await s.close()
+
+        outs = asyncio.run(go())
+        assert len(outs) == 2
+        for q, out in zip((query, q2), outs):
+            oracle = np.array([q.distance(tt) for tt in db])
+            assert out.total == len(db)
+            want = sorted(np.nonzero(oracle < t)[0].tolist())
+            assert sorted(m.index for m in out.matches) == want
+            for m in out.matches:
+                assert m.distance == oracle[m.index]
+        # sequential single-wire audit gives the identical lists
+        single0 = self.run_under(world, t)
+        assert [(m.index, m.distance) for m in outs[0].matches] == \
+            [(m.index, m.distance) for m in single0.matches]
