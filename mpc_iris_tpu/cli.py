@@ -1129,7 +1129,11 @@ def cmd_coordinator(args) -> int:
         return 1
     if args.all_under is not None and (args.serve or args.wire == "batched"):
         print("error: --all-under runs self-generated audit queries on the "
-              "reference wire; drop --serve/--wire batched", file=sys.stderr)
+              "reference wire; drop --serve/--wire batched (for a NETWORK "
+              "audit service use --serve --audit)", file=sys.stderr)
+        return 1
+    if args.audit and not args.serve:
+        print("error: --audit is a serving mode; add --serve", file=sys.stderr)
         return 1
     if ssl_ctx is not None:
         print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
@@ -1235,7 +1239,11 @@ def cmd_coordinator(args) -> int:
             read_timeout=args.timeout,
             max_batch=args.batch if args.wire == "batched" else 1,
             batch_window=args.window,
+            audit=args.audit,
         )
+        if args.audit:
+            print("AUDIT service (SPEC 5.3): replies list every entry under "
+                  "the client's threshold", file=sys.stderr)
         if args.wire == "batched":
             print(f"micro-batching up to {args.batch} concurrent queries "
                   f"per MPC round ({args.window * 1e3:.0f} ms window); "
@@ -1417,22 +1425,35 @@ def cmd_query(args) -> int:
                 break
 
     async def run() -> int:
+        from mpc_iris_tpu.protocol import query_remote_under
+
         worst = 0
         for i, t in enumerate(templates):
             t0 = time.monotonic()
             try:
-                outcome = await query_remote(host, port, t, ssl_context=ssl_ctx)
+                if args.audit is not None:
+                    out = await query_remote_under(
+                        host, port, t, args.audit, ssl_context=ssl_ctx
+                    )
+                else:
+                    out = await query_remote(host, port, t, ssl_context=ssl_ctx)
             except (ConnectionError, OSError, asyncio.IncompleteReadError) as e:
                 print(f"query {i}: FAILED ({e})", file=sys.stderr)
                 worst = 1
                 continue
             dt = time.monotonic() - t0
+            if args.audit is not None:
+                print(f"query {i}: {len(out.matches)} of {out.total} entries "
+                      f"under {args.audit} ({dt:.3f}s)")
+                for m in out.matches:
+                    print(f"  entry {m.index} at distance {m.distance}")
+                continue
             verdict = ""
             if args.threshold is not None:
-                verdict = ("  DUPLICATE" if outcome.distance < args.threshold
+                verdict = ("  DUPLICATE" if out.distance < args.threshold
                            else "  unique")
-            print(f"query {i}: closest entry {outcome.index} of "
-                  f"{outcome.total} at distance {outcome.distance} "
+            print(f"query {i}: closest entry {out.index} of "
+                  f"{out.total} at distance {out.distance} "
                   f"({dt:.3f}s){verdict}")
         return worst
 
@@ -1778,6 +1799,13 @@ def build_parser() -> argparse.ArgumentParser:
             "(up to --batch per round)",
         )
         g.add_argument(
+            "--audit", action="store_true",
+            help="with --serve: run the AUDIT service instead (SPEC 5.3) — "
+            "each request is a template + the client's f64 threshold, the "
+            "reply lists EVERY entry under it (count/total header + (index, "
+            "distance) records). Micro-batches like the argmin service",
+        )
+        g.add_argument(
             "--window", type=float, default=0.005, metavar="SECONDS",
             help="micro-batching window for --serve --wire batched: after "
             "the first queued query, wait at most this long for more "
@@ -1854,6 +1882,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after this many templates (0 = all)")
     g.add_argument("--threshold", type=float, default=None,
                    help="print DUPLICATE/unique verdicts against this FHD")
+    g.add_argument("--audit", type=float, default=None, metavar="FHD",
+                   help="speak the AUDIT wire (server must run --serve "
+                   "--audit): list every entry under this threshold per "
+                   "query instead of the argmin outcome (SPEC 5.3)")
     g.add_argument("--tls-ca", default=None, metavar="PEM",
                    help="connect over TLS, trusting this bundle")
     g.add_argument("--tls-cert", default=None, metavar="PEM",

@@ -25,6 +25,7 @@ from mpc_iris_tpu.protocol.coordinator import (
     TruncatedScanError,
     UnderThresholdOutcome,
     query_remote,
+    query_remote_under,
 )
 
 __all__ = [
@@ -37,4 +38,5 @@ __all__ = [
     "StalledPartyError",
     "TruncatedScanError",
     "query_remote",
+    "query_remote_under",
 ]

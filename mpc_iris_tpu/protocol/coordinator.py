@@ -611,12 +611,26 @@ class Coordinator:
         ]
 
     async def query_batch_under(self, templates: list[Template],
-                                threshold: float) -> list[UnderThresholdOutcome]:
+                                threshold) -> list[UnderThresholdOutcome]:
         """Batched MPC dedup audit: one batched-wire round audits B templates,
         returning per query EVERY entry with distance strictly under the
         threshold (`query_under` ⊗ `query_batch`; same wire bytes as
-        query_batch, per-entry min fractions kept on device)."""
+        query_batch, per-entry min fractions kept on device).
+
+        ``threshold``: one float for the whole batch, or a per-query sequence
+        (the device pass is threshold-independent — per-entry min fractions —
+        so micro-batched audit clients may each bring their own threshold)."""
         from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+
+        b = len(templates)
+        thresholds = (
+            list(threshold) if isinstance(threshold, (list, tuple))
+            else [float(threshold)] * b
+        )
+        if len(thresholds) != b:
+            raise ValueError(
+                f"{len(thresholds)} thresholds for {b} templates"
+            )
 
         pending = []
         processed = 0
@@ -631,12 +645,13 @@ class Coordinator:
         per_query: list[list[MatchAt]] = [[] for _ in templates]
         for offset, block in pending:
             nd = np.asarray(block)  # [2, n, B]
-            hits = under_threshold_mask_np(nd[0], nd[1], threshold)
-            for j, q in zip(*np.nonzero(hits)):
-                per_query[q].append(MatchAt(
-                    offset + int(j),
-                    fraction_to_f64(int(nd[0, j, q]), int(nd[1, j, q])),
-                ))
+            for q, t in enumerate(thresholds):
+                hits = under_threshold_mask_np(nd[0, :, q], nd[1, :, q], t)
+                for j in np.nonzero(hits)[0]:
+                    per_query[q].append(MatchAt(
+                        offset + int(j),
+                        fraction_to_f64(int(nd[0, j, q]), int(nd[1, j, q])),
+                    ))
         for matches in per_query:
             matches.sort(key=lambda m: (m.distance, m.index))
         return [UnderThresholdOutcome(m, processed) for m in per_query]
@@ -649,6 +664,15 @@ class Coordinator:
 # u64 entries compared. 24 fixed bytes; the request is the raw 3,200-byte
 # template, exactly the participant wire's query format.
 SERVE_REPLY = struct.Struct("<qdQ")
+
+# Audit-serving wire (SPEC section 5.3): request = the raw 3,200-byte
+# template ‖ one little-endian f64 threshold (the client's policy); reply =
+# <u64 match count> <u64 entries compared> header, then count 16-byte
+# <i64 index> <f64 distance> records ascending by distance. A short read of
+# the header is the client's failure signal (never a fabricated outcome).
+AUDIT_THRESHOLD = struct.Struct("<d")
+AUDIT_HEAD = struct.Struct("<QQ")
+AUDIT_REC = struct.Struct("<qd")
 
 
 class QueryServer:
@@ -667,7 +691,8 @@ class QueryServer:
     def __init__(self, coordinator: Coordinator, host: str = "127.0.0.1",
                  port: int = 8080, ssl_context=None,
                  read_timeout: float | None = None, refresh=None,
-                 max_batch: int = 1, batch_window: float = 0.005):
+                 max_batch: int = 1, batch_window: float = 0.005,
+                 audit: bool = False):
         """coordinator: the configured Coordinator to run rounds on.
         ssl_context: optional server-side TLS for the client-facing socket
         (independent of the coordinator's participant-facing TLS).
@@ -683,7 +708,15 @@ class QueryServer:
         single-query serving wire; outcomes are identical to solo rounds
         (the batched protocol is bit-exact per query). This converts P
         concurrent clients from P full DB scans into one ~P-amortized scan —
-        the serving analogue of the bench's batch-throughput curve."""
+        the serving analogue of the bench's batch-throughput curve.
+
+        audit=True serves the AUDIT wire instead (SPEC section 5.3): each
+        request carries a template ‖ f64 threshold, and the reply lists EVERY
+        DB entry under that threshold (`Coordinator.query_under`). Audit and
+        argmin modes are distinct services (their request formats differ);
+        micro-batching composes — the per-entry device pass is threshold-
+        independent, so batched clients may each bring their own threshold."""
+        self.audit = audit
         self.coordinator = coordinator
         self.host = host
         self.port = port
@@ -730,7 +763,8 @@ class QueryServer:
             await self._server.wait_closed()
 
     async def _dispatch_loop(self):
-        """Collect queued (template, future) pairs into batched MPC rounds."""
+        """Collect queued (template, threshold, future) triples into batched
+        MPC rounds (threshold is None in argmin mode)."""
         loop = asyncio.get_running_loop()
         while True:
             batch = [await self._queue.get()]
@@ -746,22 +780,28 @@ class QueryServer:
                 except asyncio.TimeoutError:
                     break
             try:
-                outcomes = await self.coordinator.query_batch(
-                    [t for t, _ in batch]
-                )
+                if self.audit:
+                    outcomes = await self.coordinator.query_batch_under(
+                        [t for t, _th, _f in batch],
+                        [th for _t, th, _f in batch],
+                    )
+                else:
+                    outcomes = await self.coordinator.query_batch(
+                        [t for t, _th, _f in batch]
+                    )
             except asyncio.CancelledError:
-                for _, fut in batch:
+                for _t, _th, fut in batch:
                     if not fut.done():
                         fut.cancel()
                 raise
             except Exception as e:
-                for _, fut in batch:
+                for _t, _th, fut in batch:
                     if not fut.done():
                         fut.set_exception(
                             ConnectionError(f"batched MPC round failed: {e}")
                         )
             else:
-                for (_, fut), outcome in zip(batch, outcomes):
+                for (_t, _th, fut), outcome in zip(batch, outcomes):
                     if not fut.done():
                         fut.set_result(outcome)
 
@@ -770,23 +810,43 @@ class QueryServer:
 
         peer = writer.get_extra_info("peername")
         try:
-            read = read_template_bytes(reader)
+            async def read_request():
+                raw = await read_template_bytes(reader)
+                if not self.audit:
+                    return raw, None
+                t_raw = await reader.readexactly(AUDIT_THRESHOLD.size)
+                return raw, AUDIT_THRESHOLD.unpack(t_raw)[0]
+
+            read = read_request()
             if self.read_timeout:
                 read = asyncio.wait_for(read, self.read_timeout)
-            raw = await read
+            raw, threshold = await read
             if self.refresh is not None:
                 async with self._refresh_lock:
                     await asyncio.to_thread(self.refresh)
             template = Template.from_bytes(raw)
             if self._queue is not None:
                 fut = asyncio.get_running_loop().create_future()
-                await self._queue.put((template, fut))
+                await self._queue.put((template, threshold, fut))
                 outcome = await fut
+            elif self.audit:
+                outcome = await self.coordinator.query_under(
+                    template, threshold
+                )
             else:
                 outcome = await self.coordinator.query(template)
-            writer.write(SERVE_REPLY.pack(
-                outcome.index, outcome.distance, outcome.total
-            ))
+            if self.audit:
+                writer.write(AUDIT_HEAD.pack(
+                    len(outcome.matches), outcome.total
+                ))
+                writer.write(b"".join(
+                    AUDIT_REC.pack(m.index, m.distance)
+                    for m in outcome.matches
+                ))
+            else:
+                writer.write(SERVE_REPLY.pack(
+                    outcome.index, outcome.distance, outcome.total
+                ))
             await writer.drain()
         except asyncio.TimeoutError:
             log.warning("client %s sent no complete query within %.1fs — "
@@ -804,6 +864,32 @@ class QueryServer:
                 await writer.wait_closed()
             except (ConnectionResetError, BrokenPipeError):
                 pass
+
+
+async def query_remote_under(host: str, port: int, template: Template,
+                             threshold: float,
+                             ssl_context=None) -> UnderThresholdOutcome:
+    """Client half of the AUDIT serving wire (SPEC section 5.3): send one
+    template ‖ f64 threshold, read the (count, total) header + match records."""
+    reader, writer = await asyncio.open_connection(host, port, ssl=ssl_context)
+    try:
+        writer.write(template.to_bytes())
+        writer.write(AUDIT_THRESHOLD.pack(float(threshold)))
+        await writer.drain()
+        head = await reader.readexactly(AUDIT_HEAD.size)
+        count, total = AUDIT_HEAD.unpack(head)
+        body = await reader.readexactly(count * AUDIT_REC.size)
+    finally:
+        writer.close()
+        try:
+            await writer.wait_closed()
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+    matches = [
+        MatchAt(*AUDIT_REC.unpack_from(body, k * AUDIT_REC.size))
+        for k in range(count)
+    ]
+    return UnderThresholdOutcome(matches, total)
 
 
 async def query_remote(host: str, port: int, template: Template,

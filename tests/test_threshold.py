@@ -209,6 +209,109 @@ class TestCoordinatorQueryUnder:
         assert out.matches == []
         assert out.total == 23
 
+    def test_audit_serving_wire_round_trip(self, world):
+        """SPEC 5.3: QueryServer(audit=True) — template ‖ f64 threshold in,
+        (count, total) header + (index, distance) records out; lists identical
+        to a direct query_under."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote_under
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+        t = float(np.median(oracle))
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True)
+            host, port = await server.start()
+            try:
+                hit = await query_remote_under(host, port, query, t)
+                none = await query_remote_under(host, port, query, 0.0)
+                return hit, none
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        hit, none = asyncio.run(go())
+        want = sorted(np.nonzero(oracle < t)[0].tolist())
+        assert hit.total == len(db)
+        assert sorted(m.index for m in hit.matches) == want
+        for m in hit.matches:
+            assert m.distance == oracle[m.index]
+        assert none.matches == [] and none.total == len(db)
+
+    def test_audit_serving_micro_batched_mixed_thresholds(self, world):
+        """Micro-batched audit clients each bring their OWN threshold; lists
+        stay bit-identical to solo rounds (the device pass is threshold-
+        independent)."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote_under
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        q2 = db[5]
+        oracle_q = np.array([query.distance(t) for t in db])
+        oracle_2 = np.array([q2.distance(t) for t in db])
+        t1 = float(np.median(oracle_q))
+        t2 = float(np.quantile(oracle_2, 0.25))
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True,
+                                 max_batch=2, batch_window=0.25)
+            host, port = await server.start()
+            try:
+                return await asyncio.gather(
+                    query_remote_under(host, port, query, t1),
+                    query_remote_under(host, port, q2, t2),
+                )
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        o1, o2 = asyncio.run(go())
+        for out, oracle, t in ((o1, oracle_q, t1), (o2, oracle_2, t2)):
+            assert out.total == len(db)
+            assert sorted(m.index for m in out.matches) == \
+                sorted(np.nonzero(oracle < t)[0].tolist())
+            for m in out.matches:
+                assert m.distance == oracle[m.index]
+
+    def test_audit_serving_failure_closes_short(self, world):
+        """A failed audit round closes the client without a complete header."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote_under
+
+        rng, db, query, masks = world
+
+        async def go():
+            coord = Coordinator(MasksEngine(masks, chunk=8),
+                                [("127.0.0.1", 1)])  # unreachable party
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True)
+            host, port = await server.start()
+            try:
+                with pytest.raises(asyncio.IncompleteReadError):
+                    await asyncio.wait_for(
+                        query_remote_under(host, port, query, 0.5), timeout=10
+                    )
+            finally:
+                await server.close()
+
+        asyncio.run(go())
+
     def test_batched_audit_matches_single(self, world):
         """query_batch_under over the batched wire: per-query audit lists
         identical to sequential query_under runs."""
