@@ -1135,6 +1135,28 @@ def cmd_coordinator(args) -> int:
     if args.audit and not args.serve:
         print("error: --audit is a serving mode; add --serve", file=sys.stderr)
         return 1
+    serve_ssl = None
+    if args.serve_tls_cert or args.serve_tls_key or args.serve_tls_ca:
+        if not args.serve:
+            print("error: --serve-tls-* configure the client-facing serving "
+                  "socket; add --serve", file=sys.stderr)
+            return 1
+        if not (args.serve_tls_cert and args.serve_tls_key):
+            print("error: serving TLS needs both --serve-tls-cert and "
+                  "--serve-tls-key", file=sys.stderr)
+            return 1
+        import ssl as _ssl
+
+        from mpc_iris_tpu.protocol import tlsutil
+
+        try:
+            serve_ssl = tlsutil.server_context(
+                args.serve_tls_cert, args.serve_tls_key, ca=args.serve_tls_ca
+            )
+        except (OSError, _ssl.SSLError) as e:
+            print(f"error: cannot load serving TLS material: {e}",
+                  file=sys.stderr)
+            return 1
     if ssl_ctx is not None:
         print(f"TLS enabled (trusting {args.tls_ca})", file=sys.stderr)
 
@@ -1235,12 +1257,18 @@ def cmd_coordinator(args) -> int:
         # single-query serving wire either way.
         server = QueryServer(
             coord, host, port,
+            ssl_context=serve_ssl,
             refresh=refresh_all if watchers else None,
             read_timeout=args.timeout,
             max_batch=args.batch if args.wire == "batched" else 1,
             batch_window=args.window,
             audit=args.audit,
         )
+        if serve_ssl is not None:
+            print("serving over TLS"
+                  + (" (mutual: clients must present a certificate from "
+                     f"{args.serve_tls_ca})" if args.serve_tls_ca else ""),
+                  file=sys.stderr)
         if args.audit:
             print("AUDIT service (SPEC 5.3): replies list every entry under "
                   "the client's threshold", file=sys.stderr)
@@ -1859,6 +1887,15 @@ def build_parser() -> argparse.ArgumentParser:
                        "src/main.rs:402)")
         g.add_argument("--no-warmup", dest="warmup", action="store_false",
                        help="skip the startup compile warm-up pass")
+        g.add_argument("--serve-tls-cert", default=None, metavar="PEM",
+                       help="with --serve: serve clients over TLS >= 1.3 with "
+                       "this certificate (independent of the participant-"
+                       "facing --tls-* flags)")
+        g.add_argument("--serve-tls-key", default=None, metavar="PEM",
+                       help="private key for --serve-tls-cert")
+        g.add_argument("--serve-tls-ca", default=None, metavar="PEM",
+                       help="with --serve-tls-cert: demand mutual TLS — "
+                       "clients must present a certificate from this bundle")
         g.add_argument("--tls-ca", default=None, metavar="PEM",
                        help="connect to participants over TLS, trusting this "
                        "certificate bundle (peers are authenticated by cert, "

@@ -135,6 +135,14 @@ def test_cli_tls_flag_validation(tmp_path, monkeypatch):
     (tmp_path / "k.key").write_text("not a pem")
     assert main(["participant", "nonexistent.share", "--tls-cert", "x.crt",
                  "--tls-key", "k.key"]) == 1
+    # serving-socket TLS flags: need --serve, need cert AND key, PEM must load
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--serve-tls-cert", "x.crt"]) == 1
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--serve", "--serve-tls-cert", "x.crt"]) == 1
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--serve", "--serve-tls-cert", "x.crt",
+                 "--serve-tls-key", "k.key"]) == 1
 
 
 def test_tls_cert_cli_mints_usable_pair(tmp_path, monkeypatch):
@@ -162,3 +170,42 @@ def test_plaintext_client_to_tls_server_fails(world, certs):
     ]
     with pytest.raises((ConnectionError, asyncio.IncompleteReadError, ValueError)):
         _run(world, server_ssl, None)
+
+
+def test_query_server_client_facing_tls(world, certs):
+    """The SERVING socket (QueryServer / coordinator --serve-tls-*) carries
+    TLS independently of the participant wire: a trusted client gets the
+    oracle winner and an untrusted-CA client is rejected at the handshake."""
+    from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+    db, query, masks, mats = world
+    oracle = np.array([query.distance(t) for t in db])
+    key, crt = certs["coord"]
+    server_ssl = tlsutil.server_context(crt, key)
+    good = tlsutil.client_context(crt)          # trusts the server's cert
+    bad = tlsutil.client_context(certs["rogue"][1])  # trusts a rogue CA only
+
+    async def go():
+        parts = [
+            ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+            for m in mats
+        ]
+        addrs = [await p.start() for p in parts]
+        coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                            batch_records=5)
+        server = QueryServer(coord, "127.0.0.1", 0, ssl_context=server_ssl)
+        host, port = await server.start()
+        try:
+            outcome = await query_remote(host, port, query, ssl_context=good)
+            with pytest.raises((ssl.SSLError, ConnectionError, OSError)):
+                await query_remote(host, port, query, ssl_context=bad)
+            return outcome
+        finally:
+            await server.close()
+            for p in parts:
+                await p.close()
+
+    outcome = asyncio.run(go())
+    assert outcome.total == len(db)
+    assert outcome.index == int(np.argmin(oracle))
+    assert outcome.distance == oracle.min()
