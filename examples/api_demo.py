@@ -75,6 +75,19 @@ def main():
     check(results[0].distance == oracle, "f64 parity with Template.distance")
     print(f"    self-match winners exact; f64 parity with Template.distance")
 
+    # ------------------------------------------------- 2b. threshold audit
+    # find_under lists EVERY entry under a threshold (the argmin's audit
+    # complement) with an EXACT rational comparison: a threshold placed
+    # exactly ON a distance excludes it (strict <).
+    print("[2b] find_under: dedup audit (exact threshold semantics)")
+    audits = eng.find_under(qpat, qmsk, 1e-9)
+    for want, hits in zip(q_idx, audits):
+        check([m.index for m in hits] == [int(want)], hits)
+        check(all(m.distance == 0.0 for m in hits), hits)
+    check(eng.find_under(qpat, qmsk, 0.0) == [[]] * B,
+          "strict <: t=0.0 excludes exact duplicates")
+    print("    each query's planted duplicate listed; t=0.0 lists nothing")
+
     # ------------------------------------------------- 3. MPC in-process
     # Secret-share the DB: encode to Z_2^16 ({-1,0,+1} ring embedding), then
     # split into N_PARTIES additive shares. Shares s < n-1 are addressable
