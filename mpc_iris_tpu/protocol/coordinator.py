@@ -19,6 +19,8 @@ from __future__ import annotations
 import asyncio
 import logging
 import struct
+import time
+from collections import deque
 from dataclasses import dataclass
 
 import jax
@@ -718,6 +720,14 @@ class QueryServer:
         independent, so batched clients may each bring their own threshold."""
         self.audit = audit
         self.coordinator = coordinator
+        # Serving stats (observability parity+: the reference's indicatif
+        # throughput lines, src/main.rs:178-183, for the serving front).
+        # Monotonic counters + a bounded latency window; logged every
+        # `stats_every` completed queries and readable any time via stats().
+        self.served = 0
+        self.failed = 0
+        self.stats_every = 100
+        self._lat_window: deque[float] = deque(maxlen=512)
         self.host = host
         self.port = port
         self.ssl_context = ssl_context
@@ -805,6 +815,29 @@ class QueryServer:
                     if not fut.done():
                         fut.set_result(outcome)
 
+    def stats(self) -> dict:
+        """Serving counters + latency quantiles over the recent window."""
+        lat = sorted(self._lat_window)
+        q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+        return {
+            "served": self.served,
+            "failed": self.failed,
+            "p50_s": q(0.50),
+            "p95_s": q(0.95),
+            "window": len(lat),
+        }
+
+    def _count_query(self, dt: float) -> None:
+        self.served += 1
+        self._lat_window.append(dt)
+        if self.stats_every and self.served % self.stats_every == 0:
+            s = self.stats()
+            log.info(
+                "served %d queries (%d failed) — p50 %.3fs p95 %.3fs "
+                "over the last %d",
+                s["served"], s["failed"], s["p50_s"], s["p95_s"], s["window"],
+            )
+
     async def _handle(self, reader, writer):
         from mpc_iris_tpu.protocol.wire import read_template_bytes
 
@@ -825,6 +858,7 @@ class QueryServer:
                 async with self._refresh_lock:
                     await asyncio.to_thread(self.refresh)
             template = Template.from_bytes(raw)
+            t0 = time.monotonic()
             if self._queue is not None:
                 fut = asyncio.get_running_loop().create_future()
                 await self._queue.put((template, threshold, fut))
@@ -835,6 +869,7 @@ class QueryServer:
                 )
             else:
                 outcome = await self.coordinator.query(template)
+            self._count_query(time.monotonic() - t0)
             if self.audit:
                 writer.write(AUDIT_HEAD.pack(
                     len(outcome.matches), outcome.total
@@ -857,6 +892,7 @@ class QueryServer:
             # Participant-side failure (unreachable/stalled party): surface it
             # to the client as a closed connection with no reply record, and
             # loudly in the server log — never a fabricated outcome.
+            self.failed += 1
             log.error("query from %s failed: %s", peer, e)
         finally:
             try:

@@ -594,6 +594,51 @@ class TestQueryServer:
             assert outcome.index == int(np.argmin(oracle))
             assert outcome.distance == oracle.min()
 
+    def test_serve_stats_counters(self, world):
+        """Serving observability: served/failed counters and latency
+        quantiles over the recent window (the reference's indicatif
+        throughput lines, for the serving front)."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            # second, dead address -> every query fails after the good round
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            bad_coord = Coordinator(MasksEngine(masks, chunk=8),
+                                    [("127.0.0.1", 1)])
+            server = QueryServer(coord, "127.0.0.1", 0)
+            host, port = await server.start()
+            try:
+                for _ in range(3):
+                    await query_remote(host, port, query)
+                good_stats = server.stats()
+                server.coordinator = bad_coord
+                reader, writer = await asyncio.open_connection(host, port)
+                writer.write(query.to_bytes())
+                await writer.drain()
+                await asyncio.wait_for(reader.read(), timeout=10)
+                writer.close()
+                await writer.wait_closed()
+                return good_stats, server.stats()
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        good, after = asyncio.run(go())
+        assert good["served"] == 3 and good["failed"] == 0
+        assert good["window"] == 3 and good["p50_s"] > 0
+        assert good["p95_s"] >= good["p50_s"]
+        assert after["served"] == 3 and after["failed"] == 1
+
     def test_serve_read_timeout_cuts_silent_client(self, world):
         from mpc_iris_tpu.protocol import QueryServer
 
