@@ -1135,6 +1135,12 @@ def cmd_coordinator(args) -> int:
     if args.audit and not args.serve:
         print("error: --audit is a serving mode; add --serve", file=sys.stderr)
         return 1
+    if args.queries_file and args.serve:
+        print("error: --serve answers NETWORK queries; --queries-file drives "
+              "the self-querying loop (drop one of them; to send file "
+              "templates at a serving coordinator use the `query` client)",
+              file=sys.stderr)
+        return 1
     serve_ssl = None
     if args.serve_tls_cert or args.serve_tls_key or args.serve_tls_ca:
         if not args.serve:
@@ -1263,6 +1269,7 @@ def cmd_coordinator(args) -> int:
             max_batch=args.batch if args.wire == "batched" else 1,
             batch_window=args.window,
             audit=args.audit,
+            max_matches=args.max_matches,
         )
         if serve_ssl is not None:
             print("serving over TLS"
@@ -1832,6 +1839,12 @@ def build_parser() -> argparse.ArgumentParser:
             "each request is a template + the client's f64 threshold, the "
             "reply lists EVERY entry under it (count/total header + (index, "
             "distance) records). Micro-batches like the argmin service",
+        )
+        g.add_argument(
+            "--max-matches", type=parse_si, default=65536,
+            help="with --serve --audit: close (no reply) any client whose "
+            "threshold matches more entries than this — guards the server "
+            "against O(N) match lists from huge thresholds",
         )
         g.add_argument(
             "--window", type=float, default=0.005, metavar="SECONDS",

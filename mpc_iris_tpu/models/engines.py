@@ -445,28 +445,54 @@ class MatchResult:
     denominator: int
 
 
-def find_under_from_fractions(nd: np.ndarray,
-                              threshold: float) -> list[list[MatchResult]]:
-    """Host half of the threshold audit: uint16 [2, B, N] per-entry minimal
-    (numerator, denominator) pairs -> per query, every entry with distance
-    EXACTLY under the threshold (ops.decode.under_threshold_mask_np),
-    ascending by reported f64 distance, index-ordered within equal-f64 ties."""
+class AuditLimitExceeded(RuntimeError):
+    """An under-threshold audit produced more matches than the caller's
+    limit allows (a server-side guard: a network client choosing a huge
+    threshold must not force an O(N) match list / reply buffer)."""
+
+
+def hits_under_from_fractions(nums, dens, threshold: float,
+                              limit: int | None = None):
+    """Shared host epilogue of every threshold-audit path: per-entry minimal
+    (numerator, denominator) int arrays [N] -> (idx, dist, n, d) arrays of
+    the entries EXACTLY under the threshold
+    (ops.decode.under_threshold_mask_np), ascending by reported f64 distance,
+    index-ordered within equal-f64 ties. Raises :class:`AuditLimitExceeded`
+    BEFORE building any per-hit objects when more than ``limit`` entries
+    match."""
     from mpc_iris_tpu.ops.decode import (
         fractions_to_f64_np,
         under_threshold_mask_np,
     )
 
-    hits = under_threshold_mask_np(nd[0], nd[1], threshold)
+    idx = np.nonzero(under_threshold_mask_np(nums, dens, threshold))[0]
+    if limit is not None and idx.size > limit:
+        raise AuditLimitExceeded(
+            f"{idx.size} entries under threshold {threshold} exceeds the "
+            f"configured match limit {limit}"
+        )
+    n_b = np.asarray(nums)[idx].astype(np.int64)
+    d_b = np.asarray(dens)[idx].astype(np.int64)
+    dist = fractions_to_f64_np(n_b, d_b)
+    order = np.lexsort((idx, dist))
+    return idx[order], dist[order], n_b[order], d_b[order]
+
+
+def find_under_from_fractions(nd: np.ndarray, threshold: float,
+                              limit: int | None = None
+                              ) -> list[list[MatchResult]]:
+    """Host half of the threshold audit: uint16 [2, B, N] per-entry minimal
+    (numerator, denominator) pairs -> per query, every entry with distance
+    EXACTLY under the threshold, ascending by reported f64 distance
+    (index-ordered within equal-f64 ties)."""
     results: list[list[MatchResult]] = []
     for b in range(nd.shape[1]):
-        idx = np.nonzero(hits[b])[0]
-        n_b = nd[0, b, idx].astype(np.int64)
-        d_b = nd[1, b, idx].astype(np.int64)
-        dist = fractions_to_f64_np(n_b, d_b)
-        order = np.lexsort((idx, dist))
+        idx, dist, n_b, d_b = hits_under_from_fractions(
+            nd[0, b], nd[1, b], threshold, limit=limit
+        )
         results.append([
-            MatchResult(int(idx[k]), float(dist[k]), int(n_b[k]), int(d_b[k]))
-            for k in order
+            MatchResult(int(i), float(v), int(nn), int(dd))
+            for i, v, nn, dd in zip(idx, dist, n_b, d_b)
         ])
     return results
 

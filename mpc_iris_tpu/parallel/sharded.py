@@ -290,6 +290,16 @@ class ShardedPlaintextEngine(_ShardedBase):
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        # Same blow-up guard as the single-chip engine (and _fetchable
+        # additionally replicates the output per host in multi-process runs).
+        b = q_enc.shape[0]
+        n_padded = self.db_enc.shape[0] * self.n_shards * self.chunk
+        if 4 * b * n_padded > 4 * (1 << 30):
+            raise ValueError(
+                f"min_fractions output would be "
+                f"{4 * b * n_padded / 2**30:.1f} GiB on device (B={b}); "
+                "split the query batch"
+            )
         q_enc = jax.device_put(q_enc, self._query_sharding())
         q_mask = jax.device_put(q_mask, self._query_sharding())
         out = self._fetchable(

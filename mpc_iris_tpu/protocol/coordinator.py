@@ -193,10 +193,15 @@ class MatchAt:
 @dataclass
 class UnderThresholdOutcome:
     """Result of `Coordinator.query_under`: every DB entry whose distance is
-    strictly under the threshold (ascending distance, index within ties)."""
+    strictly under the threshold (ascending distance, index within ties).
+
+    ``limit_exceeded``: the audit found MORE matches than the caller's
+    ``limit`` allowed; ``matches`` is empty and must not be treated as "no
+    duplicates" (the serving front closes such clients without a reply)."""
 
     matches: list[MatchAt]
     total: int  # entries compared
+    limit_exceeded: bool = False
 
 
 def _rechunk(stream, size: int, squeeze: bool = True, entry_axis: int = 1):
@@ -420,19 +425,37 @@ class Coordinator:
                 best = (nb, db_, offset + jb)
         return QueryOutcome(best[2], fraction_to_f64(best[0], best[1]), processed)
 
-    async def query_under(self, template: Template,
-                          threshold: float) -> UnderThresholdOutcome:
+    def _check_audit_size(self, b: int) -> None:
+        """The audit keeps every round's [2, n(, B)] int32 min-fraction block
+        on device until the stream drains (threshold-independent) — guard the
+        blow-up like PlaintextEngine.min_fractions does."""
+        expected = getattr(self.masks_engine, "count", None)
+        if expected is not None and 8 * expected * b > 4 * (1 << 30):
+            raise ValueError(
+                f"audit spectrum would be {8 * expected * b / 2**30:.1f} GiB "
+                f"of device blocks (B={b}, {expected} entries); split the "
+                "query batch"
+            )
+
+    async def query_under(self, template: Template, threshold: float,
+                          limit: int | None = None) -> UnderThresholdOutcome:
         """ALL DB entries with distance strictly under ``threshold`` — the
         MPC dedup audit (plaintext sibling: PlaintextEngine.find_under).
 
         Same protocol rounds and wire bytes as :meth:`query`; the per-round
         device dispatch keeps every entry's minimal exact fraction instead of
         folding to the argmin, and the threshold comparison is exact in the
-        rational order (ops.decode.under_threshold_mask_np). Matches are
-        returned ascending by reported f64 distance (index-ordered within
-        equal-f64 ties)."""
-        from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+        rational order (shared epilogue engines.hits_under_from_fractions).
+        Matches are returned ascending by reported f64 distance
+        (index-ordered within equal-f64 ties). ``limit``: more matches than
+        this returns ``limit_exceeded=True`` with no match list (the serving
+        front's guard against huge client-chosen thresholds)."""
+        from mpc_iris_tpu.models.engines import (
+            AuditLimitExceeded,
+            hits_under_from_fractions,
+        )
 
+        self._check_audit_size(1)
         records = self.batch_records or records_per_read(1)
         pending = []  # (batch offset, async device [2, n] min-fraction block)
         processed = 0
@@ -440,16 +463,19 @@ class Coordinator:
             pending.append((offset, _sum_decode_minfrac_device(shares, denom)))
             processed = offset + denom.shape[0]
 
-        matches: list[MatchAt] = []
-        for offset, block in pending:
-            nd = np.asarray(block)
-            hits = under_threshold_mask_np(nd[0], nd[1], threshold)
-            for j in np.nonzero(hits)[0]:
-                matches.append(MatchAt(
-                    offset + int(j),
-                    fraction_to_f64(int(nd[0, j]), int(nd[1, j])),
-                ))
-        matches.sort(key=lambda m: (m.distance, m.index))
+        # Rounds arrive in offset order with contiguous offsets, so the
+        # concatenated position IS the global DB index.
+        nd = (
+            np.concatenate([np.asarray(b) for _, b in pending], axis=1)
+            if pending else np.zeros((2, 0), np.int32)
+        )
+        try:
+            idx, dist, _n, _d = hits_under_from_fractions(
+                nd[0], nd[1], threshold, limit=limit
+            )
+        except AuditLimitExceeded:
+            return UnderThresholdOutcome([], processed, limit_exceeded=True)
+        matches = [MatchAt(int(i), float(v)) for i, v in zip(idx, dist)]
         return UnderThresholdOutcome(matches, processed)
 
     def _check_truncated(self, processed: int, party_records: list[int]):
@@ -612,8 +638,9 @@ class Coordinator:
             for (nn, dd, i) in best
         ]
 
-    async def query_batch_under(self, templates: list[Template],
-                                threshold) -> list[UnderThresholdOutcome]:
+    async def query_batch_under(self, templates: list[Template], threshold,
+                                limit: int | None = None
+                                ) -> list[UnderThresholdOutcome]:
         """Batched MPC dedup audit: one batched-wire round audits B templates,
         returning per query EVERY entry with distance strictly under the
         threshold (`query_under` ⊗ `query_batch`; same wire bytes as
@@ -621,8 +648,14 @@ class Coordinator:
 
         ``threshold``: one float for the whole batch, or a per-query sequence
         (the device pass is threshold-independent — per-entry min fractions —
-        so micro-batched audit clients may each bring their own threshold)."""
-        from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+        so micro-batched audit clients may each bring their own threshold).
+        ``limit`` applies per query: an over-limit query gets
+        ``limit_exceeded=True`` (empty match list) without affecting the
+        other queries in the round."""
+        from mpc_iris_tpu.models.engines import (
+            AuditLimitExceeded,
+            hits_under_from_fractions,
+        )
 
         b = len(templates)
         thresholds = (
@@ -633,6 +666,7 @@ class Coordinator:
             raise ValueError(
                 f"{len(thresholds)} thresholds for {b} templates"
             )
+        self._check_audit_size(b)
 
         pending = []
         processed = 0
@@ -644,19 +678,27 @@ class Coordinator:
             )
             processed = offset + denom.shape[0]
 
-        per_query: list[list[MatchAt]] = [[] for _ in templates]
-        for offset, block in pending:
-            nd = np.asarray(block)  # [2, n, B]
-            for q, t in enumerate(thresholds):
-                hits = under_threshold_mask_np(nd[0, :, q], nd[1, :, q], t)
-                for j in np.nonzero(hits)[0]:
-                    per_query[q].append(MatchAt(
-                        offset + int(j),
-                        fraction_to_f64(int(nd[0, j, q]), int(nd[1, j, q])),
-                    ))
-        for matches in per_query:
-            matches.sort(key=lambda m: (m.distance, m.index))
-        return [UnderThresholdOutcome(m, processed) for m in per_query]
+        # Contiguous offset-ordered rounds: concatenated position == index.
+        nd = (
+            np.concatenate([np.asarray(blk) for _, blk in pending], axis=1)
+            if pending else np.zeros((2, 0, b), np.int32)
+        )
+        outcomes = []
+        for q, t in enumerate(thresholds):
+            try:
+                idx, dist, _n, _d = hits_under_from_fractions(
+                    nd[0, :, q], nd[1, :, q], t, limit=limit
+                )
+            except AuditLimitExceeded:
+                outcomes.append(
+                    UnderThresholdOutcome([], processed, limit_exceeded=True)
+                )
+                continue
+            outcomes.append(UnderThresholdOutcome(
+                [MatchAt(int(i), float(v)) for i, v in zip(idx, dist)],
+                processed,
+            ))
+        return outcomes
 
 
 # ------------------------------------------------------------- serving front
@@ -694,7 +736,7 @@ class QueryServer:
                  port: int = 8080, ssl_context=None,
                  read_timeout: float | None = None, refresh=None,
                  max_batch: int = 1, batch_window: float = 0.005,
-                 audit: bool = False):
+                 audit: bool = False, max_matches: int = 65536):
         """coordinator: the configured Coordinator to run rounds on.
         ssl_context: optional server-side TLS for the client-facing socket
         (independent of the coordinator's participant-facing TLS).
@@ -717,8 +759,13 @@ class QueryServer:
         DB entry under that threshold (`Coordinator.query_under`). Audit and
         argmin modes are distinct services (their request formats differ);
         micro-batching composes — the per-entry device pass is threshold-
-        independent, so batched clients may each bring their own threshold."""
+        independent, so batched clients may each bring their own threshold.
+        max_matches guards the audit path: a client whose threshold matches
+        more entries is closed WITHOUT a reply (per client; co-batched
+        clients are unaffected) instead of forcing an O(N) match list and
+        reply buffer onto the server."""
         self.audit = audit
+        self.max_matches = max_matches
         self.coordinator = coordinator
         # Serving stats (observability parity+: the reference's indicatif
         # throughput lines, src/main.rs:178-183, for the serving front).
@@ -794,6 +841,7 @@ class QueryServer:
                     outcomes = await self.coordinator.query_batch_under(
                         [t for t, _th, _f in batch],
                         [th for _t, th, _f in batch],
+                        limit=self.max_matches,
                     )
                 else:
                     outcomes = await self.coordinator.query_batch(
@@ -859,16 +907,33 @@ class QueryServer:
                     await asyncio.to_thread(self.refresh)
             template = Template.from_bytes(raw)
             t0 = time.monotonic()
-            if self._queue is not None:
-                fut = asyncio.get_running_loop().create_future()
-                await self._queue.put((template, threshold, fut))
-                outcome = await fut
-            elif self.audit:
-                outcome = await self.coordinator.query_under(
-                    template, threshold
+            try:
+                if self._queue is not None:
+                    fut = asyncio.get_running_loop().create_future()
+                    await self._queue.put((template, threshold, fut))
+                    outcome = await fut
+                elif self.audit:
+                    outcome = await self.coordinator.query_under(
+                        template, threshold, limit=self.max_matches
+                    )
+                else:
+                    outcome = await self.coordinator.query(template)
+            except (asyncio.IncompleteReadError, ConnectionResetError) as e:
+                # A PARTICIPANT stream breaking mid-round must count and log
+                # as a failed query, not be mistaken for the client dropping
+                # (the earlier except clause below would otherwise win).
+                raise ConnectionError(f"participant stream failed: {e}") from e
+            if getattr(outcome, "limit_exceeded", False):
+                # Close without a reply: an empty match list would read as
+                # "no duplicates", and streaming an over-limit list is the
+                # resource hole max_matches exists to plug.
+                self.failed += 1
+                log.error(
+                    "audit from %s exceeded max_matches=%d (threshold %r) — "
+                    "closing without a reply", peer, self.max_matches,
+                    threshold,
                 )
-            else:
-                outcome = await self.coordinator.query(template)
+                return
             self._count_query(time.monotonic() - t0)
             if self.audit:
                 writer.write(AUDIT_HEAD.pack(

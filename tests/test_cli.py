@@ -122,6 +122,16 @@ def test_coordinator_queries_file_all_under(workdir, capsys):
         assert f"closest entry {i} " in l
 
 
+def test_coordinator_serve_flag_validation(workdir):
+    """Contradictory serving flags fail fast with rc 1 (before engine builds)."""
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--audit"]) == 1  # --audit needs --serve
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--serve", "--queries-file", "x.json"]) == 1
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--serve", "--all-under", "0.3"]) == 1
+
+
 def test_rerandomize_cli_roundtrip(workdir):
     """CLI-level regression for the memmap segfault: share files must actually
     change on disk while reconstruction stays identical."""

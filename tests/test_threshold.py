@@ -291,6 +291,49 @@ class TestCoordinatorQueryUnder:
             for m in out.matches:
                 assert m.distance == oracle[m.index]
 
+    def test_audit_serving_limit_guard(self, world):
+        """max_matches: a client whose threshold matches too many entries is
+        closed without a reply; a co-batched modest client still gets its
+        exact list (per-query enforcement)."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote_under
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+        t_small = 1e-9  # exact duplicates only (2 planted)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True,
+                                 max_batch=2, batch_window=0.25,
+                                 max_matches=3)
+            host, port = await server.start()
+            try:
+                greedy, modest = await asyncio.gather(
+                    query_remote_under(host, port, query, 1.0),  # all entries
+                    query_remote_under(host, port, query, t_small),
+                    return_exceptions=True,
+                )
+                return greedy, modest, server.stats()
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        greedy, modest, stats = asyncio.run(go())
+        assert isinstance(greedy, asyncio.IncompleteReadError)
+        assert not isinstance(modest, BaseException)
+        assert sorted(m.index for m in modest.matches) == \
+            sorted(np.nonzero(oracle < t_small)[0].tolist())
+        assert stats["failed"] == 1 and stats["served"] == 1
+
     def test_audit_serving_failure_closes_short(self, world):
         """A failed audit round closes the client without a complete header."""
         from mpc_iris_tpu.protocol import QueryServer, query_remote_under
