@@ -85,4 +85,7 @@ $CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
 echo "== 7. local plaintext match on the accelerator (no MPC)"
 $CLI match db.json --batch 8 --seed 3 --threshold 0.36
 
+echo "== 8. dedup audit: EVERY entry under the threshold, not just the argmin"
+$CLI match db.json --batch 8 --seed 3 --all-under 1e-6
+
 echo "== quickstart complete (artifacts in $DIR)"
