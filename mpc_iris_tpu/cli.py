@@ -1270,6 +1270,7 @@ def cmd_coordinator(args) -> int:
             batch_window=args.window,
             audit=args.audit,
             max_matches=args.max_matches,
+            max_inflight=args.max_inflight,
         )
         if serve_ssl is not None:
             print("serving over TLS"
@@ -1839,6 +1840,12 @@ def build_parser() -> argparse.ArgumentParser:
             "each request is a template + the client's f64 threshold, the "
             "reply lists EVERY entry under it (count/total header + (index, "
             "distance) records). Micro-batches like the argmin service",
+        )
+        g.add_argument(
+            "--max-inflight", type=int, default=32,
+            help="with --serve: cap CONCURRENT MPC rounds (every connection "
+            "costs a full DB scan); excess clients queue, 0 = unlimited. "
+            "Micro-batched mode (--wire batched) is inherently bounded",
         )
         g.add_argument(
             "--max-matches", type=parse_si, default=65536,

@@ -736,7 +736,8 @@ class QueryServer:
                  port: int = 8080, ssl_context=None,
                  read_timeout: float | None = None, refresh=None,
                  max_batch: int = 1, batch_window: float = 0.005,
-                 audit: bool = False, max_matches: int = 65536):
+                 audit: bool = False, max_matches: int = 65536,
+                 max_inflight: int = 32):
         """coordinator: the configured Coordinator to run rounds on.
         ssl_context: optional server-side TLS for the client-facing socket
         (independent of the coordinator's participant-facing TLS).
@@ -763,9 +764,23 @@ class QueryServer:
         max_matches guards the audit path: a client whose threshold matches
         more entries is closed WITHOUT a reply (per client; co-batched
         clients are unaffected) instead of forcing an O(N) match list and
-        reply buffer onto the server."""
+        reply buffer onto the server.
+
+        max_inflight bounds CONCURRENT MPC rounds in solo mode (max_batch=1):
+        every connection costs a full DB scan, so an unbounded accept loop
+        would launch arbitrarily many rounds timesharing the device; excess
+        clients queue on the semaphore (still served, in order) instead.
+        Micro-batched mode is inherently bounded (one round at a time over
+        the shared queue), so the gate applies only to solo rounds."""
         self.audit = audit
         self.max_matches = max_matches
+        import contextlib
+
+        # nullcontext supports `async with` (3.10+): max_inflight=0 disables.
+        self._round_gate = (
+            asyncio.Semaphore(max_inflight) if max_inflight
+            else contextlib.nullcontext()
+        )
         self.coordinator = coordinator
         # Serving stats (observability parity+: the reference's indicatif
         # throughput lines, src/main.rs:178-183, for the serving front).
@@ -913,11 +928,13 @@ class QueryServer:
                     await self._queue.put((template, threshold, fut))
                     outcome = await fut
                 elif self.audit:
-                    outcome = await self.coordinator.query_under(
-                        template, threshold, limit=self.max_matches
-                    )
+                    async with self._round_gate:
+                        outcome = await self.coordinator.query_under(
+                            template, threshold, limit=self.max_matches
+                        )
                 else:
-                    outcome = await self.coordinator.query(template)
+                    async with self._round_gate:
+                        outcome = await self.coordinator.query(template)
             except (asyncio.IncompleteReadError, ConnectionResetError) as e:
                 # A PARTICIPANT stream breaking mid-round must count and log
                 # as a failed query, not be mistaken for the client dropping

@@ -594,6 +594,55 @@ class TestQueryServer:
             assert outcome.index == int(np.argmin(oracle))
             assert outcome.distance == oracle.min()
 
+    def test_serve_max_inflight_bounds_solo_rounds(self, world):
+        """max_inflight: solo-mode MPC rounds never exceed the gate; excess
+        clients queue and are still answered correctly."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+        peak = [0]
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, max_inflight=2)
+            inflight = [0]
+            orig = coord.query
+
+            async def counting_query(template):
+                inflight[0] += 1
+                peak[0] = max(peak[0], inflight[0])
+                try:
+                    return await orig(template)
+                finally:
+                    inflight[0] -= 1
+
+            coord.query = counting_query
+            host, port = await server.start()
+            try:
+                return await asyncio.gather(
+                    *[query_remote(host, port, query) for _ in range(5)]
+                )
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        outcomes = asyncio.run(go())
+        assert peak[0] <= 2
+        for outcome in outcomes:
+            assert outcome.total == len(db)
+            assert (outcome.index, outcome.distance) == (
+                int(np.argmin(oracle)), oracle.min()
+            )
+
     def test_serve_stats_counters(self, world):
         """Serving observability: served/failed counters and latency
         quantiles over the recent window (the reference's indicatif
