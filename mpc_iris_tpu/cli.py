@@ -370,6 +370,162 @@ def cmd_decrypt(args) -> int:
     return 0
 
 
+# ------------------------------------------------------------------ store-check
+
+
+def cmd_store_check(args) -> int:
+    """fsck for a share store: structural integrity of <base>.masks /
+    <base>.share-i / <base>.count, optional keyed-keystream verification, and
+    optional deep share<->masks consistency on sampled rows. The reference
+    has no integrity tooling (its mmap'd casts trust the bytes,
+    src/main.rs:386-400); a corrupted store would silently bias uniqueness
+    verdicts."""
+    import glob
+
+    from mpc_iris_tpu.constants import BITS, BITS_BYTES
+    from mpc_iris_tpu.ops.encode import pack_bits
+
+    base = args.store
+    problems = []
+    warnings_ = []
+
+    def say(line):
+        print(line, file=sys.stderr)
+
+    # ---- discover files
+    masks_path = f"{base}.masks"
+    if not os.path.exists(masks_path):
+        print(f"error: {masks_path} not found", file=sys.stderr)
+        return 1
+    share_paths = sorted(
+        glob.glob(f"{base}.share-*"),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    if args.count and len(share_paths) != args.count:
+        problems.append(
+            f"expected {args.count} share files, found {len(share_paths)}"
+        )
+    if not share_paths:
+        problems.append(f"no {base}.share-* files found")
+
+    # ---- structural: whole records, equal row counts, torn tails
+    def rows_of(path, rec):
+        size = os.path.getsize(path)
+        torn = size % rec
+        if torn:
+            msg = (f"{path}: {torn} trailing bytes beyond the last whole "
+                   f"record (torn append in progress?)")
+            (problems if args.strict else warnings_).append(msg)
+        return size // rec
+
+    n_masks = rows_of(masks_path, BITS_BYTES)
+    share_rows_counts = [rows_of(p, 2 * BITS) for p in share_paths]
+    say(f"{masks_path}: {n_masks} rows")
+    for p, n in zip(share_paths, share_rows_counts):
+        say(f"{p}: {n} rows")
+    n = min([n_masks] + share_rows_counts) if share_paths else n_masks
+    if share_paths and any(c != n_masks for c in share_rows_counts):
+        problems.append(
+            f"row counts differ: masks={n_masks}, shares="
+            f"{share_rows_counts} (growth must append to every file)"
+        )
+    if n == 0:
+        problems.append("store has zero whole records")
+
+    count_path = f"{base}.count"
+    if os.path.exists(count_path):
+        sidecar = int(open(count_path).read().strip())
+        say(f"{count_path}: {sidecar}")
+        if sidecar != n_masks:
+            problems.append(
+                f"count sidecar says {sidecar} but masks holds {n_masks} "
+                "whole rows (keyed parties follow the sidecar)"
+            )
+
+    # ---- sampled rows (deterministic spread incl. first and last)
+    k = max(1, min(args.sample, n)) if n else 0
+    sample = sorted({int(i) for i in np.linspace(0, max(0, n - 1), k)})
+
+    masks_mm = np.memmap(masks_path, dtype=np.uint8, mode="r",
+                         shape=(n_masks, BITS_BYTES)) if n_masks else None
+    share_mms = [
+        np.memmap(p, dtype="<u2", mode="r", shape=(c, BITS))
+        for p, c in zip(share_paths, share_rows_counts)
+    ]
+
+    # ---- keyed keystream verification (--key): streams s < n_shares-1 must
+    # be the exact ChaCha20 keystream of (key, s, row) — SPEC section 4.1.
+    if args.key is not None and share_paths and sample:
+        from mpc_iris_tpu.ops.chacha import key_words, share_rows
+        from mpc_iris_tpu.protocol.keyagree import read_key32
+
+        kw = key_words(read_key32(args.key))
+        for s, mm in enumerate(share_mms[:-1]):
+            bad = []
+            for r in sample:
+                if r >= mm.shape[0]:
+                    continue
+                want = np.asarray(share_rows(kw, s, np.uint32(r), 1))[0]
+                if not np.array_equal(np.asarray(mm[r]), want):
+                    bad.append(r)
+            if bad:
+                problems.append(
+                    f"{share_paths[s]}: rows {bad} are NOT the keystream of "
+                    f"(key, stream {s}) — rerandomized store or wrong key"
+                )
+            else:
+                say(f"{share_paths[s]}: keystream OK on {len(sample)} "
+                    "sampled rows")
+
+    # ---- deep share<->masks consistency (--deep): reconstruct sampled rows
+    # from ALL share files; the ring alphabet must be {0, 1, 0xFFFF} and the
+    # mask derived from the encoding must equal the masks file row.
+    if args.deep and share_paths and sample:
+        if any(c < n for c in share_rows_counts):
+            problems.append("--deep needs every share file at the store's "
+                            "row count")
+        else:
+            bad_alpha, bad_mask = [], []
+            for r in sample:
+                total = share_mms[0][r].astype(np.int64)
+                for mm in share_mms[1:]:
+                    total = (total + mm[r]) & 0xFFFF
+                legal = np.isin(total, (0, 1, 0xFFFF))
+                if not legal.all():
+                    bad_alpha.append(r)
+                    continue
+                derived = pack_bits((total != 0)[None], xp=np)[0]
+                if not np.array_equal(derived, np.asarray(masks_mm[r])):
+                    bad_mask.append(r)
+            if bad_alpha:
+                problems.append(
+                    f"rows {bad_alpha}: reconstructed encoding leaves the "
+                    "{0, 1, 0xFFFF} ring alphabet — corrupted or mismatched "
+                    "share files"
+                )
+            if bad_mask:
+                problems.append(
+                    f"rows {bad_mask}: mask derived from the reconstructed "
+                    "encoding differs from the masks file — shares and masks "
+                    "are out of sync"
+                )
+            if not bad_alpha and not bad_mask:
+                say(f"deep check OK: {len(sample)} sampled rows reconstruct "
+                    "to legal encodings matching the masks file")
+
+    for w in warnings_:
+        print(f"warning: {w}", file=sys.stderr)
+    if problems:
+        for p in problems:
+            print(f"PROBLEM: {p}", file=sys.stderr)
+        print(f"store-check: {len(problems)} problem(s)", file=sys.stderr)
+        return 1
+    print(f"store-check: OK ({n_masks} rows, {len(share_paths)} share files"
+          + (f", {len(warnings_)} warning(s)" if warnings_ else "") + ")",
+          file=sys.stderr)
+    return 0
+
+
 # ------------------------------------------------------------------ rerandomize
 
 
@@ -1760,6 +1916,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the key as a hex keyfile (mode 0600) instead "
                    "of printing it; pass as rerandomize --pair J:@PATH")
     g.set_defaults(fn=cmd_pair_key)
+
+    g = sub.add_parser(
+        "store-check",
+        help="fsck for a share store: record structure, row-count agreement, "
+        "count sidecar, keyed-keystream spot checks (--key), deep "
+        "share<->masks reconstruction consistency (--deep)",
+    )
+    g.add_argument("store", help="store base: <store>.masks / .share-i / .count")
+    g.add_argument("--count", type=int, default=0,
+                   help="expected number of share files (0 = discover)")
+    g.add_argument("--key", default=None, metavar="PATH",
+                   help="verify streams s < n-1 against the ChaCha20 "
+                   "keystream of this share key on sampled rows (fails on "
+                   "rerandomized stores or a wrong key)")
+    g.add_argument("--deep", action="store_true",
+                   help="reconstruct sampled rows from ALL share files and "
+                   "check ring alphabet + masks-file consistency")
+    g.add_argument("--sample", type=parse_si, default=8,
+                   help="rows sampled for --key/--deep (spread incl. first "
+                   "and last)")
+    g.add_argument("--strict", action="store_true",
+                   help="treat torn trailing bytes (an append in progress) "
+                   "as a problem instead of a warning")
+    g.set_defaults(fn=cmd_store_check)
 
     g = sub.add_parser("participant", help="start share-holding participant server")
     g.add_argument(

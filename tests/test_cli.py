@@ -122,6 +122,50 @@ def test_coordinator_queries_file_all_under(workdir, capsys):
         assert f"closest entry {i} " in l
 
 
+def test_store_check(workdir, capsys):
+    """fsck for the share store: clean stores pass (incl. --key/--deep);
+    corruption, desync, torn tails (--strict) and bad sidecars are caught."""
+    assert main(["generate", "db.json", "10", "--seed", "41"]) == 0
+    assert main(["prepare", "db.json", "3", "mpc", "--insecure-seed", "6",
+                 "--save-key", "mpc.key"]) == 0
+    ok = ["store-check", "mpc", "--count", "3", "--key", "mpc.key", "--deep"]
+    assert main(ok) == 0
+
+    # corrupt one sampled row of share-1: --deep catches the desync
+    with open(workdir / "mpc.share-1", "r+b") as f:
+        f.seek(0)
+        f.write(b"\xff" * 16)
+    assert main(ok) == 1
+    err = capsys.readouterr().err
+    assert "PROBLEM" in err
+    # restore via fresh prepare
+    for p in workdir.glob("mpc.*"):
+        p.unlink()
+    assert main(["prepare", "db.json", "3", "mpc", "--insecure-seed", "6",
+                 "--save-key", "mpc.key"]) == 0
+
+    # a rerandomized store is no longer the pure keystream: --key fails,
+    # but --deep (reconstruction) still passes
+    assert main(["rerandomize", "mpc.share-0", "--index", "0",
+                 "--pair", "1:777"]) == 0
+    assert main(["rerandomize", "mpc.share-1", "--index", "1",
+                 "--pair", "0:777"]) == 0
+    assert main(["store-check", "mpc", "--deep"]) == 0
+    assert main(["store-check", "mpc", "--key", "mpc.key"]) == 1
+    capsys.readouterr()
+
+    # torn trailing bytes: warning by default, problem under --strict
+    with open(workdir / "mpc.masks", "ab") as f:
+        f.write(b"\x00" * 7)
+    assert main(["store-check", "mpc"]) == 0
+    assert "warning" in capsys.readouterr().err
+    assert main(["store-check", "mpc", "--strict"]) == 1
+
+    # count sidecar disagreement
+    (workdir / "mpc.count").write_text("99\n")
+    assert main(["store-check", "mpc"]) == 1
+
+
 def test_coordinator_serve_flag_validation(workdir):
     """Contradictory serving flags fail fast with rc 1 (before engine builds)."""
     assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
