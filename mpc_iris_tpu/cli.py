@@ -1709,6 +1709,22 @@ def cmd_match(args) -> int:
             engine.match(qpat, qmsk)  # traced warm pass
         print(f"wrote device trace to {args.profile_dir}", file=sys.stderr)
 
+    if args.distances_out:
+        # Research export: the full per-entry f64 distance spectrum (min over
+        # 31 rotations, reference-exact decode) — the raw material for
+        # threshold calibration (genuine/impostor distributions, ROC curves).
+        from mpc_iris_tpu.ops.decode import fractions_to_f64_np
+
+        t0 = time.monotonic()
+        nd = engine.min_fractions(qpat, qmsk)
+        dist = fractions_to_f64_np(nd[0], nd[1])
+        dt = time.monotonic() - t0
+        np.save(args.distances_out, dist)
+        print(f"wrote f64 distance matrix {dist.shape} to "
+              f"{args.distances_out} ({dt:.3f}s)", file=sys.stderr)
+        if args.all_under is None:
+            return 0
+
     if args.all_under is not None:
         # Dedup audit: the full under-threshold collision list per query
         # (exact rational compare; the spec's uniqueness flow keeps only the
@@ -2249,6 +2265,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="dedup audit: per query, list EVERY DB entry with distance "
         "strictly under this FHD (exact rational compare; ascending "
         "distance) instead of just the argmin winner",
+    )
+    g.add_argument(
+        "--distances-out", default=None, metavar="FILE.npy",
+        help="research export: save the full [B, N] f64 distance matrix "
+        "(min over 31 rotations, reference-exact decode) — raw material "
+        "for threshold calibration; 8 B/entry/query, so audit-sized "
+        "batches only",
     )
     g.add_argument(
         "--profile-dir", default=None,

@@ -122,6 +122,24 @@ def test_coordinator_queries_file_all_under(workdir, capsys):
         assert f"closest entry {i} " in l
 
 
+def test_match_distances_out(workdir, capsys):
+    """--distances-out exports the [B, N] f64 spectrum; self-match queries
+    must show exact 0.0 at their planted entries and the argmin of the
+    exported matrix must agree with the match winners."""
+    assert main(["generate", "db.json", "24", "--seed", "13"]) == 0
+    assert main(["match", "db.json", "--batch", "3", "--seed", "5",
+                 "--distances-out", "d.npy"]) == 0
+    dist = np.load(workdir / "d.npy")
+    assert dist.shape == (3, 24) and dist.dtype == np.float64
+    assert (dist.min(axis=1) == 0.0).all()  # planted self-matches
+    capsys.readouterr()
+    assert main(["match", "db.json", "--batch", "3", "--seed", "5"]) == 0
+    out = capsys.readouterr().out
+    for b, line in enumerate(l for l in out.splitlines()
+                             if l.startswith("query ")):
+        assert f"closest entry {int(dist[b].argmin())} " in line
+
+
 def test_store_check(workdir, capsys):
     """fsck for the share store: clean stores pass (incl. --key/--deep);
     corruption, desync, torn tails (--strict) and bad sidecars are caught."""
