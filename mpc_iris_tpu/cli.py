@@ -1427,6 +1427,7 @@ def cmd_coordinator(args) -> int:
             audit=args.audit,
             max_matches=args.max_matches,
             max_inflight=args.max_inflight,
+            rounds_inflight=args.rounds_inflight,
         )
         if serve_ssl is not None:
             print("serving over TLS"
@@ -1438,7 +1439,8 @@ def cmd_coordinator(args) -> int:
                   "the client's threshold", file=sys.stderr)
         if args.wire == "batched":
             print(f"micro-batching up to {args.batch} concurrent queries "
-                  f"per MPC round ({args.window * 1e3:.0f} ms window); "
+                  f"per MPC round ({args.window * 1e3:.0f} ms window, "
+                  f"{args.rounds_inflight} round(s) in flight); "
                   "participants must run --wire batched", file=sys.stderr)
 
         async def serve():
@@ -2054,6 +2056,12 @@ def build_parser() -> argparse.ArgumentParser:
             help="micro-batching window for --serve --wire batched: after "
             "the first queued query, wait at most this long for more "
             "before dispatching the MPC round (default 5 ms)",
+        )
+        g.add_argument(
+            "--rounds-inflight", type=int, default=1, metavar="K",
+            help="with --serve --wire batched: run up to K micro-batched "
+            "MPC rounds concurrently so one round's reply streams overlap "
+            "the next round's compute (default 1 = one round at a time)",
         )
         g.add_argument("--queries", type=int, default=0, help="0 = loop forever")
         g.add_argument("--queries-file", default=None, metavar="JSON",

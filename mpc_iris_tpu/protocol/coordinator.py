@@ -737,7 +737,7 @@ class QueryServer:
                  read_timeout: float | None = None, refresh=None,
                  max_batch: int = 1, batch_window: float = 0.005,
                  audit: bool = False, max_matches: int = 65536,
-                 max_inflight: int = 32):
+                 max_inflight: int = 32, rounds_inflight: int = 1):
         """coordinator: the configured Coordinator to run rounds on.
         ssl_context: optional server-side TLS for the client-facing socket
         (independent of the coordinator's participant-facing TLS).
@@ -770,8 +770,17 @@ class QueryServer:
         every connection costs a full DB scan, so an unbounded accept loop
         would launch arbitrarily many rounds timesharing the device; excess
         clients queue on the semaphore (still served, in order) instead.
-        Micro-batched mode is inherently bounded (one round at a time over
-        the shared queue), so the gate applies only to solo rounds."""
+        Micro-batched mode is bounded by rounds_inflight (below), so the
+        gate applies only to solo rounds.
+
+        rounds_inflight (micro-batched mode only) allows up to K batched MPC
+        rounds in flight at once. At the default 1 the dispatcher runs one
+        round at a time, so while a round's reply streams drain no other
+        batch makes progress; at K≥2 the next batch's round starts while the
+        previous one is still reading, overlapping each round's wire reads
+        with the others' device dispatches (participants serve concurrent
+        rounds bit-exactly — pinned by TestConcurrentConnections). Outcomes
+        are per-client futures, so completion order never matters."""
         self.audit = audit
         self.max_matches = max_matches
         import contextlib
@@ -797,10 +806,12 @@ class QueryServer:
         self.refresh = refresh
         self.max_batch = max_batch
         self.batch_window = batch_window
+        self.rounds_inflight = max(1, rounds_inflight)
         self._refresh_lock = asyncio.Lock()
         self._server: asyncio.AbstractServer | None = None
         self._queue: asyncio.Queue | None = None
         self._dispatcher: asyncio.Task | None = None
+        self._round_tasks: set[asyncio.Task] = set()
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
@@ -830,14 +841,23 @@ class QueryServer:
             except asyncio.CancelledError:
                 pass
             self._dispatcher = None
+        for task in list(self._round_tasks):
+            task.cancel()
+        for task in list(self._round_tasks):
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
 
     async def _dispatch_loop(self):
         """Collect queued (template, threshold, future) triples into batched
-        MPC rounds (threshold is None in argmin mode)."""
+        MPC rounds (threshold is None in argmin mode); run up to
+        ``rounds_inflight`` rounds concurrently."""
         loop = asyncio.get_running_loop()
+        gate = asyncio.Semaphore(self.rounds_inflight)
         while True:
             batch = [await self._queue.get()]
             deadline = loop.time() + self.batch_window
@@ -851,6 +871,17 @@ class QueryServer:
                     )
                 except asyncio.TimeoutError:
                     break
+            # Acquire BEFORE spawning so the dispatcher back-pressures at
+            # rounds_inflight instead of piling unbounded rounds onto the
+            # participants; the task releases when its round finishes.
+            await gate.acquire()
+            task = loop.create_task(self._run_round(batch, gate))
+            self._round_tasks.add(task)
+            task.add_done_callback(self._round_tasks.discard)
+
+    async def _run_round(self, batch, gate: asyncio.Semaphore):
+        """One batched MPC round; resolves each client's future."""
+        try:
             try:
                 if self.audit:
                     outcomes = await self.coordinator.query_batch_under(
@@ -877,6 +908,8 @@ class QueryServer:
                 for (_t, _th, fut), outcome in zip(batch, outcomes):
                     if not fut.done():
                         fut.set_result(outcome)
+        finally:
+            gate.release()
 
     def stats(self) -> dict:
         """Serving counters + latency quantiles over the recent window."""

@@ -484,6 +484,63 @@ class TestQueryServer:
             outcomes[0].index, outcomes[0].distance
         )
 
+    def test_serve_pipelined_rounds_overlap_and_stay_exact(self, world):
+        """rounds_inflight=2: two micro-batched MPC rounds run CONCURRENTLY
+        (observed via a query_batch wrapper that holds each round open) and
+        every client outcome still matches the scalar oracle."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        qrng = np.random.default_rng(44)
+        queries = [query, db[3], db[9]] + [
+            Template.random(qrng) for _ in range(5)
+        ]
+        inflight, peak = [0], [0]
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            orig = coord.query_batch
+
+            async def tracking(templates):
+                inflight[0] += 1
+                peak[0] = max(peak[0], inflight[0])
+                try:
+                    # Hold the round open so the dispatcher provably starts
+                    # the next one while this one is still in flight.
+                    await asyncio.sleep(0.05)
+                    return await orig(templates)
+                finally:
+                    inflight[0] -= 1
+
+            coord.query_batch = tracking
+            server = QueryServer(coord, "127.0.0.1", 0, max_batch=2,
+                                 batch_window=0.01, rounds_inflight=2)
+            host, port = await server.start()
+            try:
+                return await asyncio.gather(
+                    *[query_remote(host, port, q) for q in queries]
+                )
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        outcomes = asyncio.run(go())
+        assert peak[0] >= 2, "no two rounds ever overlapped"
+        for q, outcome in zip(queries, outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
+
     def test_serve_micro_batching_failure_propagates(self, world):
         """A failed batched round closes every waiting client with no reply
         bytes."""
