@@ -952,6 +952,58 @@ def make_masks_watcher(path: str, engine):
     return refresh
 
 
+async def _serve_until_signal(server, grace: float, role: str) -> int:
+    """Run a serving role until SIGTERM/SIGINT, then DRAIN: stop accepting,
+    let in-flight requests finish streaming (up to `grace` seconds — the
+    reference's clean-shutdown TODO, src/main.rs:449/631/641). A second
+    signal force-quits immediately; exit code 1 when the grace expired with
+    requests still running."""
+    import contextlib
+    import signal as _signal
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+
+    def on_signal():
+        if stop.is_set():
+            os._exit(1)
+        stop.set()
+
+    hooked = []
+    for sig in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, on_signal)
+            hooked.append(sig)
+        except (NotImplementedError, RuntimeError):
+            pass  # non-Unix event loop: KeyboardInterrupt path still works
+
+    serve_task = asyncio.ensure_future(server.serve_forever())
+    stop_task = asyncio.ensure_future(stop.wait())
+    try:
+        await asyncio.wait({serve_task, stop_task},
+                           return_when=asyncio.FIRST_COMPLETED)
+        if serve_task.done() and not stop.is_set():
+            return serve_task.result() or 0  # propagates serve errors
+        print(f"{role}: signal received — draining (no new connections; "
+              f"up to {grace:.0f}s for in-flight requests; signal again to "
+              "force quit)", file=sys.stderr)
+        drained = await server.drain(grace)
+        await server.close()
+        if not drained:
+            print(f"{role}: drain grace expired with requests still in "
+                  "flight — exiting anyway", file=sys.stderr)
+            return 1
+        print(f"{role}: drained cleanly", file=sys.stderr)
+        return 0
+    finally:
+        for t in (serve_task, stop_task):
+            t.cancel()
+            with contextlib.suppress(asyncio.CancelledError, Exception):
+                await t
+        for sig in hooked:
+            loop.remove_signal_handler(sig)
+
+
 def cmd_participant(args) -> int:
     from mpc_iris_tpu.protocol import ParticipantServer
 
@@ -1029,13 +1081,13 @@ def cmd_participant(args) -> int:
     async def run():
         await server.start()
         print(f"listening on {server.port}", file=sys.stderr)
-        await server.serve_forever()
+        return await _serve_until_signal(server, args.drain_grace,
+                                         "participant")
 
     try:
-        asyncio.run(run())
+        return asyncio.run(run())
     except KeyboardInterrupt:
-        pass
-    return 0
+        return 0
 
 
 # ------------------------------------------------------------------ coordinator
@@ -1447,13 +1499,13 @@ def cmd_coordinator(args) -> int:
             await server.start()
             print(f"serving uniqueness queries on {server.port}",
                   file=sys.stderr)
-            await server.serve_forever()
+            return await _serve_until_signal(server, args.drain_grace,
+                                             "query server")
 
         try:
-            asyncio.run(serve())
+            return asyncio.run(serve())
         except KeyboardInterrupt:
-            pass
-        return 0
+            return 0
 
     q_source = None
     if args.queries_file:
@@ -1988,6 +2040,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "query within this many seconds (a silent client "
                    "otherwise pins its connection forever; SPEC section 5). "
                    "default: wait forever, like the reference")
+    g.add_argument("--drain-grace", type=float, default=30.0,
+                   metavar="SECONDS",
+                   help="on SIGTERM/SIGINT, stop accepting and let in-flight "
+                   "replies finish streaming for up to this long before "
+                   "exiting (second signal force-quits)")
     g.add_argument("--watch", action="store_true",
                    help="before each request, adopt rows appended to the "
                    "share file since startup (DB sync — a TODO in the "
@@ -2096,6 +2153,11 @@ def build_parser() -> argparse.ArgumentParser:
                        "the query loudly instead of hanging it forever "
                        "(StalledPartyError, SPEC section 5). default: wait "
                        "forever, like the reference")
+        g.add_argument("--drain-grace", type=float, default=30.0,
+                       metavar="SECONDS",
+                       help="with --serve: on SIGTERM/SIGINT, stop accepting "
+                       "and answer every in-flight query for up to this long "
+                       "before exiting (second signal force-quits)")
         g.add_argument("--strict-scan", action="store_true",
                        help="abort a query loudly (TruncatedScanError) if the "
                        "reply streams end before the full masks DB is "

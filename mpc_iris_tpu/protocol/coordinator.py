@@ -28,6 +28,7 @@ import numpy as np
 
 from mpc_iris_tpu.constants import N_ROTATIONS
 from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
+from mpc_iris_tpu.protocol.drain import ConnectionTracker
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import read_records, records_per_read
 from mpc_iris_tpu.types import Template
@@ -812,10 +813,12 @@ class QueryServer:
         self._queue: asyncio.Queue | None = None
         self._dispatcher: asyncio.Task | None = None
         self._round_tasks: set[asyncio.Task] = set()
+        self._tracker = ConnectionTracker()
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
-            self._handle, self.host, self.port, ssl=self.ssl_context
+            self._tracker.wrap(self._handle), self.host, self.port,
+            ssl=self.ssl_context,
         )
         if self.max_batch > 1:
             self._queue = asyncio.Queue()
@@ -832,6 +835,17 @@ class QueryServer:
             await self.start()
         async with self._server:
             await self._server.serve_forever()
+
+    async def drain(self, grace: float | None = None) -> bool:
+        """Graceful shutdown: stop accepting new clients, wait up to `grace`
+        seconds for every in-flight query (including queued micro-batch
+        members — their handlers hold the connection until the shared round
+        resolves) to be answered. Returns False if the deadline expired with
+        queries still running. Call :meth:`close` afterwards to stop the
+        dispatcher."""
+        if self._server is not None:
+            self._server.close()
+        return await self._tracker.wait_idle(grace)
 
     async def close(self) -> None:
         if self._dispatcher is not None:

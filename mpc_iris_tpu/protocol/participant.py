@@ -12,6 +12,7 @@ import logging
 
 import numpy as np
 
+from mpc_iris_tpu.protocol.drain import ConnectionTracker
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import (
     batched_records_to_bytes,
@@ -62,10 +63,12 @@ class ParticipantServer:
         self.read_timeout = read_timeout
         self._refresh_lock = asyncio.Lock()
         self._server: asyncio.AbstractServer | None = None
+        self._tracker = ConnectionTracker()
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
-            self._handle, self.host, self.port, ssl=self.ssl_context
+            self._tracker.wrap(self._handle), self.host, self.port,
+            ssl=self.ssl_context,
         )
         sock = self._server.sockets[0].getsockname()
         log.info("participant listening on %s:%s", sock[0], sock[1])
@@ -77,6 +80,16 @@ class ParticipantServer:
             await self.start()
         async with self._server:
             await self._server.serve_forever()
+
+    async def drain(self, grace: float | None = None) -> bool:
+        """Graceful shutdown: stop accepting new connections, wait up to
+        `grace` seconds for in-flight replies to finish streaming (SPEC §5;
+        the reference's clean-shutdown TODO, src/main.rs:449). Returns False
+        if the deadline expired with requests still running — the caller
+        decides whether to force-exit anyway."""
+        if self._server is not None:
+            self._server.close()
+        return await self._tracker.wait_idle(grace)
 
     async def close(self) -> None:
         if self._server is not None:

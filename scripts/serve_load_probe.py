@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from mpc_iris_tpu.models import MasksEngine, ShareEngine
+from mpc_iris_tpu.models import KeyedShareEngine, MasksEngine, ShareEngine
 from mpc_iris_tpu.native import encode_u16_native, share_split
 from mpc_iris_tpu.protocol import (
     Coordinator,
@@ -35,15 +35,27 @@ async def run(args):
     key = rng.bytes(32)
     enc = encode_u16_native(pats, msks)
     shares = share_split(enc, 2, key)
+    del enc
     print(f"built {args.db}-entry share DB", flush=True)
+
+    # --keyed: party 0 regenerates its share on device from the key (the
+    # flagship zero-share-I/O participant); party 1 holds the data share.
+    # Both engines timeshare the one chip, so split HBM between them.
+    if args.keyed:
+        engines = [
+            KeyedShareEngine(key, 0, args.db, chunk=args.chunk,
+                             hbm_budget=2 << 30, batch_hint=args.batch),
+            ShareEngine(shares[1], chunk=args.chunk),
+        ]
+    else:
+        engines = [ShareEngine(s, chunk=args.chunk) for s in shares]
+    del shares
 
     # Solo serving rounds (max_batch=1) speak the reference wire; micro-
     # batched rounds need the batched wire on every participant.
     wire = "batched" if args.batch > 1 else "reference"
     parts = [
-        ParticipantServer(ShareEngine(s, chunk=args.chunk), "127.0.0.1", 0,
-                          wire=wire)
-        for s in shares
+        ParticipantServer(e, "127.0.0.1", 0, wire=wire) for e in engines
     ]
     addrs = [await p.start() for p in parts]
     coord = Coordinator(MasksEngine(msks, chunk=args.chunk), addrs)
@@ -96,6 +108,9 @@ def main():
     p.add_argument("--rounds", type=int, default=1,
                    help="concurrent micro-batched MPC rounds (QueryServer "
                         "rounds_inflight)")
+    p.add_argument("--keyed", action="store_true",
+                   help="party 0 serves keyed (on-device share regeneration "
+                        "from the 32-byte key) instead of file-backed")
     args = p.parse_args()
     asyncio.run(run(args))
 

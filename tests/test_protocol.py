@@ -1078,3 +1078,127 @@ class TestRobustness:
             return data
 
         assert asyncio.run(go()) == b""
+
+
+class TestDrain:
+    """Graceful shutdown (SPEC section 5): drain() stops accepting, finishes
+    in-flight replies under a grace deadline — the clean-shutdown behavior
+    the reference leaves as TODOs (src/main.rs:449, 631, 641)."""
+
+    @staticmethod
+    def _gated_engine(inner, gate):
+        """Engine wrapper whose stream yields its first chunk, then blocks on
+        `gate` (a threading.Event) before continuing — pins the connection
+        handler mid-reply deterministically."""
+
+        class Gated:
+            count = inner.count
+
+            def stream(self, qp, qm, entry_major=False):
+                first = True
+                for item in inner.stream(qp, qm, entry_major=entry_major):
+                    yield item
+                    if first:
+                        assert gate.wait(timeout=30)
+                        first = False
+
+        return Gated()
+
+    def test_participant_drain_finishes_inflight_reply(self, world):
+        import threading
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        gate = threading.Event()
+
+        async def go():
+            eng = self._gated_engine(ShareEngine(mats[0], chunk=8), gate)
+            server = ParticipantServer(eng, "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            first = await reader.readexactly(8 * 62)  # chunk 0 streamed
+
+            drain = asyncio.ensure_future(server.drain(grace=20))
+            await asyncio.sleep(0.1)
+            assert not drain.done(), "drain must wait for the in-flight reply"
+            # The listener is already closed: new connections are refused.
+            with pytest.raises(ConnectionError):
+                await asyncio.open_connection(host, port)
+
+            gate.set()
+            rest = await reader.read()  # remaining 15 records to EOF
+            assert await drain is True
+            writer.close()
+            await writer.wait_closed()
+            await server.close()
+            return first + rest
+
+        payload = asyncio.run(go())
+        assert len(payload) == len(db) * 62  # the FULL reply survived drain
+
+    def test_participant_drain_grace_expires(self, world):
+        import threading
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        gate = threading.Event()
+
+        async def go():
+            eng = self._gated_engine(ShareEngine(mats[0], chunk=8), gate)
+            server = ParticipantServer(eng, "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            await reader.readexactly(8 * 62)
+            ok = await server.drain(grace=0.2)  # handler still gated
+            gate.set()
+            writer.close()
+            await writer.wait_closed()
+            await server.close()
+            return ok
+
+        assert asyncio.run(go()) is False
+
+    def test_queryserver_drain_answers_queued_clients(self, world):
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        q2 = Template.random(np.random.default_rng(55))
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, max_batch=2,
+                                 batch_window=0.2)
+            host, port = await server.start()
+            clients = [
+                asyncio.ensure_future(query_remote(host, port, q))
+                for q in (query, q2)
+            ]
+            await asyncio.sleep(0.05)  # let both enqueue into the window
+            drained = await server.drain(grace=30)
+            outcomes = await asyncio.gather(*clients)
+            with pytest.raises(ConnectionError):
+                await query_remote(host, port, query)
+            await server.close()
+            for p in parts:
+                await p.close()
+            return drained, outcomes
+
+        drained, outcomes = asyncio.run(go())
+        assert drained is True
+        for q, outcome in zip((query, q2), outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
