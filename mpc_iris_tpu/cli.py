@@ -982,24 +982,36 @@ async def _serve_until_signal(server, grace: float, role: str) -> int:
     try:
         await asyncio.wait({serve_task, stop_task},
                            return_when=asyncio.FIRST_COMPLETED)
-        if serve_task.done() and not stop.is_set():
+        if serve_task.done():
+            # The server died (signal or not): surface that, don't "drain"
+            # a dead listener into a clean exit.
             return serve_task.result() or 0  # propagates serve errors
         print(f"{role}: signal received — draining (no new connections; "
               f"up to {grace:.0f}s for in-flight requests; signal again to "
               "force quit)", file=sys.stderr)
         drained = await server.drain(grace)
-        await server.close()
         if not drained:
-            print(f"{role}: drain grace expired with requests still in "
-                  "flight — exiting anyway", file=sys.stderr)
+            # The connections that outlived the grace are exactly what would
+            # make close() wait forever — hard-close them so shutdown stays
+            # bounded, and bound close() itself as a backstop.
+            n = server.abort_connections()
+            print(f"{role}: drain grace expired — aborted {n} in-flight "
+                  "connection(s)", file=sys.stderr)
+        with contextlib.suppress(asyncio.TimeoutError):
+            await asyncio.wait_for(server.close(), 10)
+        if not drained:
             return 1
         print(f"{role}: drained cleanly", file=sys.stderr)
         return 0
     finally:
         for t in (serve_task, stop_task):
             t.cancel()
-            with contextlib.suppress(asyncio.CancelledError, Exception):
+            try:
                 await t
+            except asyncio.CancelledError:
+                pass
+            except Exception as e:  # a real serve error must not vanish
+                print(f"{role}: server task failed: {e}", file=sys.stderr)
         for sig in hooked:
             loop.remove_signal_handler(sig)
 

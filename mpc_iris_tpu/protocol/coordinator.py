@@ -28,7 +28,7 @@ import numpy as np
 
 from mpc_iris_tpu.constants import N_ROTATIONS
 from mpc_iris_tpu.ops.decode import fraction_argmin, fraction_min_rotations, fraction_to_f64
-from mpc_iris_tpu.protocol.drain import ConnectionTracker
+from mpc_iris_tpu.protocol.drain import ConnectionTracker, drain_server
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import read_records, records_per_read
 from mpc_iris_tpu.types import Template
@@ -841,11 +841,13 @@ class QueryServer:
         seconds for every in-flight query (including queued micro-batch
         members — their handlers hold the connection until the shared round
         resolves) to be answered. Returns False if the deadline expired with
-        queries still running. Call :meth:`close` afterwards to stop the
-        dispatcher."""
-        if self._server is not None:
-            self._server.close()
-        return await self._tracker.wait_idle(grace)
+        queries still running — call :meth:`abort_connections` then
+        :meth:`close` to finish shutdown (close also stops the dispatcher)."""
+        return await drain_server(self._server, grace)
+
+    def abort_connections(self) -> int:
+        """Hard-close every live client connection (post-grace force path)."""
+        return self._tracker.abort_all()
 
     async def close(self) -> None:
         if self._dispatcher is not None:
@@ -862,6 +864,12 @@ class QueryServer:
                 await task
             except asyncio.CancelledError:
                 pass
+        # Queries enqueued but never collected into a round: cancel their
+        # futures so the waiting handlers unwind instead of hanging.
+        while self._queue is not None and not self._queue.empty():
+            _t, _th, fut = self._queue.get_nowait()
+            if not fut.done():
+                fut.cancel()
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
@@ -874,21 +882,31 @@ class QueryServer:
         gate = asyncio.Semaphore(self.rounds_inflight)
         while True:
             batch = [await self._queue.get()]
-            deadline = loop.time() + self.batch_window
-            while len(batch) < self.max_batch:
-                remaining = deadline - loop.time()
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(
-                        await asyncio.wait_for(self._queue.get(), remaining)
-                    )
-                except asyncio.TimeoutError:
-                    break
-            # Acquire BEFORE spawning so the dispatcher back-pressures at
-            # rounds_inflight instead of piling unbounded rounds onto the
-            # participants; the task releases when its round finishes.
-            await gate.acquire()
+            try:
+                deadline = loop.time() + self.batch_window
+                while len(batch) < self.max_batch:
+                    remaining = deadline - loop.time()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(
+                            await asyncio.wait_for(self._queue.get(),
+                                                   remaining)
+                        )
+                    except asyncio.TimeoutError:
+                        break
+                # Acquire BEFORE spawning so the dispatcher back-pressures at
+                # rounds_inflight instead of piling unbounded rounds onto the
+                # participants; the task releases when its round finishes.
+                await gate.acquire()
+            except asyncio.CancelledError:
+                # Cancelled mid-collection (or parked on the gate): the
+                # already-collected triples must not be abandoned — their
+                # handlers await these futures and would hang forever.
+                for _t, _th, fut in batch:
+                    if not fut.done():
+                        fut.cancel()
+                raise
             task = loop.create_task(self._run_round(batch, gate))
             self._round_tasks.add(task)
             task.add_done_callback(self._round_tasks.discard)

@@ -12,7 +12,7 @@ import logging
 
 import numpy as np
 
-from mpc_iris_tpu.protocol.drain import ConnectionTracker
+from mpc_iris_tpu.protocol.drain import ConnectionTracker, drain_server
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import (
     batched_records_to_bytes,
@@ -85,11 +85,13 @@ class ParticipantServer:
         """Graceful shutdown: stop accepting new connections, wait up to
         `grace` seconds for in-flight replies to finish streaming (SPEC §5;
         the reference's clean-shutdown TODO, src/main.rs:449). Returns False
-        if the deadline expired with requests still running — the caller
-        decides whether to force-exit anyway."""
-        if self._server is not None:
-            self._server.close()
-        return await self._tracker.wait_idle(grace)
+        if the deadline expired with connections still open — call
+        :meth:`abort_connections` then :meth:`close` to finish shutdown."""
+        return await drain_server(self._server, grace)
+
+    def abort_connections(self) -> int:
+        """Hard-close every live connection (the post-grace force path)."""
+        return self._tracker.abort_all()
 
     async def close(self) -> None:
         if self._server is not None:

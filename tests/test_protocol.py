@@ -1202,3 +1202,94 @@ class TestDrain:
             assert outcome.total == len(db)
             assert outcome.index == int(np.argmin(oracle))
             assert outcome.distance == oracle.min()
+
+    def test_close_cancels_parked_dispatcher_batch(self, world):
+        """close() while the dispatcher is parked on the rounds gate with a
+        collected batch must unwind that batch's waiting clients (cancelled
+        futures -> closed connections), never strand them (review finding:
+        abandoned batch on dispatcher cancellation)."""
+        from mpc_iris_tpu.protocol import QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        release = asyncio.Event()
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            orig = coord.query_batch
+
+            async def slow(templates):
+                await release.wait()  # round 1 blocks the single gate slot
+                return await orig(templates)
+
+            coord.query_batch = slow
+            server = QueryServer(coord, "127.0.0.1", 0, max_batch=1,
+                                 batch_window=0.01, rounds_inflight=1)
+            host, port = await server.start()
+
+            async def raw_client(q):
+                reader, writer = await asyncio.open_connection(host, port)
+                writer.write(q.to_bytes())
+                await writer.drain()
+                data = await asyncio.wait_for(reader.read(), timeout=15)
+                writer.close()
+                await writer.wait_closed()
+                return data
+
+            c1 = asyncio.ensure_future(raw_client(query))
+            c2 = asyncio.ensure_future(raw_client(db[2]))
+            await asyncio.sleep(0.3)  # round 1 in flight, batch 2 parked
+            # close() with the dispatcher parked on gate.acquire(): both
+            # clients must unwind promptly (closed, no reply bytes).
+            await asyncio.wait_for(server.close(), timeout=10)
+            release.set()
+            replies = await asyncio.gather(*[c1, c2])
+            for p in parts:
+                await p.close()
+            return replies
+
+        assert asyncio.run(go()) == [b"", b""]
+
+    def test_abort_connections_after_failed_drain(self, world):
+        """The force path: a connection that outlives the grace is hard-
+        closed by abort_connections() so close() cannot hang on it (review
+        finding: wait_closed blocks forever on surviving connections)."""
+        import threading
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        gate = threading.Event()
+
+        async def go():
+            eng = self._gated_engine(ShareEngine(mats[0], chunk=8), gate)
+            server = ParticipantServer(eng, "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            await reader.readexactly(8 * 62)
+            assert await server.drain(grace=0.2) is False
+            assert server.abort_connections() == 1
+            gate.set()  # un-wedge the engine thread so the pump can exit
+            await asyncio.wait_for(server.close(), timeout=10)
+            # the client sees the abort as EOF/reset, not a clean reply
+            try:
+                rest = await asyncio.wait_for(reader.read(), timeout=5)
+            except ConnectionResetError:
+                rest = b""
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except ConnectionResetError:
+                pass
+            return rest
+
+        rest = asyncio.run(go())
+        assert len(rest) < (len(db) - 8) * 62  # reply was cut short
