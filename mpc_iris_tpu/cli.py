@@ -1053,7 +1053,7 @@ def cmd_participant(args) -> int:
         # served at steady-state speed (first compiles cost minutes on TPU).
         t0 = time.monotonic()
         rng = np.random.default_rng(0)
-        wb = args.warmup_batch if args.wire == "batched" else 1
+        wb = args.warmup_batch if args.wire in ("batched", "chain") else 1
         qp = rng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
         qm = rng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
         next(iter(engine.stream(qp, qm)))
@@ -1347,7 +1347,18 @@ def cmd_coordinator(args) -> int:
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    if args.all_under is not None and (args.serve or args.wire == "batched"):
+    # Chain mode (SPEC 5.4) rides the batched round path everywhere.
+    batched_mode = args.wire in ("batched", "chain")
+    if args.wire == "chain" and not args.share:
+        print("error: --wire chain requires --share — the coordinator's own "
+              "share must stay OUT of the chain, else the chain head would "
+              "reconstruct plaintext distances (SPEC 5.4)", file=sys.stderr)
+        return 1
+    if args.wire == "chain" and not args.participants:
+        print("error: --wire chain needs at least one participant",
+              file=sys.stderr)
+        return 1
+    if args.all_under is not None and (args.serve or batched_mode):
         print("error: --all-under runs self-generated audit queries on the "
               "reference wire; drop --serve/--wire batched (for a NETWORK "
               "audit service use --serve --audit)", file=sys.stderr)
@@ -1405,7 +1416,7 @@ def cmd_coordinator(args) -> int:
             # engine's workspace for exactly that batch.
             local_engine = _share_engine_from_spec(
                 args.share, args.chunk,
-                batch_hint=args.batch if args.wire == "batched" else 1,
+                batch_hint=args.batch if batched_mode else 1,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -1414,7 +1425,13 @@ def cmd_coordinator(args) -> int:
     participants = [_parse_addr(a) for a in args.participants]
     coord = Coordinator(masks_engine, participants, local_engine=local_engine,
                         ssl_context=ssl_ctx, round_timeout=args.timeout,
-                        strict_scan=args.strict_scan)
+                        strict_scan=args.strict_scan,
+                        chain=args.wire == "chain")
+    if args.wire == "chain":
+        head = participants[-1]
+        print(f"chain mode: replies aggregate through {head[0]}:{head[1]} "
+              f"(chain of {len(participants)}; coordinator ingress is ONE "
+              "stream)", file=sys.stderr)
     rng = np.random.default_rng(args.seed)
 
     watchers = []
@@ -1436,7 +1453,7 @@ def cmd_coordinator(args) -> int:
         from mpc_iris_tpu.protocol.wire import records_per_read
 
         t0 = time.monotonic()
-        wb = args.batch if args.wire == "batched" else 1
+        wb = args.batch if batched_mode else 1
         wrng = np.random.default_rng(0)
         qm = wrng.integers(0, 256, (wb, BITS_BYTES), dtype=np.uint8)
         next(iter(masks_engine.stream(qm)))
@@ -1445,10 +1462,12 @@ def cmd_coordinator(args) -> int:
             next(iter(local_engine.stream(qp, qm)))
         # Warm the fused per-batch dispatch at the first-round shape: P share
         # sources (participants + optional local share), entry count from the
-        # byte-budgeted read size.
-        n_parties = len(participants) + (local_engine is not None)
+        # byte-budgeted read size. Chain mode receives ONE aggregated remote
+        # stream regardless of party count.
+        n_remote = 1 if args.wire == "chain" else len(participants)
+        n_parties = n_remote + (local_engine is not None)
         n0 = min(records_per_read(wb), masks.shape[0])
-        if args.wire == "batched":
+        if batched_mode:
             shares = tuple(
                 np.zeros((n0, wb, 31), dtype=np.uint16) for _ in range(n_parties)
             )
@@ -1486,7 +1505,7 @@ def cmd_coordinator(args) -> int:
             ssl_context=serve_ssl,
             refresh=refresh_all if watchers else None,
             read_timeout=args.timeout,
-            max_batch=args.batch if args.wire == "batched" else 1,
+            max_batch=args.batch if batched_mode else 1,
             batch_window=args.window,
             audit=args.audit,
             max_matches=args.max_matches,
@@ -1501,7 +1520,7 @@ def cmd_coordinator(args) -> int:
         if args.audit:
             print("AUDIT service (SPEC 5.3): replies list every entry under "
                   "the client's threshold", file=sys.stderr)
-        if args.wire == "batched":
+        if batched_mode:
             print(f"micro-batching up to {args.batch} concurrent queries "
                   f"per MPC round ({args.window * 1e3:.0f} ms window, "
                   f"{args.rounds_inflight} round(s) in flight); "
@@ -1548,7 +1567,7 @@ def cmd_coordinator(args) -> int:
         while more():
             for w in watchers:
                 await asyncio.to_thread(w)
-            if args.wire == "batched":
+            if batched_mode:
                 queries = next_queries(args.batch)
                 t0 = time.monotonic()
                 outcomes = await coord.query_batch(queries)
@@ -2039,9 +2058,13 @@ def build_parser() -> argparse.ArgumentParser:
         "less of the DB resident but cannot OOM mid-pass)",
     )
     g.add_argument(
-        "--wire", choices=["reference", "batched"], default="reference",
+        "--wire", choices=["reference", "batched", "chain"],
+        default="reference",
         help="reference = byte-compatible single-query wire; batched = "
-        "multi-query extension (pair with coordinator --wire batched)",
+        "multi-query extension (pair with coordinator --wire batched); "
+        "chain = batched + chained reply aggregation (SPEC 5.4): this party "
+        "adds its upstream chain's stream to its own shares and forwards "
+        "ONE summed stream (pair with coordinator --wire chain)",
     )
     g.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip the startup compile warm-up pass")
@@ -2146,9 +2169,14 @@ def build_parser() -> argparse.ArgumentParser:
             help="masks DB storage (packed = 1.6 KB/entry, 8x HBM capacity)",
         )
         g.add_argument(
-            "--wire", choices=["reference", "batched"], default="reference",
-            help="batched = send --batch queries per round (participants must "
-            "also run --wire batched)",
+            "--wire", choices=["reference", "batched", "chain"],
+            default="reference",
+            help="batched = send --batch queries per round (participants "
+            "must also run --wire batched); chain = batched rounds with "
+            "chained reply aggregation (SPEC 5.4): connect only to the LAST "
+            "participant, which recursively sums the others' streams — "
+            "requires --share (the coordinator's own share must stay out of "
+            "the chain) and participants running --wire chain",
         )
         g.add_argument("--batch", type=parse_si, default=16,
                        help="queries per round on the batched wire")

@@ -235,7 +235,7 @@ class Coordinator:
     def __init__(self, masks_engine, participants: list[tuple[str, int]],
                  local_engine=None, batch_records: int | None = None,
                  ssl_context=None, round_timeout: float | None = None,
-                 strict_scan: bool = False):
+                 strict_scan: bool = False, chain: bool = False):
         """masks_engine: MasksEngine/ShardedMasksEngine over the public masks DB.
         participants: (host, port) of each share-holding party.
         local_engine: optional ShareEngine if this process also holds a share.
@@ -255,12 +255,29 @@ class Coordinator:
         party record counts included) instead of returning a verdict over the
         prefix. Default False == the reference's EOF-tolerant truncation;
         see TruncatedScanError for when each is right.
+        chain: chained reply aggregation (SPEC section 5.4). The coordinator
+        contacts ONLY the last participant (the chain head), which recursively
+        pulls, sums, and forwards the rest of the chain's dot shares — reply
+        ingress becomes one stream regardless of party count. Requires
+        ``local_engine``: the coordinator's own share must stay out of the
+        chain so every partial sum any party sees is missing at least one
+        share and stays uniformly random. Participants must run
+        ``--wire chain``.
         """
         if not participants and local_engine is None:
             raise ValueError(
                 "coordinator needs at least one participant or a local share "
                 "engine — masks alone cannot answer queries"
             )
+        if chain and local_engine is None:
+            raise ValueError(
+                "chain mode requires the coordinator to hold a share "
+                "(local_engine / --share): without it the chain head would "
+                "reconstruct the full dot sums — plaintext distances — "
+                "which only the coordinator may see"
+            )
+        if chain and not participants:
+            raise ValueError("chain mode needs at least one participant")
         self.masks_engine = masks_engine
         self.participants = participants
         self.local_engine = local_engine
@@ -268,6 +285,7 @@ class Coordinator:
         self.ssl_context = ssl_context
         self.round_timeout = round_timeout
         self.strict_scan = strict_scan
+        self.chain = chain
 
     async def _read_round(self, coro, party: str):
         """Run one party's read-round coroutine under the deadline; a timeout
@@ -296,7 +314,7 @@ class Coordinator:
         rejected TLS handshake must not leak the other parties' sockets."""
         results = await asyncio.gather(
             *[asyncio.open_connection(h, p, ssl=self.ssl_context)
-              for h, p in self.participants],
+              for h, p in self._endpoints()],
             return_exceptions=True,
         )
         errs = [r for r in results if isinstance(r, BaseException)]
@@ -363,7 +381,7 @@ class Coordinator:
                 # main.rs:560), each remote read under the round deadline.
                 reads = [
                     self._read_round(read_records(r, records), f"{h}:{p}")
-                    for (r, _w), (h, p) in zip(conns, self.participants)
+                    for (r, _w), (h, p) in zip(conns, self._endpoints())
                 ]
                 gathered = await asyncio.gather(
                     denom_pump.next_item(),
@@ -407,6 +425,11 @@ class Coordinator:
         self._check_truncated(processed, party_records)
 
     async def query(self, template: Template) -> QueryOutcome:
+        if self.chain:
+            # Chain replies are entry-major batched-wire streams; at B=1 the
+            # bytes coincide with the reference record stream, and the
+            # batched round path already speaks the chain wire.
+            return (await self.query_batch([template]))[0]
         records = self.batch_records or records_per_read(1)
         best = (0, 0, -1)  # (num, den, index); den == 0 means +inf
         pending = []  # (batch offset, async device winner triple)
@@ -456,6 +479,10 @@ class Coordinator:
             hits_under_from_fractions,
         )
 
+        if self.chain:
+            return (await self.query_batch_under(
+                [template], [threshold], limit=limit
+            ))[0]
         self._check_audit_size(1)
         records = self.batch_records or records_per_read(1)
         pending = []  # (batch offset, async device [2, n] min-fraction block)
@@ -479,6 +506,11 @@ class Coordinator:
         matches = [MatchAt(int(i), float(v)) for i, v in zip(idx, dist)]
         return UnderThresholdOutcome(matches, processed)
 
+    def _endpoints(self) -> list[tuple[str, int]]:
+        """The participants this coordinator actually connects to: all of
+        them, or only the chain head in chain mode."""
+        return [self.participants[-1]] if self.chain else self.participants
+
     def _check_truncated(self, processed: int, party_records: list[int]):
         """strict_scan: the aligned streams must have covered the WHOLE masks
         DB (its count at round end), else the verdict is unsafe — raise with
@@ -490,7 +522,7 @@ class Coordinator:
             return
         per_party = ", ".join(
             f"{h}:{p} sent {c}"
-            for (h, p), c in zip(self.participants, party_records)
+            for (h, p), c in zip(self._endpoints(), party_records)
         ) or "local share only"
         raise TruncatedScanError(
             f"scan truncated at {processed}/{expected} entries — a verdict "
@@ -507,12 +539,14 @@ class Coordinator:
         if processed == 0 and any(c == 0 for c in party_records):
             dead = [
                 f"{h}:{p}"
-                for (h, p), c in zip(self.participants, party_records)
+                for (h, p), c in zip(self._endpoints(), party_records)
                 if c == 0
             ]
             raise ConnectionError(
                 f"no reply records from participant(s) {', '.join(dead)} — "
                 "connection, TLS, or wire-mode failure"
+                + (" (chain mode: a failed upstream aborts through the "
+                   "chain head)" if self.chain else "")
             )
 
     async def _stream_rounds_batched(self, templates: list[Template]):
@@ -524,7 +558,11 @@ class Coordinator:
         vectorized over the batch on device. Amortizes connection,
         rotation-expansion and dispatch overheads ~B-fold vs :meth:`query`.
         """
-        from mpc_iris_tpu.protocol.wire import batched_query_bytes, read_batched_records
+        from mpc_iris_tpu.protocol.wire import (
+            batched_query_bytes,
+            chain_query_bytes,
+            read_batched_records,
+        )
 
         b = len(templates)
         if not 0 < b <= 65536:
@@ -536,7 +574,15 @@ class Coordinator:
         records = self.batch_records or records_per_read(b)
 
         conns = await self._connect_all()
-        payload = batched_query_bytes(qpat, qmsk)
+        if self.chain:
+            # One connection to the chain head; its request names the rest
+            # of the chain, which self-assembles recursively (SPEC 5.4). The
+            # single reply stream already carries the remote parties' SUM.
+            payload = chain_query_bytes(
+                qpat, qmsk, [f"{h}:{p}" for h, p in self.participants[:-1]]
+            )
+        else:
+            payload = batched_query_bytes(qpat, qmsk)
         for _, writer in conns:
             writer.write(payload)
         await asyncio.gather(*[w.drain() for _, w in conns])
@@ -566,7 +612,7 @@ class Coordinator:
                     self._read_round(
                         read_batched_records(r, b, records), f"{h}:{p}"
                     )
-                    for (r, _w), (h, p) in zip(conns, self.participants)
+                    for (r, _w), (h, p) in zip(conns, self._endpoints())
                 ]
                 gathered = await asyncio.gather(
                     denom_pump.next_item(),

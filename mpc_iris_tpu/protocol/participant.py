@@ -16,8 +16,12 @@ from mpc_iris_tpu.protocol.drain import ConnectionTracker, drain_server
 from mpc_iris_tpu.protocol.pump import StreamPump
 from mpc_iris_tpu.protocol.wire import (
     batched_records_to_bytes,
+    chain_query_bytes,
     read_batched_query,
+    read_batched_records,
+    read_chain_query,
     read_template_bytes,
+    records_per_read,
     records_to_bytes,
 )
 from mpc_iris_tpu.constants import BITS_BYTES
@@ -28,12 +32,19 @@ log = logging.getLogger("mpc_iris_tpu.participant")
 class ParticipantServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
                  wire: str = "reference", ssl_context=None, refresh=None,
-                 read_timeout: float | None = None):
+                 read_timeout: float | None = None,
+                 upstream_ssl_context=None):
         """engine: ShareEngine or ShardedShareEngine (anything with .stream).
 
         wire: "reference" = one raw template per connection (byte-compatible
         with the reference); "batched" = u32 count + B templates, entry-major
-        B-group reply (this framework's batched extension).
+        B-group reply (this framework's batched extension); "chain" = batched
+        plus chained reply aggregation (SPEC section 5.4): the request names
+        this party's upstream chain, whose aggregated stream is read, added
+        to this party's own dot shares (mod 2^16), and forwarded downstream
+        as ONE stream — the coordinator's ingress stops scaling with the
+        party count. Chain hops connect with ``upstream_ssl_context`` when
+        given (a CLIENT context; independent of this server's TLS).
 
         ssl_context: optional `ssl.SSLContext` (tlsutil.server_context) —
         the wire inside the tunnel is unchanged.
@@ -52,8 +63,9 @@ class ParticipantServer:
         the connection is logged and closed without computing anything
         (SPEC section 5). None (default) waits forever like the reference.
         """
-        if wire not in ("reference", "batched"):
+        if wire not in ("reference", "batched", "chain"):
             raise ValueError(f"unknown wire mode {wire!r}")
+        self.upstream_ssl_context = upstream_ssl_context
         self.engine = engine
         self.host = host
         self.port = port
@@ -108,7 +120,13 @@ class ParticipantServer:
                 # not corrupt a concurrent reply (see ShareEngine.refresh).
                 async with self._refresh_lock:
                     await asyncio.to_thread(self.refresh)
-            if self.wire == "batched":
+            upstream: list[str] = []
+            if self.wire == "chain":
+                read = read_chain_query(reader)
+                if self.read_timeout:
+                    read = asyncio.wait_for(read, self.read_timeout)
+                qpat, qmsk, upstream = await read
+            elif self.wire == "batched":
                 read = read_batched_query(reader)
                 if self.read_timeout:
                     read = asyncio.wait_for(read, self.read_timeout)
@@ -120,7 +138,7 @@ class ParticipantServer:
                 raw = await read
                 qpat = np.frombuffer(raw[:BITS_BYTES], dtype=np.uint8)[None]
                 qmsk = np.frombuffer(raw[BITS_BYTES:], dtype=np.uint8)[None]
-            batched = self.wire == "batched"
+            batched = self.wire in ("batched", "chain")
             to_bytes = (
                 batched_records_to_bytes if batched
                 else lambda block: records_to_bytes(block[0])
@@ -136,18 +154,95 @@ class ParticipantServer:
             pump = StreamPump(
                 self.engine.stream(qpat, qmsk, entry_major=batched), loop
             )
+            up_reader = up_writer = None
             try:
+                if upstream:
+                    # Recursive chain assembly: this party's request to ITS
+                    # upstream names everything before it in the chain. An
+                    # unreachable upstream ABORTS the downstream connection
+                    # (RST, not clean EOF) so the failure propagates loudly
+                    # instead of reading as a legitimately shorter scan.
+                    host, _, port = upstream[-1].rpartition(":")
+                    try:
+                        up_reader, up_writer = await asyncio.open_connection(
+                            host, int(port), ssl=self.upstream_ssl_context
+                        )
+                    except OSError as e:
+                        log.error("cannot reach upstream %s: %s — aborting "
+                                  "the chain reply", upstream[-1], e)
+                        writer.transport.abort()
+                        return
+                    up_writer.write(
+                        chain_query_bytes(qpat, qmsk, upstream[:-1])
+                    )
+                    await up_writer.drain()
                 sent = 0
-                while True:
+                b = qpat.shape[0]
+                budget = records_per_read(b)
+                truncated = False
+                while not truncated:
                     item = await pump.next_item()
                     if item is None:
                         break
-                    writer.write(to_bytes(item))
-                    await writer.drain()
-                    sent += item.shape[0] if batched else item.shape[1]
-                log.info("reply sent: %d entries x %d queries", sent, qpat.shape[0])
+                    if up_reader is None:
+                        writer.write(to_bytes(item))
+                        await writer.drain()
+                        sent += item.shape[0] if batched else item.shape[1]
+                        continue
+                    # Chain: add the upstream aggregate to our own block,
+                    # reading in byte-budgeted slices so one engine chunk
+                    # never buffers unbounded upstream bytes. A short
+                    # upstream truncates the whole chain (shortest-prefix,
+                    # the coordinator's alignment rule).
+                    pos = 0
+                    need = item.shape[0]
+                    while pos < need:
+                        take = min(budget, need - pos)
+                        up_read = read_batched_records(up_reader, b, take)
+                        if self.read_timeout:
+                            up_read = asyncio.wait_for(
+                                up_read, self.read_timeout
+                            )
+                        try:
+                            up_block, up_eof = await up_read
+                        except (asyncio.TimeoutError, ConnectionResetError) as e:
+                            # A connected-but-silent upstream (deadline) or a
+                            # mid-stream reset (an aborting chain above us)
+                            # must not look like a clean shorter scan
+                            # downstream — cascade the abort.
+                            log.error(
+                                "upstream %s failed mid-chain (%s) — "
+                                "aborting the chain reply", upstream[-1],
+                                e or "stalled",
+                            )
+                            writer.transport.abort()
+                            return
+                        n = up_block.shape[0]
+                        if n:
+                            # uint16 + uint16 wraps mod 2^16 — the share sum.
+                            writer.write(to_bytes(item[pos:pos + n] + up_block))
+                            await writer.drain()
+                            sent += n
+                        pos += n
+                        if n < take or (up_eof and pos < need):
+                            log.warning(
+                                "upstream %s ended at %d entries — "
+                                "truncating the chain reply", upstream[-1],
+                                sent,
+                            )
+                            truncated = True
+                            break
+                log.info("reply sent: %d entries x %d queries%s",
+                         sent, qpat.shape[0],
+                         f" (chain of {len(upstream) + 1})" if self.wire == "chain" else "")
             finally:
                 pump.close()
+                if up_writer is not None:
+                    up_writer.close()
+                    try:
+                        await up_writer.wait_closed()
+                    except (ConnectionResetError, BrokenPipeError, OSError):
+                        pass
         except asyncio.TimeoutError:
             log.warning(
                 "connection from %s sent no complete query within %.1fs — "

@@ -1,6 +1,6 @@
 """Wire-format helpers shared by coordinator and participant.
 
-Two wire modes:
+Three wire modes:
 
 - **reference** (default): one raw 3,200-byte template per connection; reply is
   a stream of `[u16; 31]` little-endian records in DB order — byte-compatible
@@ -13,6 +13,12 @@ Two wire modes:
   overheads over the whole batch. Selected explicitly per endpoint
   (``--wire batched``), never sniffed — a raw template could begin with any
   bytes.
+- **chain** (extension, SPEC section 5.4): like batched, but the request also
+  carries an upstream party list; the participant adds its own dot shares to
+  its upstream chain's aggregated stream and forwards ONE summed stream
+  downstream. The coordinator's reply ingress stops scaling with the party
+  count; every partial sum stays uniformly random to its holder because the
+  coordinator's own share is never in the chain.
 """
 
 from __future__ import annotations
@@ -131,6 +137,63 @@ def batched_records_to_bytes(block_entry_major: np.ndarray) -> bytes:
     Engines produce this layout on device (`stream(..., entry_major=True)`),
     so no host transpose happens anywhere on the batched path."""
     return np.ascontiguousarray(block_entry_major).astype("<u2", copy=False).tobytes()
+
+
+# --------------------------------------------------------------- chain wire
+
+# Chained reply aggregation (SPEC section 5.4): a chain participant computes
+# its own dot shares AND adds the aggregated stream of its upstream chain,
+# forwarding one summed entry-major stream downstream. The coordinator
+# contacts only the chain head and receives ONE stream carrying
+# sum_{i in chain} dot_i mod 2^16 — its ingress no longer scales with the
+# party count. The request carries the upstream address list so the chain
+# self-assembles recursively.
+CHAIN_MAGIC = b"IRC1"
+
+
+def chain_query_bytes(patterns: np.ndarray, masks: np.ndarray,
+                      upstream: list[str]) -> bytes:
+    """[B, 1600] uint8 plane pairs + upstream "host:port" list ->
+    magic + u32 B + B raw templates + u16 n + n length-prefixed addresses."""
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    masks = np.ascontiguousarray(masks, dtype=np.uint8)
+    b = patterns.shape[0]
+    if not 0 < b <= 65536:
+        raise ValueError(f"chain wire supports 1..65536 queries, got {b}")
+    if len(upstream) > 65535:
+        raise ValueError("chain wire supports at most 65535 upstream parties")
+    parts = [CHAIN_MAGIC, struct.pack("<I", b),
+             np.hstack([patterns, masks]).tobytes(),
+             struct.pack("<H", len(upstream))]
+    for addr in upstream:
+        raw = addr.encode()
+        if len(raw) > 65535:
+            raise ValueError(f"upstream address too long: {addr!r}")
+        parts.append(struct.pack("<H", len(raw)) + raw)
+    return b"".join(parts)
+
+
+async def read_chain_query(reader: asyncio.StreamReader):
+    """Server side: (patterns u8 [B, 1600], masks u8 [B, 1600],
+    upstream ["host:port", ...])."""
+    magic = await reader.readexactly(4)
+    if magic != CHAIN_MAGIC:
+        raise ValueError(
+            f"not a chain-wire query (magic {magic!r}); is the client running "
+            "--wire chain?"
+        )
+    (b,) = struct.unpack("<I", await reader.readexactly(4))
+    if not 0 < b <= 65536:
+        raise ValueError(f"bad chain query count {b}")
+    raw = await reader.readexactly(b * TEMPLATE_BYTES)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(b, TEMPLATE_BYTES)
+    (n_up,) = struct.unpack("<H", await reader.readexactly(2))
+    upstream = []
+    for _ in range(n_up):
+        (ln,) = struct.unpack("<H", await reader.readexactly(2))
+        upstream.append((await reader.readexactly(ln)).decode())
+    half = TEMPLATE_BYTES // 2
+    return arr[:, :half].copy(), arr[:, half:].copy(), upstream
 
 
 async def read_batched_records(

@@ -1293,3 +1293,120 @@ class TestDrain:
 
         rest = asyncio.run(go())
         assert len(rest) < (len(db) - 8) * 62  # reply was cut short
+
+
+class TestChain:
+    """Chained reply aggregation (SPEC section 5.4): parties forward partial
+    share sums along a chain; the coordinator contacts only the chain head
+    and receives ONE summed stream, reconstructing with its own local share
+    (which must stay out of the chain so no party ever holds the full sum)."""
+
+    def _world_mats(self, world, n_parties):
+        rng, db, query, masks = world
+        return build_party_data(rng, db, n_parties)
+
+    async def _run_chain(self, world, mats, templates, *, trim_root=None,
+                         batch_records=7):
+        """3 chain parties (shares 0..2) + coordinator-held share 3."""
+        rng, db, query, masks = world
+        root_rows = mats[0] if trim_root is None else mats[0][:trim_root]
+        parts = [
+            ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                              wire="chain")
+            for m in (root_rows, mats[1], mats[2])
+        ]
+        addrs = [await p.start() for p in parts]
+        coord = Coordinator(
+            MasksEngine(masks, chunk=8), addrs,
+            local_engine=ShareEngine(mats[3], chunk=8),
+            batch_records=batch_records, chain=True,
+        )
+        try:
+            return await coord.query_batch(templates)
+        finally:
+            for p in parts:
+                await p.close()
+
+    def test_chain_matches_standard_and_oracle(self, world):
+        rng, db, query, masks = world
+        mats = self._world_mats(world, 4)
+        q2 = Template.random(np.random.default_rng(77))
+        outcomes = asyncio.run(self._run_chain(world, mats, [query, q2]))
+        for q, outcome in zip((query, q2), outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
+
+    def test_chain_solo_query_routes_through_batch(self, world):
+        """Coordinator.query in chain mode == query_batch([t])[0]."""
+        rng, db, query, masks = world
+        mats = self._world_mats(world, 4)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="chain")
+                for m in mats[:3]
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), addrs,
+                local_engine=ShareEngine(mats[3], chunk=8),
+                batch_records=7, chain=True,
+            )
+            try:
+                return await coord.query(query)
+            finally:
+                for p in parts:
+                    await p.close()
+
+        outcome = asyncio.run(go())
+        oracle = np.array([query.distance(t) for t in db])
+        assert (outcome.index, outcome.distance, outcome.total) == (
+            int(np.argmin(oracle)), oracle.min(), len(db),
+        )
+
+    def test_chain_requires_local_share(self, world):
+        rng, db, query, masks = world
+        with pytest.raises(ValueError, match="chain mode requires"):
+            Coordinator(MasksEngine(masks, chunk=8), [("127.0.0.1", 1)],
+                        chain=True)
+
+    def test_chain_shorter_root_truncates_whole_chain(self, world):
+        """The chain's shortest party truncates everything downstream —
+        the chained analogue of the coordinator's shortest-prefix rule."""
+        rng, db, query, masks = world
+        mats = self._world_mats(world, 4)
+        outcomes = asyncio.run(
+            self._run_chain(world, mats, [query], trim_root=11)
+        )
+        assert outcomes[0].total == 11
+        oracle = np.array([query.distance(t) for t in db[:11]])
+        assert outcomes[0].index == int(np.argmin(oracle))
+        assert outcomes[0].distance == oracle.min()
+
+    def test_chain_unreachable_upstream_fails_loud(self, world):
+        """A chain party that cannot reach its upstream ABORTS its reply;
+        the coordinator must fail loudly, never return a truncated verdict
+        that looks clean."""
+        rng, db, query, masks = world
+        mats = self._world_mats(world, 3)
+
+        async def go():
+            head = ParticipantServer(ShareEngine(mats[1], chunk=8),
+                                     "127.0.0.1", 0, wire="chain")
+            addr = await head.start()
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8),
+                [("127.0.0.1", 9), addr],  # upstream port 9: unreachable
+                local_engine=ShareEngine(mats[2], chunk=8),
+                batch_records=7, chain=True,
+            )
+            try:
+                with pytest.raises(ConnectionError):
+                    await coord.query_batch([query])
+            finally:
+                await head.close()
+
+        asyncio.run(go())
