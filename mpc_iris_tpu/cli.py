@@ -1210,7 +1210,7 @@ def cmd_enroll(args) -> int:
         try:
             local_engine = _share_engine_from_spec(
                 args.share, args.chunk,
-                batch_hint=args.round if args.wire == "batched" else 1)
+                batch_hint=args.round if args.wire in ("batched", "chain") else 1)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -1219,7 +1219,8 @@ def cmd_enroll(args) -> int:
         coord = Coordinator(masks_engine, participants,
                             local_engine=local_engine, ssl_context=ssl_ctx,
                             round_timeout=args.timeout,
-                            strict_scan=args.strict_scan)
+                            strict_scan=args.strict_scan,
+                            chain=args.wire == "chain")
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -1277,7 +1278,7 @@ def cmd_enroll(args) -> int:
                 for i in range(pats.shape[0]):
                     t = Template.from_bytes(
                         pats[i].tobytes() + msks[i].tobytes())
-                    if args.wire == "batched":
+                    if args.wire in ("batched", "chain"):
                         # One MPC round per --round candidates; the kept
                         # cross-check in settle() preserves sequential
                         # semantics within the round. Copies: the rows must
@@ -2284,10 +2285,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON parse batch (verdicts are always "
                    "sequential-equivalent)")
     g.add_argument(
-        "--wire", choices=["reference", "batched"], default="reference",
+        "--wire", choices=["reference", "batched", "chain"],
+        default="reference",
         help="batched = ONE MPC round per --round candidates (participants "
         "must run --wire batched); within-round duplicates are still caught "
-        "via exact plaintext cross-checks among the round's kept candidates",
+        "via exact plaintext cross-checks among the round's kept candidates; "
+        "chain = batched rounds over chained reply aggregation (SPEC 5.4; "
+        "requires --share, participants run --wire chain)",
     )
     g.add_argument("--timeout", type=float, default=None, metavar="SECONDS",
                    help="per-read-round deadline for participant replies "

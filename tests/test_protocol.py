@@ -1410,3 +1410,45 @@ class TestChain:
                 await head.close()
 
         asyncio.run(go())
+
+    def test_chain_composes_with_serving_front(self, world):
+        """QueryServer micro-batching over a chain coordinator: concurrent
+        clients share one batched MPC round whose replies aggregate through
+        the chain — outcomes bit-exact vs the oracle."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote
+
+        rng, db, query, masks = world
+        mats = self._world_mats(world, 4)
+        q2 = Template.random(np.random.default_rng(88))
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="chain")
+                for m in mats[:3]
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(
+                MasksEngine(masks, chunk=8), addrs,
+                local_engine=ShareEngine(mats[3], chunk=8),
+                batch_records=7, chain=True,
+            )
+            server = QueryServer(coord, "127.0.0.1", 0, max_batch=2,
+                                 batch_window=0.2, rounds_inflight=2)
+            host, port = await server.start()
+            try:
+                return await asyncio.gather(
+                    query_remote(host, port, query),
+                    query_remote(host, port, q2),
+                )
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        outcomes = asyncio.run(go())
+        for q, outcome in zip((query, q2), outcomes):
+            oracle = np.array([q.distance(t) for t in db])
+            assert outcome.total == len(db)
+            assert outcome.index == int(np.argmin(oracle))
+            assert outcome.distance == oracle.min()
