@@ -1040,6 +1040,27 @@ def cmd_participant(args) -> int:
         mode = "mutual TLS" if args.tls_ca else "TLS"
         print(f"{mode} enabled ({args.tls_cert})", file=sys.stderr)
 
+    # Chain-hop TLS material is validated FIRST too — same fail-fast rule.
+    upstream_ssl = None
+    if args.chain_tls_ca:
+        if args.wire != "chain":
+            print("error: --chain-tls-ca requires --wire chain",
+                  file=sys.stderr)
+            return 1
+        import ssl as _ssl
+
+        from mpc_iris_tpu.protocol import tlsutil
+
+        try:
+            upstream_ssl = tlsutil.client_context(
+                args.chain_tls_ca, certfile=args.tls_cert,
+                keyfile=args.tls_key,
+            )
+        except (OSError, _ssl.SSLError) as e:
+            print(f"error: cannot load --chain-tls-ca material: {e}",
+                  file=sys.stderr)
+            return 1
+
     print(device_banner(), file=sys.stderr)
     try:
         engine = _share_engine_from_spec(args.input, args.chunk,
@@ -1088,7 +1109,13 @@ def cmd_participant(args) -> int:
     host, port = _parse_addr(args.bind)
     server = ParticipantServer(engine, host, port, wire=args.wire,
                                ssl_context=ssl_ctx,  # ctx validated up top
-                               refresh=refresh, read_timeout=args.timeout)
+                               refresh=refresh, read_timeout=args.timeout,
+                               upstream_ssl_context=upstream_ssl,
+                               upstream_timeout=args.chain_timeout,
+                               allowed_upstreams=(
+                                   set(args.chain_allow)
+                                   if args.chain_allow else None
+                               ))
 
     async def run():
         await server.start()
@@ -1169,6 +1196,17 @@ def cmd_enroll(args) -> int:
         ssl_ctx = _client_tls_context(args)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
+        return 1
+    # Chain preconditions fail FAST, before the minutes-long engine builds
+    # (the same rule as cmd_coordinator / the TLS check above).
+    if args.wire == "chain" and not args.share:
+        print("error: --wire chain requires --share (SPEC 5.4: the "
+              "coordinator-side share must stay out of the chain)",
+              file=sys.stderr)
+        return 1
+    if args.wire == "chain" and not args.participants:
+        print("error: --wire chain needs at least one participant",
+              file=sys.stderr)
         return 1
     try:
         share_key = read_key32(args.key)
@@ -2067,6 +2105,23 @@ def build_parser() -> argparse.ArgumentParser:
         "adds its upstream chain's stream to its own shares and forwards "
         "ONE summed stream (pair with coordinator --wire chain)",
     )
+    g.add_argument("--chain-tls-ca", default=None, metavar="PEM",
+                   help="with --wire chain: connect chain hops over TLS, "
+                   "trusting this bundle (this party's --tls-cert/--tls-key "
+                   "are presented as its client identity for mutual TLS)")
+    g.add_argument("--chain-timeout", type=float, default=None,
+                   metavar="SECONDS",
+                   help="with --wire chain: per-read deadline on the "
+                   "UPSTREAM stream (distinct from --timeout — upstream "
+                   "slices legitimately take device-compute time); a "
+                   "stalled upstream aborts the chain reply. default: wait "
+                   "forever")
+    g.add_argument("--chain-allow", action="append", default=None,
+                   metavar="HOST:PORT",
+                   help="with --wire chain: only connect to these upstream "
+                   "addresses (repeatable). Unset = any (trusted network); "
+                   "set it on untrusted networks — an unrestricted chain "
+                   "party is an outbound-connection relay")
     g.add_argument("--no-warmup", dest="warmup", action="store_false",
                    help="skip the startup compile warm-up pass")
     g.add_argument("--warmup-batch", type=parse_si, default=16,

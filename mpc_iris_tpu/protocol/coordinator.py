@@ -330,7 +330,7 @@ class Coordinator:
                     except (OSError, asyncio.TimeoutError):
                         pass
             raise ConnectionError(
-                f"cannot reach all participants {self.participants}: {errs[0]}"
+                f"cannot reach all participants {self._endpoints()}: {errs[0]}"
             ) from errs[0]
         return results
 

@@ -29,11 +29,74 @@ from mpc_iris_tpu.constants import BITS_BYTES
 log = logging.getLogger("mpc_iris_tpu.participant")
 
 
+class _UpstreamFeed:
+    """Prefetches the upstream chain's entry-groups CONCURRENTLY with this
+    party's device compute (the chain analogue of the coordinator's
+    gather-overlap, src/main.rs:560): a reader task pulls byte-budgeted
+    slices into a small queue while the handler awaits its next device
+    chunk, so network time hides behind compute at every hop."""
+
+    def __init__(self, reader, b: int, budget: int, loop):
+        self._q: asyncio.Queue = asyncio.Queue(maxsize=2)
+        self._leftover: np.ndarray | None = None
+        self._eof = False
+        self._task = loop.create_task(self._pump(reader, b, budget))
+
+    async def _pump(self, reader, b: int, budget: int):
+        try:
+            while True:
+                block, eof = await read_batched_records(reader, b, budget)
+                if block.shape[0]:
+                    await self._q.put(block)
+                if eof or block.shape[0] < budget:
+                    await self._q.put(None)
+                    return
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:  # mid-chain reset etc.: surface via take()
+            await self._q.put(e)
+
+    async def take(self, n: int, timeout: float | None) -> np.ndarray:
+        """Up to ``n`` entry-groups; fewer ONLY at upstream EOF. Raises
+        asyncio.TimeoutError on a stalled upstream (``timeout`` seconds per
+        queue wait) and propagates reader errors (e.g. a reset from an
+        aborting chain above us)."""
+        parts = []
+        got = 0
+        while got < n and not self._eof:
+            if self._leftover is not None:
+                blk = self._leftover
+                self._leftover = None
+            else:
+                get = self._q.get()
+                blk = await (asyncio.wait_for(get, timeout) if timeout
+                             else get)
+                if blk is None:
+                    self._eof = True
+                    break
+                if isinstance(blk, Exception):
+                    self._eof = True
+                    raise blk
+            take = min(n - got, blk.shape[0])
+            parts.append(blk[:take])
+            if take < blk.shape[0]:
+                self._leftover = blk[take:]
+            got += take
+        if not parts:
+            return np.zeros((0, 0, 0), dtype=np.uint16)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def close(self) -> None:
+        self._task.cancel()
+
+
 class ParticipantServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 1234,
                  wire: str = "reference", ssl_context=None, refresh=None,
                  read_timeout: float | None = None,
-                 upstream_ssl_context=None):
+                 upstream_ssl_context=None,
+                 upstream_timeout: float | None = None,
+                 allowed_upstreams: set[str] | None = None):
         """engine: ShareEngine or ShardedShareEngine (anything with .stream).
 
         wire: "reference" = one raw template per connection (byte-compatible
@@ -45,6 +108,13 @@ class ParticipantServer:
         as ONE stream — the coordinator's ingress stops scaling with the
         party count. Chain hops connect with ``upstream_ssl_context`` when
         given (a CLIENT context; independent of this server's TLS).
+        ``upstream_timeout`` bounds each upstream read wait — a deadline
+        DISTINCT from read_timeout, because an upstream slice legitimately
+        takes device-compute time to arrive while a client's query bytes do
+        not. ``allowed_upstreams`` (a set of "host:port") restricts which
+        addresses a chain request may point this party at; None allows any
+        (the reference's trusted-network model) — set it in untrusted
+        networks, where an open relay is an SSRF primitive.
 
         ssl_context: optional `ssl.SSLContext` (tlsutil.server_context) —
         the wire inside the tunnel is unchanged.
@@ -66,6 +136,8 @@ class ParticipantServer:
         if wire not in ("reference", "batched", "chain"):
             raise ValueError(f"unknown wire mode {wire!r}")
         self.upstream_ssl_context = upstream_ssl_context
+        self.upstream_timeout = upstream_timeout
+        self.allowed_upstreams = allowed_upstreams
         self.engine = engine
         self.host = host
         self.port = port
@@ -154,14 +226,27 @@ class ParticipantServer:
             pump = StreamPump(
                 self.engine.stream(qpat, qmsk, entry_major=batched), loop
             )
-            up_reader = up_writer = None
+            up_writer = None
+            feed = None
             try:
+                b = qpat.shape[0]
+                budget = records_per_read(b)
                 if upstream:
                     # Recursive chain assembly: this party's request to ITS
                     # upstream names everything before it in the chain. An
-                    # unreachable upstream ABORTS the downstream connection
-                    # (RST, not clean EOF) so the failure propagates loudly
-                    # instead of reading as a legitimately shorter scan.
+                    # unreachable or disallowed upstream ABORTS the downstream
+                    # connection (RST, not clean EOF) so the failure
+                    # propagates loudly instead of reading as a legitimately
+                    # shorter scan.
+                    if (self.allowed_upstreams is not None
+                            and upstream[-1] not in self.allowed_upstreams):
+                        log.error(
+                            "chain request from %s names disallowed upstream "
+                            "%s (allowed: %s) — aborting", peer, upstream[-1],
+                            sorted(self.allowed_upstreams),
+                        )
+                        writer.transport.abort()
+                        return
                     host, _, port = upstream[-1].rpartition(":")
                     try:
                         up_reader, up_writer = await asyncio.open_connection(
@@ -176,36 +261,35 @@ class ParticipantServer:
                         chain_query_bytes(qpat, qmsk, upstream[:-1])
                     )
                     await up_writer.drain()
+                    feed = _UpstreamFeed(up_reader, b, budget, loop)
                 sent = 0
-                b = qpat.shape[0]
-                budget = records_per_read(b)
                 truncated = False
                 while not truncated:
                     item = await pump.next_item()
                     if item is None:
                         break
-                    if up_reader is None:
+                    if feed is None:
                         writer.write(to_bytes(item))
                         await writer.drain()
                         sent += item.shape[0] if batched else item.shape[1]
                         continue
-                    # Chain: add the upstream aggregate to our own block,
-                    # reading in byte-budgeted slices so one engine chunk
-                    # never buffers unbounded upstream bytes. A short
-                    # upstream truncates the whole chain (shortest-prefix,
-                    # the coordinator's alignment rule).
+                    # Chain: add the upstream aggregate to our own block in
+                    # byte-budgeted slices (one engine chunk never buffers
+                    # unbounded upstream bytes; the feed prefetched them
+                    # while the chunk computed). A short upstream truncates
+                    # the whole chain (shortest-prefix, the coordinator's
+                    # alignment rule).
                     pos = 0
                     need = item.shape[0]
                     while pos < need:
                         take = min(budget, need - pos)
-                        up_read = read_batched_records(up_reader, b, take)
-                        if self.read_timeout:
-                            up_read = asyncio.wait_for(
-                                up_read, self.read_timeout
-                            )
                         try:
-                            up_block, up_eof = await up_read
-                        except (asyncio.TimeoutError, ConnectionResetError) as e:
+                            up_block = await feed.take(
+                                take, self.upstream_timeout
+                            )
+                        except (asyncio.TimeoutError,
+                                ConnectionResetError,
+                                asyncio.IncompleteReadError) as e:
                             # A connected-but-silent upstream (deadline) or a
                             # mid-stream reset (an aborting chain above us)
                             # must not look like a clean shorter scan
@@ -224,7 +308,7 @@ class ParticipantServer:
                             await writer.drain()
                             sent += n
                         pos += n
-                        if n < take or (up_eof and pos < need):
+                        if n < take:  # feed returns short ONLY at EOF
                             log.warning(
                                 "upstream %s ended at %d entries — "
                                 "truncating the chain reply", upstream[-1],
@@ -237,6 +321,8 @@ class ParticipantServer:
                          f" (chain of {len(upstream) + 1})" if self.wire == "chain" else "")
             finally:
                 pump.close()
+                if feed is not None:
+                    feed.close()
                 if up_writer is not None:
                     up_writer.close()
                     try:

@@ -100,16 +100,33 @@ def records_to_bytes(records: np.ndarray) -> bytes:
 BATCHED_MAGIC = b"IRB1"
 
 
-def batched_query_bytes(patterns: np.ndarray, masks: np.ndarray) -> bytes:
-    """[B, 1600] uint8 plane pairs -> magic + u32 count + B raw templates."""
+def _query_body_bytes(patterns: np.ndarray, masks: np.ndarray,
+                      wire: str) -> bytes:
+    """Shared framing body of the batched and chain wires:
+    u32 count + B raw templates."""
     patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
     masks = np.ascontiguousarray(masks, dtype=np.uint8)
     b = patterns.shape[0]
     if not 0 < b <= 65536:
-        raise ValueError(f"batched wire supports 1..65536 queries, got {b}")
+        raise ValueError(f"{wire} wire supports 1..65536 queries, got {b}")
     # One contiguous copy: per template, pattern plane then mask plane.
-    return (BATCHED_MAGIC + struct.pack("<I", b)
-            + np.hstack([patterns, masks]).tobytes())
+    return struct.pack("<I", b) + np.hstack([patterns, masks]).tobytes()
+
+
+async def _read_query_body(reader: asyncio.StreamReader, wire: str):
+    """Shared server-side body read: (patterns u8 [B,1600], masks u8 [B,1600])."""
+    (b,) = struct.unpack("<I", await reader.readexactly(4))
+    if not 0 < b <= 65536:
+        raise ValueError(f"bad {wire} query count {b}")
+    raw = await reader.readexactly(b * TEMPLATE_BYTES)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(b, TEMPLATE_BYTES)
+    half = TEMPLATE_BYTES // 2
+    return arr[:, :half].copy(), arr[:, half:].copy()
+
+
+def batched_query_bytes(patterns: np.ndarray, masks: np.ndarray) -> bytes:
+    """[B, 1600] uint8 plane pairs -> magic + u32 count + B raw templates."""
+    return BATCHED_MAGIC + _query_body_bytes(patterns, masks, "batched")
 
 
 async def read_batched_query(reader: asyncio.StreamReader):
@@ -120,13 +137,7 @@ async def read_batched_query(reader: asyncio.StreamReader):
             f"not a batched-wire query (magic {magic!r}); is the client running "
             "--wire batched?"
         )
-    (b,) = struct.unpack("<I", await reader.readexactly(4))
-    if not 0 < b <= 65536:
-        raise ValueError(f"bad batched query count {b}")
-    raw = await reader.readexactly(b * TEMPLATE_BYTES)
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(b, TEMPLATE_BYTES)
-    half = TEMPLATE_BYTES // 2
-    return arr[:, :half].copy(), arr[:, half:].copy()
+    return await _read_query_body(reader, "batched")
 
 
 def batched_records_to_bytes(block_entry_major: np.ndarray) -> bytes:
@@ -155,15 +166,9 @@ def chain_query_bytes(patterns: np.ndarray, masks: np.ndarray,
                       upstream: list[str]) -> bytes:
     """[B, 1600] uint8 plane pairs + upstream "host:port" list ->
     magic + u32 B + B raw templates + u16 n + n length-prefixed addresses."""
-    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
-    masks = np.ascontiguousarray(masks, dtype=np.uint8)
-    b = patterns.shape[0]
-    if not 0 < b <= 65536:
-        raise ValueError(f"chain wire supports 1..65536 queries, got {b}")
     if len(upstream) > 65535:
         raise ValueError("chain wire supports at most 65535 upstream parties")
-    parts = [CHAIN_MAGIC, struct.pack("<I", b),
-             np.hstack([patterns, masks]).tobytes(),
+    parts = [CHAIN_MAGIC, _query_body_bytes(patterns, masks, "chain"),
              struct.pack("<H", len(upstream))]
     for addr in upstream:
         raw = addr.encode()
@@ -182,18 +187,13 @@ async def read_chain_query(reader: asyncio.StreamReader):
             f"not a chain-wire query (magic {magic!r}); is the client running "
             "--wire chain?"
         )
-    (b,) = struct.unpack("<I", await reader.readexactly(4))
-    if not 0 < b <= 65536:
-        raise ValueError(f"bad chain query count {b}")
-    raw = await reader.readexactly(b * TEMPLATE_BYTES)
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(b, TEMPLATE_BYTES)
+    patterns, masks = await _read_query_body(reader, "chain")
     (n_up,) = struct.unpack("<H", await reader.readexactly(2))
     upstream = []
     for _ in range(n_up):
         (ln,) = struct.unpack("<H", await reader.readexactly(2))
         upstream.append((await reader.readexactly(ln)).decode())
-    half = TEMPLATE_BYTES // 2
-    return arr[:, :half].copy(), arr[:, half:].copy(), upstream
+    return patterns, masks, upstream
 
 
 async def read_batched_records(

@@ -8,6 +8,7 @@ rejection of untrusted peers in both directions.
 """
 
 import asyncio
+import pathlib
 import ssl
 
 import numpy as np
@@ -37,7 +38,8 @@ def certs(tmp_path_factory):
     # trust bundle of both participants for the coordinator
     bundle = d / "parties.pem"
     bundle.write_bytes(
-        open(out["p0"][1], "rb").read() + open(out["p1"][1], "rb").read()
+        pathlib.Path(out["p0"][1]).read_bytes()
+        + pathlib.Path(out["p1"][1]).read_bytes()
     )
     out["bundle"] = str(bundle)
     return out
@@ -209,3 +211,77 @@ def test_query_server_client_facing_tls(world, certs):
     assert outcome.total == len(db)
     assert outcome.index == int(np.argmin(oracle))
     assert outcome.distance == oracle.min()
+
+
+def test_chain_hops_over_mutual_tls(world, certs):
+    """Chained aggregation (SPEC 5.4) with every link in TLS: coordinator ->
+    head and head -> upstream hop each carry independent TLS (the hop
+    presents the head's own certificate as its client identity)."""
+    from mpc_iris_tpu.models import MasksEngine as ME, ShareEngine as SE
+    from mpc_iris_tpu.ops.encode import encode_template
+
+    db, query, masks, _mats = world
+    rng = np.random.default_rng(11)
+    mats = build_party_data(rng, db, 3)
+
+    async def go():
+        # root party p0: TLS server demanding a client cert from p1
+        root = ParticipantServer(
+            SE(mats[0], chunk=8), "127.0.0.1", 0, wire="chain",
+            ssl_context=tlsutil.server_context(
+                certs["p0"][1], certs["p0"][0], ca=certs["p1"][1]
+            ),
+        )
+        root_addr = await root.start()
+        # head party p1: TLS server for the coordinator, TLS CLIENT to p0
+        head = ParticipantServer(
+            SE(mats[1], chunk=8), "127.0.0.1", 0, wire="chain",
+            ssl_context=tlsutil.server_context(certs["p1"][1], certs["p1"][0]),
+            upstream_ssl_context=tlsutil.client_context(
+                certs["p0"][1], certfile=certs["p1"][1],
+                keyfile=certs["p1"][0],
+            ),
+        )
+        head_addr = await head.start()
+        coord = Coordinator(
+            ME(masks, chunk=8), [root_addr, head_addr],
+            local_engine=SE(mats[2], chunk=8), batch_records=5,
+            ssl_context=tlsutil.client_context(certs["p1"][1]), chain=True,
+        )
+        try:
+            return await coord.query(query)
+        finally:
+            await head.close()
+            await root.close()
+
+    outcome = asyncio.run(go())
+    oracle = np.array([query.distance(t) for t in db])
+    assert (outcome.index, outcome.distance, outcome.total) == (
+        int(np.argmin(oracle)), oracle.min(), len(db),
+    )
+
+
+def test_chain_disallowed_upstream_aborts(world, certs):
+    """allowed_upstreams: a chain request naming an address outside the
+    allowlist is refused with an abort — the relay/SSRF guard."""
+    from mpc_iris_tpu.models import MasksEngine as ME, ShareEngine as SE
+
+    db, query, masks, mats = world
+
+    async def go():
+        head = ParticipantServer(
+            SE(mats[0], chunk=8), "127.0.0.1", 0, wire="chain",
+            allowed_upstreams={"10.0.0.1:1234"},  # not what we'll request
+        )
+        head_addr = await head.start()
+        coord = Coordinator(
+            ME(masks, chunk=8), [("127.0.0.1", 9), head_addr],
+            local_engine=SE(mats[1], chunk=8), batch_records=5, chain=True,
+        )
+        try:
+            with pytest.raises(ConnectionError):
+                await coord.query_batch([query])
+        finally:
+            await head.close()
+
+    asyncio.run(go())
