@@ -81,6 +81,29 @@ done
 echo "== 6. coordinator: 3 MPC uniqueness checks (resolver holds share-2)"
 $CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
   --masks mpc.masks --share mpc.share-2 --queries 3 --threshold 0.36 --seed 5
+kill $P0 $P1 2>/dev/null || true
+wait $P0 $P1 2>/dev/null || true
+
+echo "== 6b. same checks over CHAINED aggregation (SPEC 5.4): replies sum"
+echo "       hop-by-hop; coordinator ingress is ONE stream, any party count"
+$CLI participant mpc.share-0 127.0.0.1:$PORT0 --wire chain &
+C0=$!
+$CLI participant mpc.share-1 127.0.0.1:$PORT1 --wire chain \
+  --chain-allow 127.0.0.1:$PORT0 &
+C1=$!
+trap 'kill $C0 $C1 2>/dev/null || true' EXIT
+for _ in $(seq 1 120); do
+  if { exec 3<>/dev/tcp/127.0.0.1/$PORT0 && exec 3<&-; } 2>/dev/null \
+     && { exec 3<>/dev/tcp/127.0.0.1/$PORT1 && exec 3<&-; } 2>/dev/null; then
+    break
+  fi
+  sleep 5
+done
+$CLI coordinator 127.0.0.1:$PORT0 127.0.0.1:$PORT1 \
+  --masks mpc.masks --share mpc.share-2 --wire chain --batch 3 \
+  --queries 3 --threshold 0.36 --seed 5
+kill $C0 $C1 2>/dev/null || true
+wait $C0 $C1 2>/dev/null || true
 
 echo "== 7. local plaintext match on the accelerator (no MPC)"
 $CLI match db.json --batch 8 --seed 3 --threshold 0.36

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
+from collections import deque
 
 import numpy as np
 
@@ -148,6 +150,41 @@ class ParticipantServer:
         self._refresh_lock = asyncio.Lock()
         self._server: asyncio.AbstractServer | None = None
         self._tracker = ConnectionTracker()
+        # Serving stats (observability parity+ with the reference's
+        # indicatif progress lines, src/main.rs:437): monotonic counters +
+        # a bounded per-request latency window; logged every `stats_every`
+        # completed requests, readable any time via stats().
+        self.served = 0
+        self.failed = 0
+        self.entries_sent = 0
+        self.stats_every = 100
+        self._lat_window: deque[float] = deque(maxlen=512)
+
+    def stats(self) -> dict:
+        """Serving counters + latency quantiles over the recent window."""
+        lat = sorted(self._lat_window)
+        q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+        return {
+            "served": self.served,
+            "failed": self.failed,
+            "entries_sent": self.entries_sent,
+            "p50_s": q(0.50),
+            "p95_s": q(0.95),
+            "window": len(lat),
+        }
+
+    def _count_request(self, dt: float, entries: int) -> None:
+        self.served += 1
+        self.entries_sent += entries
+        self._lat_window.append(dt)
+        if self.stats_every and self.served % self.stats_every == 0:
+            s = self.stats()
+            log.info(
+                "served %d requests (%d failed, %d entry-replies) — "
+                "p50 %.3fs p95 %.3fs over the last %d",
+                s["served"], s["failed"], s["entries_sent"],
+                s["p50_s"], s["p95_s"], s["window"],
+            )
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
@@ -228,6 +265,7 @@ class ParticipantServer:
             )
             up_writer = None
             feed = None
+            t0 = time.monotonic()
             try:
                 b = qpat.shape[0]
                 budget = records_per_read(b)
@@ -245,6 +283,7 @@ class ParticipantServer:
                             "%s (allowed: %s) — aborting", peer, upstream[-1],
                             sorted(self.allowed_upstreams),
                         )
+                        self.failed += 1
                         writer.transport.abort()
                         return
                     host, _, port = upstream[-1].rpartition(":")
@@ -255,6 +294,7 @@ class ParticipantServer:
                     except OSError as e:
                         log.error("cannot reach upstream %s: %s — aborting "
                                   "the chain reply", upstream[-1], e)
+                        self.failed += 1
                         writer.transport.abort()
                         return
                     up_writer.write(
@@ -299,6 +339,7 @@ class ParticipantServer:
                                 "aborting the chain reply", upstream[-1],
                                 e or "stalled",
                             )
+                            self.failed += 1
                             writer.transport.abort()
                             return
                         n = up_block.shape[0]
@@ -319,6 +360,7 @@ class ParticipantServer:
                 log.info("reply sent: %d entries x %d queries%s",
                          sent, qpat.shape[0],
                          f" (chain of {len(upstream) + 1})" if self.wire == "chain" else "")
+                self._count_request(time.monotonic() - t0, sent)
             finally:
                 pump.close()
                 if feed is not None:

@@ -1079,6 +1079,37 @@ class TestRobustness:
 
         assert asyncio.run(go()) == b""
 
+    def test_participant_stats_counters(self, world):
+        """Serving stats: served/entries_sent counters + latency window."""
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def go():
+            server = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                       "127.0.0.1", 0)
+            host, port = await server.start()
+
+            async def one():
+                reader, writer = await asyncio.open_connection(host, port)
+                writer.write(query.to_bytes())
+                await writer.drain()
+                data = await reader.read()
+                writer.close()
+                await writer.wait_closed()
+                return data
+
+            await one()
+            await one()
+            stats = server.stats()
+            await server.close()
+            return stats
+
+        stats = asyncio.run(go())
+        assert stats["served"] == 2
+        assert stats["failed"] == 0
+        assert stats["entries_sent"] == 2 * len(db)
+        assert stats["window"] == 2 and stats["p50_s"] > 0
+
 
 class TestDrain:
     """Graceful shutdown (SPEC section 5): drain() stops accepting, finishes
