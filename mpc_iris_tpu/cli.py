@@ -397,10 +397,20 @@ def cmd_store_check(args) -> int:
     if not os.path.exists(masks_path):
         print(f"error: {masks_path} not found", file=sys.stderr)
         return 1
-    share_paths = sorted(
-        glob.glob(f"{base}.share-*"),
-        key=lambda p: int(p.rsplit("-", 1)[1]),
-    )
+    # An fsck tool must survive the garbage it exists to find: skip (and
+    # report) stray files like <base>.share-backup instead of crashing on
+    # the numeric sort key.
+    share_paths = []
+    for p in glob.glob(f"{base}.share-*"):
+        try:
+            int(p.rsplit("-", 1)[1])
+        except ValueError:
+            problems.append(
+                f"{p}: unrecognized share filename (expected {base}.share-<i>)"
+            )
+            continue
+        share_paths.append(p)
+    share_paths.sort(key=lambda p: int(p.rsplit("-", 1)[1]))
     if args.count and len(share_paths) != args.count:
         problems.append(
             f"expected {args.count} share files, found {len(share_paths)}"
@@ -434,13 +444,19 @@ def cmd_store_check(args) -> int:
 
     count_path = f"{base}.count"
     if os.path.exists(count_path):
-        sidecar = int(open(count_path).read().strip())
-        say(f"{count_path}: {sidecar}")
-        if sidecar != n_masks:
+        try:
+            sidecar = int(open(count_path).read().strip())
+        except ValueError:
             problems.append(
-                f"count sidecar says {sidecar} but masks holds {n_masks} "
-                "whole rows (keyed parties follow the sidecar)"
+                f"{count_path}: unparseable count sidecar (not an integer)"
             )
+        else:
+            say(f"{count_path}: {sidecar}")
+            if sidecar != n_masks:
+                problems.append(
+                    f"count sidecar says {sidecar} but masks holds {n_masks} "
+                    "whole rows (keyed parties follow the sidecar)"
+                )
 
     # ---- sampled rows (deterministic spread incl. first and last)
     k = max(1, min(args.sample, n)) if n else 0
@@ -1404,6 +1420,15 @@ def cmd_coordinator(args) -> int:
         return 1
     if args.audit and not args.serve:
         print("error: --audit is a serving mode; add --serve", file=sys.stderr)
+        return 1
+    if args.strict_scan and args.watch:
+        # Documented as an illegitimate pairing (see the --strict-scan help
+        # text): under --watch, parties adopt appended rows at different
+        # instants, so transiently short scans are EXPECTED — strict-scan
+        # would abort healthy query rounds with spurious TruncatedScanErrors.
+        print("error: --strict-scan cannot be combined with --watch (watch "
+              "growth makes transiently short scans legitimate; strict-scan "
+              "would abort healthy rounds)", file=sys.stderr)
         return 1
     if args.queries_file and args.serve:
         print("error: --serve answers NETWORK queries; --queries-file drives "

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import math
 import struct
 import time
 from collections import deque
@@ -889,7 +890,7 @@ class QueryServer:
         resolves) to be answered. Returns False if the deadline expired with
         queries still running — call :meth:`abort_connections` then
         :meth:`close` to finish shutdown (close also stops the dispatcher)."""
-        return await drain_server(self._server, grace)
+        return await drain_server(self._server, grace, tracker=self._tracker)
 
     def abort_connections(self) -> int:
         """Hard-close every live client connection (post-grace force path)."""
@@ -1028,6 +1029,17 @@ class QueryServer:
             if self.read_timeout:
                 read = asyncio.wait_for(read, self.read_timeout)
             raw, threshold = await read
+            if self.audit and not math.isfinite(threshold):
+                # A NaN threshold would make under_threshold_mask_np return
+                # an all-false mask — a well-formed "0 matches" reply that
+                # reads as "no duplicates" for a nonsense policy value; +inf
+                # matches the whole DB. Reject non-finite thresholds like
+                # the limit_exceeded path: close without a reply. (0.0 stays
+                # legal: "strictly under 0" is a well-defined empty probe.)
+                self.failed += 1
+                log.error("audit from %s sent invalid threshold %r — "
+                          "closing without a reply", peer, threshold)
+                return
             if self.refresh is not None:
                 async with self._refresh_lock:
                     await asyncio.to_thread(self.refresh)
@@ -1097,9 +1109,15 @@ class QueryServer:
 
 async def query_remote_under(host: str, port: int, template: Template,
                              threshold: float,
-                             ssl_context=None) -> UnderThresholdOutcome:
+                             ssl_context=None,
+                             max_matches: int = 65536) -> UnderThresholdOutcome:
     """Client half of the AUDIT serving wire (SPEC section 5.3): send one
-    template ‖ f64 threshold, read the (count, total) header + match records."""
+    template ‖ f64 threshold, read the (count, total) header + match records.
+
+    `max_matches` bounds the server-claimed match count before the body is
+    read — a buggy or malicious server must not be able to drive the client
+    into a multi-exabyte readexactly() allocation. The default mirrors the
+    server-side max_matches guard."""
     reader, writer = await asyncio.open_connection(host, port, ssl=ssl_context)
     try:
         writer.write(template.to_bytes())
@@ -1107,6 +1125,11 @@ async def query_remote_under(host: str, port: int, template: Template,
         await writer.drain()
         head = await reader.readexactly(AUDIT_HEAD.size)
         count, total = AUDIT_HEAD.unpack(head)
+        if count > max_matches:
+            raise ConnectionError(
+                f"audit server claims {count} matches > client cap "
+                f"{max_matches} — refusing to read the body"
+            )
         body = await reader.readexactly(count * AUDIT_REC.size)
     finally:
         writer.close()

@@ -8,16 +8,26 @@ remaining connections are force-aborted so shutdown is bounded. The CLI
 roles wire this to SIGTERM/SIGINT (second signal force-quits).
 
 The authoritative "every connection finished" wait is the event loop's own
-``Server.wait_closed()`` (Python >=3.12.1 semantics: returns once every
-accepted connection has detached — including connections the listener
-accepted moments before closing whose handler has not started yet, which a
-handler-side counter would race past). Handlers always close their writer
-when done, so connections never outlive their reply.
+``Server.wait_closed()`` ON PYTHON >=3.12.1, whose semantics are: return
+once every accepted connection has detached — including connections the
+listener accepted moments before closing whose handler has not started yet,
+which a handler-side counter would race past. On 3.10/3.11 ``wait_closed()``
+returns as soon as the *listener* socket closes (bpo gh-79033, fixed in
+3.12.1), which would report "drained clean" with replies still streaming —
+so there drain falls back to polling the :class:`ConnectionTracker` (after
+one loop turn, letting already-accepted handlers register). Handlers always
+close their writer when done, so connections never outlive their reply.
 """
 
 from __future__ import annotations
 
 import asyncio
+import sys
+import time
+
+# Server.wait_closed() only waits for in-flight connections from 3.12.1 on
+# (gh-79033 / gh-104344). Before that it is listener-close only.
+_WAIT_CLOSED_TRACKS_CONNECTIONS = sys.version_info >= (3, 12, 1)
 
 
 class ConnectionTracker:
@@ -57,15 +67,38 @@ class ConnectionTracker:
 
 
 async def drain_server(server: asyncio.AbstractServer | None,
-                       grace: float | None = None) -> bool:
+                       grace: float | None = None,
+                       tracker: ConnectionTracker | None = None) -> bool:
     """Stop accepting and wait up to `grace` seconds for every accepted
     connection to finish. True = drained clean; False = deadline expired
-    with connections still open (caller should abort_all + close)."""
+    with connections still open (caller should abort_all + close).
+
+    `tracker` is required for correct draining on Python < 3.12.1, where
+    ``Server.wait_closed()`` does not wait for in-flight connections (see
+    module docstring); there the wait polls ``tracker.active`` instead."""
     if server is None:
         return True
     server.close()
-    try:
-        await asyncio.wait_for(server.wait_closed(), grace)
+    if _WAIT_CLOSED_TRACKS_CONNECTIONS:
+        try:
+            await asyncio.wait_for(server.wait_closed(), grace)
+            return True
+        except asyncio.TimeoutError:
+            return False
+    # Pre-3.12.1 fallback: wait_closed() is listener-close only (and is NOT
+    # awaited here — under the >=3.12.1 semantics this code path can still
+    # be reached in tests, where it would block on in-flight connections).
+    # Yield one loop turn so handlers for already-accepted connections get
+    # scheduled and register with the tracker, then poll the live count.
+    if tracker is None:
+        # No tracker: in-flight connections are unobservable on this
+        # Python; one extra turn is the best available effort.
+        await asyncio.sleep(0)
         return True
-    except asyncio.TimeoutError:
-        return False
+    deadline = None if grace is None else time.monotonic() + grace
+    await asyncio.sleep(0)
+    while tracker.active:
+        if deadline is not None and time.monotonic() >= deadline:
+            return False
+        await asyncio.sleep(0.02)
+    return True

@@ -208,7 +208,7 @@ class ParticipantServer:
         the reference's clean-shutdown TODO, src/main.rs:449). Returns False
         if the deadline expired with connections still open — call
         :meth:`abort_connections` then :meth:`close` to finish shutdown."""
-        return await drain_server(self._server, grace)
+        return await drain_server(self._server, grace, tracker=self._tracker)
 
     def abort_connections(self) -> int:
         """Hard-close every live connection (the post-grace force path)."""

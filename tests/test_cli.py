@@ -182,6 +182,18 @@ def test_store_check(workdir, capsys):
     # count sidecar disagreement
     (workdir / "mpc.count").write_text("99\n")
     assert main(["store-check", "mpc"]) == 1
+    capsys.readouterr()
+
+    # fsck must SURVIVE the garbage it exists to find: a non-numeric count
+    # sidecar and a stray non-numeric share filename are PROBLEM reports,
+    # not tracebacks
+    (workdir / "mpc.count").write_text("not-a-number\n")
+    assert main(["store-check", "mpc"]) == 1
+    assert "unparseable" in capsys.readouterr().err
+    (workdir / "mpc.count").unlink()
+    (workdir / "mpc.share-backup").write_bytes(b"junk")
+    assert main(["store-check", "mpc"]) == 1
+    assert "unrecognized share filename" in capsys.readouterr().err
 
 
 def test_coordinator_serve_flag_validation(workdir):
@@ -192,6 +204,9 @@ def test_coordinator_serve_flag_validation(workdir):
                  "--serve", "--queries-file", "x.json"]) == 1
     assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
                  "--serve", "--all-under", "0.3"]) == 1
+    # --strict-scan + --watch: documented-illegitimate pairing is rejected
+    assert main(["coordinator", "127.0.0.1:1", "--masks", "nope.masks",
+                 "--strict-scan", "--watch"]) == 1
 
 
 def test_rerandomize_cli_roundtrip(workdir):

@@ -1193,6 +1193,52 @@ class TestDrain:
 
         assert asyncio.run(go()) is False
 
+    @pytest.mark.parametrize("expires", [False, True])
+    def test_participant_drain_pre_3_12_fallback(self, world, monkeypatch,
+                                                 expires):
+        """On Python < 3.12.1 Server.wait_closed() returns at listener close
+        (gh-79033), so drain must poll the ConnectionTracker instead of
+        instantly reporting 'drained clean' with a reply still streaming.
+        Forced here by monkeypatching the version gate."""
+        import threading
+
+        from mpc_iris_tpu.protocol import drain as drain_mod
+
+        monkeypatch.setattr(
+            drain_mod, "_WAIT_CLOSED_TRACKS_CONNECTIONS", False)
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        gate = threading.Event()
+
+        async def go():
+            eng = self._gated_engine(ShareEngine(mats[0], chunk=8), gate)
+            server = ParticipantServer(eng, "127.0.0.1", 0)
+            host, port = await server.start()
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(query.to_bytes())
+            await writer.drain()
+            first = await reader.readexactly(8 * 62)
+            if expires:
+                ok = await server.drain(grace=0.2)  # handler stays gated
+                gate.set()
+                rest = await reader.read()
+            else:
+                drain = asyncio.ensure_future(server.drain(grace=20))
+                await asyncio.sleep(0.1)
+                assert not drain.done(), \
+                    "fallback drain must wait on the tracker"
+                gate.set()
+                rest = await reader.read()
+                ok = await drain
+            writer.close()
+            await writer.wait_closed()
+            await server.close()
+            return ok, first + rest
+
+        ok, payload = asyncio.run(go())
+        assert ok is (not expires)
+        assert len(payload) == len(db) * 62  # full reply survived either way
+
     def test_queryserver_drain_answers_queued_clients(self, world):
         from mpc_iris_tpu.protocol import QueryServer, query_remote
 

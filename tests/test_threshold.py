@@ -355,6 +355,73 @@ class TestCoordinatorQueryUnder:
 
         asyncio.run(go())
 
+    def test_audit_serving_rejects_nonfinite_threshold(self, world):
+        """A client-supplied NaN/inf threshold is a nonsense policy value:
+        the server closes without a reply (like the limit_exceeded path)
+        instead of returning a well-formed '0 matches' that reads as
+        'no duplicates'."""
+        from mpc_iris_tpu.protocol import QueryServer, query_remote_under
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True)
+            host, port = await server.start()
+            try:
+                bad = await asyncio.gather(
+                    query_remote_under(host, port, query, float("nan")),
+                    query_remote_under(host, port, query, float("inf")),
+                    return_exceptions=True,
+                )
+                ok = await query_remote_under(host, port, query, 1e-9)
+                return bad, ok, server.stats()
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        bad, ok, stats = asyncio.run(go())
+        assert all(isinstance(b, asyncio.IncompleteReadError) for b in bad)
+        assert sorted(m.index for m in ok.matches) == [3, 17]
+        assert stats["failed"] == 2 and stats["served"] == 1
+
+    def test_audit_client_bounds_server_count(self, world):
+        """query_remote_under must not trust the server's u64 match count:
+        a malicious/buggy server claiming a huge count gets a clean
+        ConnectionError, not a multi-exabyte allocation attempt."""
+        from mpc_iris_tpu.protocol import query_remote_under
+        from mpc_iris_tpu.protocol.coordinator import (AUDIT_HEAD,
+                                                       AUDIT_THRESHOLD)
+        from mpc_iris_tpu.constants import TEMPLATE_BYTES
+
+        rng, db, query, masks = world
+
+        async def evil(reader, writer):
+            await reader.readexactly(TEMPLATE_BYTES + AUDIT_THRESHOLD.size)
+            writer.write(AUDIT_HEAD.pack(2**60, 23))  # exabytes of "matches"
+            await writer.drain()
+            writer.close()
+
+        async def go():
+            server = await asyncio.start_server(evil, "127.0.0.1", 0)
+            host, port = server.sockets[0].getsockname()[:2]
+            try:
+                with pytest.raises(ConnectionError, match="client cap"):
+                    await query_remote_under(host, port, query, 0.5)
+            finally:
+                server.close()
+                await server.wait_closed()
+
+        asyncio.run(go())
+
     def test_batched_audit_matches_single(self, world):
         """query_batch_under over the batched wire: per-query audit lists
         identical to sequential query_under runs."""
