@@ -225,14 +225,27 @@ def under_threshold_mask_np(nums, dens, threshold: float) -> np.ndarray:
     definite = valid & (vals < t)
     ambiguous = valid & (vals == t)
     if ambiguous.any():
+        # Settle n/d vs tn/td by exact cross-products, VECTORIZED: a served
+        # audit client can place the threshold exactly on a popular
+        # representable distance (e.g. 1/2) and push the whole DB through
+        # this branch, so it must stay O(ms) at millions of entries.
         tn, td = t.as_integer_ratio()
-        flat = ambiguous.reshape(-1)
-        nf = n.reshape(-1)
-        df = d.reshape(-1)
-        res = np.zeros(flat.shape, dtype=bool)
-        for i in np.nonzero(flat)[0]:
-            res[i] = int(nf[i]) * td < tn * int(df[i])
-        definite = definite | res.reshape(ambiguous.shape)
+        na = n[ambiguous]
+        da = d[ambiguous]
+        # int64 is exact when both cross-products fit: n,d here are u16-ish
+        # (n <= 32767, d <= 65535), but bound against the actual data so
+        # arbitrary int64 inputs stay correct too.
+        nmax = int(abs(na).max(initial=0))
+        dmax = int(da.max(initial=0))
+        if tn * dmax < 2**63 and td * max(nmax, 1) < 2**63:
+            res = na * np.int64(td) < np.int64(tn) * da
+        else:
+            # Extreme thresholds (subnormal/huge as_integer_ratio terms):
+            # exact arbitrary-precision math over object-dtype arrays —
+            # still one vectorized pass, no Python-level indexing loop.
+            res = (na.astype(object) * td < tn * da.astype(object)
+                   ).astype(bool)
+        definite[ambiguous] = res
     return definite
 
 

@@ -186,3 +186,19 @@ def test_local_spans_apply_engine_chunk_clamp(monkeypatch):
     # and rank 0 gets the complementary prefix
     monkeypatch.setattr(_jax, "process_index", lambda: 0)
     assert multihost.local_entry_spans(n, requested, mesh) == [(0, 4 * c)]
+
+
+def test_graft_entry_dryrun_serving_stack():
+    """The driver contract (__graft_entry__.dryrun_multichip) must keep
+    compiling AND executing the full serving stack on the virtual mesh:
+    sharded-party TCP serving (solo + micro-batched), the audit wire, the
+    chain wire, and an enroll append+requery — each asserted bit-exact
+    against the single-chip oracles inside the dryrun itself."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(len(jax.devices()))

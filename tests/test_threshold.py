@@ -89,6 +89,44 @@ class TestUnderThresholdMask:
         assert under_threshold_mask_np(n, d, float("nan")).tolist() == [False, False]
         assert under_threshold_mask_np(n, d, float("inf")).tolist() == [True, True]
 
+    def test_adversarial_boundary_scales(self):
+        """A threshold placed exactly on a popular representable distance
+        (1/2) pushes every other entry through the ambiguous settle — it
+        must stay vectorized-fast at 1M entries and exactly strict."""
+        import time
+
+        rng = np.random.default_rng(7)
+        N = 1_000_000
+        d = np.full(N, 2, dtype=np.int64)
+        n = np.ones(N, dtype=np.int64)       # all exactly 1/2 == t
+        under = rng.integers(0, N, size=117)  # sprinkle some strictly-under
+        n2 = n.copy()
+        n2[under] = 0
+        t0 = time.monotonic()
+        mask = under_threshold_mask_np(n2, d, 0.5)
+        dt = time.monotonic() - t0
+        assert dt < 1.0, f"boundary settle took {dt:.3f}s at 1M entries"
+        want = np.zeros(N, dtype=bool)
+        want[under] = True
+        assert np.array_equal(mask, want)
+
+    def test_boundary_object_math_fallback(self):
+        """When a cross-product would overflow int64 (t = f64(1/3) has
+        td = 2**54, so n = 1000 gives n*td > 2**63) the settle must fall
+        back to exact object math with identical strict semantics."""
+        t = 1.0 / 3.0
+        tn, td = t.as_integer_ratio()
+        n = np.array([1000, 1, 999])
+        d = np.array([3000, 3000, 3000])
+        assert 1000 * td >= 2**63  # the int64 path would be unsound here
+        # 1000/3000 rounds to f64(1/3) but is exactly ABOVE it (f64(1/3)
+        # rounds down) -> ambiguous -> settled False; 999/3000 < 1/3
+        # definitively; 1/3000 definitively under.
+        assert under_threshold_mask_np(n, d, t).tolist() == [False, True, True]
+        # one ulp up: exact 1/3 is now strictly under
+        t_up = float(np.nextafter(t, 1.0))
+        assert under_threshold_mask_np(n, d, t_up).tolist() == [True, True, True]
+
     def test_fractions_to_f64_np(self):
         n = np.array([1, 0, 5])
         d = np.array([3, 0, 5])
