@@ -328,7 +328,8 @@ def main():
     log("compiling + warmup...")
     t0 = time.monotonic()
     warm()
-    log(f"warmup {time.monotonic() - t0:.1f}s")
+    warmup_s = time.monotonic() - t0
+    log(f"warmup {warmup_s:.1f}s")
 
     times = []
     for i in range(args.iters):
@@ -340,14 +341,36 @@ def main():
 
     comparisons = b * n * 31
     if args.latency:
-        p50 = float(np.median(times))
+        from mpc_iris_tpu.utils.stats import (
+            append_history,
+            delta_line,
+            format_summary,
+            summarize_timings,
+        )
+
+        stats = summarize_timings(times)
+        p50 = stats["median_clean"]
         rate = n * 31 / p50  # ONE real query; padded rows are not counted
         pad_note = f", pad {b}" if b > 1 else ""
         log(
-            f"p50 query latency: {p50 * 1e3:.1f} ms (min {min(times)*1e3:.1f}, "
-            f"max {max(times)*1e3:.1f}) over {len(times)} queries{pad_note}; "
-            f"equivalent {rate:.3e} cmp/s"
+            f"p50 query latency: {p50 * 1e3:.1f} ms "
+            f"({format_summary(stats, 'ms', 1e3)}) over {len(times)} "
+            f"queries{pad_note}; equivalent {rate:.3e} cmp/s"
         )
+        entry = {
+            "key": f"latency/{args.mode}/db{n}/pad{b}",
+            "value": p50,
+            "unit": "s/query",
+            "median_s": p50,
+            "mad_s": stats["mad"],
+            "samples": stats["n"],
+            "outliers_rejected": stats["outliers_rejected"],
+            "warmup_s": round(warmup_s, 1),
+            "date": time.strftime("%Y-%m-%d"),
+        }
+        d = delta_line(entry, append_history(entry))
+        if d:
+            log(d)
         print(
             json.dumps(
                 {
@@ -357,20 +380,51 @@ def main():
                     "value": p50,
                     "unit": "s/query",
                     "vs_baseline": rate / 1e9,
+                    "mad_s": stats["mad"],
+                    "samples": stats["n"],
+                    "warmup_s": round(warmup_s, 1),
                 }
             )
         )
         return
 
-    dt = min(times)
+    from mpc_iris_tpu.utils.stats import (
+        append_history,
+        delta_line,
+        format_summary,
+        summarize_timings,
+    )
+
+    stats = summarize_timings(times)
+    dt = stats["min"]
     rate = comparisons / dt
     tops = macs_per_pass / dt / 1e12
     log(
         f"best pass: {dt:.3f}s  -> {rate:.3e} cmp/s, {tops:.1f} int8-TOP/s "
         f"({b} queries x {n} entries x 31 rotations)"
     )
+    log(f"pass time {format_summary(stats)}; "
+        f"median-based rate {comparisons / stats['median_clean']:.3e} cmp/s")
     full_matches = b * n / dt
     log(f"full 31-rotation matches/s: {full_matches:.3e}")
+
+    # Round-over-round regression ledger (criterion-style record: dispersion
+    # + warmup + delta vs the last committed entry at the SAME shape key).
+    entry = {
+        "key": f"{args.mode}/db{n}/b{b}/c{chunk}",
+        "value": rate,
+        "unit": "comparisons/s",
+        "median_s": stats["median_clean"],
+        "mad_s": stats["mad"],
+        "samples": stats["n"],
+        "outliers_rejected": stats["outliers_rejected"],
+        "warmup_s": round(warmup_s, 1),
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    prev = append_history(entry)
+    d = delta_line(entry, prev)
+    if d:
+        log(d)
 
     print(
         json.dumps(
@@ -380,6 +434,10 @@ def main():
                 "value": rate,
                 "unit": "comparisons/s",
                 "vs_baseline": rate / 1e9,
+                "median_s": stats["median_clean"],
+                "mad_s": stats["mad"],
+                "samples": stats["n"],
+                "warmup_s": round(warmup_s, 1),
             }
         )
     )

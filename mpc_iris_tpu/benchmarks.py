@@ -32,13 +32,21 @@ REFERENCE_SIZES = (1, 1_000, 31_000, 100_000, 3_100_000)
 
 
 def _timeit(fn, iters=5, min_time=0.05):
+    return _timeit_stats(fn, iters=iters)["min"]
+
+
+def _timeit_stats(fn, iters=5):
+    """Criterion-style sampling (reference src/arch/mod.rs:22-72): warm once,
+    take N samples, return robust summary stats (median/MAD/Tukey outliers)."""
+    from mpc_iris_tpu.utils.stats import summarize_timings
+
     fn()
     ts = []
     for _ in range(iters):
         t0 = time.monotonic()
         fn()
         ts.append(time.monotonic() - t0)
-    return min(ts)
+    return summarize_timings(ts)
 
 
 def _dispatch_overhead():
@@ -81,9 +89,12 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
                      "(HBM cap)")
             db = jax.random.randint(kd, (n_eff, BITS), -1, 2, dtype=jnp.int8)
 
-            def record(name, raw_dt, pairs, macs):
-                # Sub-dispatch-scale measurements are noise-dominated; report
+            def record(name, st, pairs, macs):
+                # Criterion-style: rate from the post-outlier-rejection
+                # median; dispersion (MAD, n) recorded alongside. Sub-
+                # dispatch-scale measurements are noise-dominated; report
                 # them as dispatch-bound instead of fabricating a rate.
+                raw_dt = st["median_clean"]
                 net = raw_dt - overhead
                 bound = net < 0.25 * overhead
                 dt_eff = max(net, 1e-9)
@@ -93,12 +104,16 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
                     "pairs_per_s": None if bound else pairs / dt_eff,
                     "tmacs": None if bound else macs / dt_eff / 1e12,
                     "dispatch_bound": bound,
+                    "mad_s": st["mad"],
+                    "samples": st["n"],
+                    "outliers_rejected": st["outliers_rejected"],
                 })
 
             mm = jax.jit(lambda q, db: dot_bits_batch_i4(q, db).sum())
             pairs = m_rows * n_eff
             record(f"dot_mask/{label}/{n_eff}",
-                   _timeit(lambda: np.asarray(mm(q, db))), pairs, pairs * BITS)
+                   _timeit_stats(lambda: np.asarray(mm(q, db))), pairs,
+                   pairs * BITS)
 
             lo = jax.random.randint(kq, (n_eff, BITS), -128, 128, dtype=jnp.int8)
             hi = jax.random.randint(kd, (n_eff, BITS), -128, 128, dtype=jnp.int8)
@@ -106,7 +121,7 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
                 lambda q, lo, hi: dot_share_batch(q, lo, hi).astype(jnp.uint32).sum()
             )
             record(f"dot_share/{label}/{n_eff}",
-                   _timeit(lambda: np.asarray(ms(q, lo, hi))), pairs,
+                   _timeit_stats(lambda: np.asarray(ms(q, lo, hi))), pairs,
                    2 * pairs * BITS)
             del lo, hi, db
 
@@ -117,16 +132,17 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
     for b in sorted({8, 64, batch}):
         qe = jax.random.randint(kq, (b, N_ROTATIONS, BITS), -1, 2, dtype=jnp.int8)
         qm = (qe != 0).astype(jnp.int8)
-        dt = max(
-            _timeit(lambda: np.asarray(match_scan_auto(qe, qm, db, dm))) - overhead,
-            1e-9,
-        )
+        st = _timeit_stats(lambda: np.asarray(match_scan_auto(qe, qm, db, dm)))
+        dt = max(st["median_clean"] - overhead, 1e-9)
         cmps = b * n_chunks * chunk * N_ROTATIONS
         results.append({
             "bench": f"match_step/b{b}/{n_chunks * chunk}",
             "time_s": dt,
             "pairs_per_s": cmps / dt,
             "tmacs": 2 * cmps * BITS / dt / 1e12,
+            "mad_s": st["mad"],
+            "samples": st["n"],
+            "outliers_rejected": st["outliers_rejected"],
         })
 
     # Keyed-share regeneration: on-device ChaCha20 rows/s (the KeyedShareEngine
@@ -138,13 +154,17 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
         gen = jax.jit(
             lambda kw, r0: share_rows(kw, 0, r0, rows).astype(jnp.uint32).sum()
         )
-        dt = max(_timeit(lambda: np.asarray(gen(kw, 0))) - overhead, 1e-9)
+        st = _timeit_stats(lambda: np.asarray(gen(kw, 0)))
+        dt = max(st["median_clean"] - overhead, 1e-9)
         results.append({
             "bench": f"chacha_regen/{rows}",
             "time_s": dt,
             "pairs_per_s": rows / dt,  # rows/s
             "tmacs": None,
             "bytes_per_s": rows * 2 * BITS / dt,
+            "mad_s": st["mad"],
+            "samples": st["n"],
+            "outliers_rejected": st["outliers_rejected"],
         })
     return results
 
@@ -204,13 +224,15 @@ def main(argv=None) -> int:
     else:
         for r in results:
             rate = r.get("pairs_per_s") or r.get("items_per_s")
+            disp = (f" ±{r['mad_s']*1e3:.2f}" if r.get("mad_s") is not None
+                    else "")
             if r.get("dispatch_bound"):
-                print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f} ms   "
+                print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f}{disp} ms   "
                       f"(dispatch-bound)")
                 continue
             extra = (f"  {r['tmacs']:7.1f} TMAC/s"
                      if r.get("tmacs") is not None else "")
-            print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f} ms   "
+            print(f"{r['bench']:32s} {r['time_s']*1e3:10.2f}{disp} ms   "
                   f"{rate:14.3e} /s{extra}")
     return 0
 

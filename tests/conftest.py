@@ -8,6 +8,9 @@ import in the test process.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests (and their bench.py subprocesses) must never pollute the committed
+# round-over-round regression ledger (docs/BENCH_HISTORY.jsonl).
+os.environ["MPC_IRIS_NO_BENCH_HISTORY"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
