@@ -968,17 +968,112 @@ def make_masks_watcher(path: str, engine):
     return refresh
 
 
-async def _serve_until_signal(server, grace: float, role: str) -> int:
+def _attach_observability(loop, role: str, stats_fn=None,
+                          profile_dir: str | None = None):
+    """On-demand serving observability without a restart (SPEC §5; the
+    reference has only eprintln progress lines, src/main.rs:178-183):
+
+    - SIGUSR1: dump the server's counters + latency quantiles (and
+      best-effort HBM usage) as one JSON line on stderr.
+    - SIGUSR2: toggle a jax.profiler device trace into ``profile_dir``
+      (a fresh trace-<timestamp> subdir per capture; Perfetto/TensorBoard
+      viewable). Without --profile-dir the signal logs a hint instead.
+
+    Returns a cleanup() that stops any open trace (so it is readable, not
+    torn) and detaches the handlers."""
+    import json as _json
+    import signal as _signal
+    import time as _time
+
+    from mpc_iris_tpu.utils.profiling import device_memory_stats
+
+    state = {"active": False, "dir": None}
+
+    def on_usr1():
+        try:
+            s = dict(stats_fn()) if stats_fn else {}
+        except Exception as e:  # stats must never kill a serving role
+            s = {"stats_error": str(e)}
+        s["hbm"] = device_memory_stats()
+        s["trace_active"] = state["active"]
+        print(f"{role}: stats {_json.dumps(s)}", file=sys.stderr, flush=True)
+
+    def on_usr2():
+        import jax
+
+        if profile_dir is None:
+            print(f"{role}: SIGUSR2 ignored — start with --profile-dir to "
+                  "enable on-demand device traces", file=sys.stderr,
+                  flush=True)
+            return
+        if not state["active"]:
+            d = os.path.join(profile_dir,
+                             _time.strftime("trace-%Y%m%d-%H%M%S"))
+            try:
+                jax.profiler.start_trace(d, create_perfetto_trace=True)
+            except Exception as e:
+                print(f"{role}: trace start failed: {e}", file=sys.stderr,
+                      flush=True)
+                return
+            state.update(active=True, dir=d)
+            print(f"{role}: device trace STARTED -> {d} (SIGUSR2 again to "
+                  "stop)", file=sys.stderr, flush=True)
+        else:
+            try:
+                jax.profiler.stop_trace()
+            finally:
+                state["active"] = False
+            print(f"{role}: device trace stopped -> {state['dir']}",
+                  file=sys.stderr, flush=True)
+
+    hooked = []
+    for sig, fn in ((getattr(_signal, "SIGUSR1", None), on_usr1),
+                    (getattr(_signal, "SIGUSR2", None), on_usr2)):
+        if sig is None:
+            continue
+        try:
+            loop.add_signal_handler(sig, fn)
+            hooked.append(sig)
+        except (NotImplementedError, RuntimeError):
+            pass  # non-Unix loop: observability signals unavailable
+
+    def cleanup():
+        if state["active"]:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+            state["active"] = False
+            print(f"{role}: open device trace closed at shutdown -> "
+                  f"{state['dir']}", file=sys.stderr, flush=True)
+        for sig in hooked:
+            try:
+                loop.remove_signal_handler(sig)
+            except (NotImplementedError, RuntimeError):
+                pass
+
+    return cleanup
+
+
+async def _serve_until_signal(server, grace: float, role: str,
+                              profile_dir: str | None = None) -> int:
     """Run a serving role until SIGTERM/SIGINT, then DRAIN: stop accepting,
     let in-flight requests finish streaming (up to `grace` seconds — the
     reference's clean-shutdown TODO, src/main.rs:449/631/641). A second
     signal force-quits immediately; exit code 1 when the grace expired with
-    requests still running."""
+    requests still running. SIGUSR1/SIGUSR2 give an on-demand stats dump /
+    device-trace toggle (see :func:`_attach_observability`)."""
     import contextlib
     import signal as _signal
 
     stop = asyncio.Event()
     loop = asyncio.get_running_loop()
+    obs_cleanup = _attach_observability(
+        loop, role, stats_fn=getattr(server, "stats", None),
+        profile_dir=profile_dir,
+    )
 
     def on_signal():
         if stop.is_set():
@@ -1028,6 +1123,7 @@ async def _serve_until_signal(server, grace: float, role: str) -> int:
                 pass
             except Exception as e:  # a real serve error must not vanish
                 print(f"{role}: server task failed: {e}", file=sys.stderr)
+        obs_cleanup()
         for sig in hooked:
             loop.remove_signal_handler(sig)
 
@@ -1137,7 +1233,8 @@ def cmd_participant(args) -> int:
         await server.start()
         print(f"listening on {server.port}", file=sys.stderr)
         return await _serve_until_signal(server, args.drain_grace,
-                                         "participant")
+                                         "participant",
+                                         profile_dir=args.profile_dir)
 
     try:
         return asyncio.run(run())
@@ -1595,7 +1692,8 @@ def cmd_coordinator(args) -> int:
             print(f"serving uniqueness queries on {server.port}",
                   file=sys.stderr)
             return await _serve_until_signal(server, args.drain_grace,
-                                             "query server")
+                                             "query server",
+                                             profile_dir=args.profile_dir)
 
         try:
             return asyncio.run(serve())
@@ -2161,6 +2259,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on SIGTERM/SIGINT, stop accepting and let in-flight "
                    "replies finish streaming for up to this long before "
                    "exiting (second signal force-quits)")
+    g.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="enable on-demand device traces: SIGUSR2 toggles a "
+                   "jax.profiler capture into DIR (fresh trace-<ts> subdir "
+                   "per capture; Perfetto/TensorBoard viewable). SIGUSR1 "
+                   "dumps serving stats any time, with or without this flag")
     g.add_argument("--watch", action="store_true",
                    help="before each request, adopt rows appended to the "
                    "share file since startup (DB sync — a TODO in the "
@@ -2279,6 +2382,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="with --serve: on SIGTERM/SIGINT, stop accepting "
                        "and answer every in-flight query for up to this long "
                        "before exiting (second signal force-quits)")
+        g.add_argument("--profile-dir", default=None, metavar="DIR",
+                       help="with --serve: SIGUSR2 toggles an on-demand "
+                       "jax.profiler device trace into DIR (fresh trace-<ts> "
+                       "subdir per capture); SIGUSR1 dumps serving stats any "
+                       "time, with or without this flag")
         g.add_argument("--strict-scan", action="store_true",
                        help="abort a query loudly (TruncatedScanError) if the "
                        "reply streams end before the full masks DB is "
