@@ -1864,13 +1864,36 @@ def cmd_query(args) -> int:
                 break
 
     async def run() -> int:
-        from mpc_iris_tpu.protocol import query_remote_under
+        from mpc_iris_tpu.protocol import (
+            PersistentQueryClient,
+            query_remote_under,
+        )
+
+        # Several templates reuse ONE connection (the persistent wire,
+        # SPEC 5.5) so the per-query TCP/TLS handshake is paid once;
+        # --one-shot forces a fresh connection per query (the reference's
+        # connection discipline, src/main.rs:411-447).
+        client = None
+        if len(templates) > 1 and not args.one_shot:
+            try:
+                client = await PersistentQueryClient.connect(
+                    host, port, ssl_context=ssl_ctx,
+                    audit=args.audit is not None)
+            except (ConnectionError, OSError) as e:
+                print(f"error: cannot connect to {host}:{port}: {e}",
+                      file=sys.stderr)
+                return 1
 
         worst = 0
         for i, t in enumerate(templates):
             t0 = time.monotonic()
             try:
-                if args.audit is not None:
+                if client is not None:
+                    if args.audit is not None:
+                        out = await client.query_under(t, args.audit)
+                    else:
+                        out = await client.query(t)
+                elif args.audit is not None:
                     out = await query_remote_under(
                         host, port, t, args.audit, ssl_context=ssl_ctx
                     )
@@ -1879,6 +1902,12 @@ def cmd_query(args) -> int:
             except (ConnectionError, OSError, asyncio.IncompleteReadError) as e:
                 print(f"query {i}: FAILED ({e})", file=sys.stderr)
                 worst = 1
+                if client is not None:
+                    # The persistent session is dead (close-without-reply or
+                    # a torn stream); remaining queries fall back to fresh
+                    # one-shot connections rather than failing in cascade.
+                    await client.close()
+                    client = None
                 continue
             dt = time.monotonic() - t0
             if args.audit is not None:
@@ -1894,6 +1923,8 @@ def cmd_query(args) -> int:
             print(f"query {i}: closest entry {out.index} of "
                   f"{out.total} at distance {out.distance} "
                   f"({dt:.3f}s){verdict}")
+        if client is not None:
+            await client.close()
         return worst
 
     return asyncio.run(run())
@@ -2438,6 +2469,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="speak the AUDIT wire (server must run --serve "
                    "--audit): list every entry under this threshold per "
                    "query instead of the argmin outcome (SPEC 5.3)")
+    g.add_argument("--one-shot", action="store_true",
+                   help="open a fresh connection per query (the reference's "
+                   "connection discipline) instead of the default persistent "
+                   "connection reuse for multi-template runs (SPEC 5.5)")
     g.add_argument("--tls-ca", default=None, metavar="PEM",
                    help="connect over TLS, trusting this bundle")
     g.add_argument("--tls-cert", default=None, metavar="PEM",

@@ -19,6 +19,7 @@ from mpc_iris_tpu.protocol.participant import ParticipantServer
 from mpc_iris_tpu.protocol.coordinator import (
     Coordinator,
     MatchAt,
+    PersistentQueryClient,
     QueryOutcome,
     QueryServer,
     StalledPartyError,
@@ -32,6 +33,7 @@ __all__ = [
     "ParticipantServer",
     "Coordinator",
     "MatchAt",
+    "PersistentQueryClient",
     "QueryOutcome",
     "UnderThresholdOutcome",
     "QueryServer",

@@ -766,10 +766,22 @@ AUDIT_THRESHOLD = struct.Struct("<d")
 AUDIT_HEAD = struct.Struct("<QQ")
 AUDIT_REC = struct.Struct("<qd")
 
+# Persistent query wire (SPEC 5.5): a client opening with these 8 bytes keeps
+# the connection for MANY query/reply records (same per-record formats as the
+# one-shot wire), amortizing the TCP/TLS handshake. A raw template whose
+# first 8 bytes collide with the magic would be misrouted — probability 2^-64
+# per one-shot query against adversarially chosen bytes; persistent-capable
+# clients simply always send the magic, and the reference one-shot wire stays
+# byte-compatible for everyone else.
+PERSIST_MAGIC = b"MPCIRSQ1"
+
 
 class QueryServer:
     """Network front for the uniqueness service: accepts one raw 3,200-byte
-    query template per connection and replies with the 24-byte outcome record.
+    query template per connection and replies with the 24-byte outcome record;
+    a client opening with the 8-byte PERSIST_MAGIC instead keeps the
+    connection for many query/reply records (SPEC 5.5), amortizing the
+    TCP/TLS handshake.
 
     The reference resolver DECLARES a bind address but never serves on it —
     queries are self-generated in a loop (src/main.rs:139, 476-639). This
@@ -1013,81 +1025,116 @@ class QueryServer:
                 s["served"], s["failed"], s["p50_s"], s["p95_s"], s["window"],
             )
 
+    async def _serve_one(self, raw: bytes, threshold, peer, writer) -> bool:
+        """Run one query round and write its reply. Returns False when the
+        connection must close WITHOUT a reply (invalid threshold /
+        max_matches exceeded) — the client's failure signal is the short
+        read, never a fabricated outcome."""
+        if self.audit and not math.isfinite(threshold):
+            # A NaN threshold would make under_threshold_mask_np return
+            # an all-false mask — a well-formed "0 matches" reply that
+            # reads as "no duplicates" for a nonsense policy value; +inf
+            # matches the whole DB. Reject non-finite thresholds like
+            # the limit_exceeded path: close without a reply. (0.0 stays
+            # legal: "strictly under 0" is a well-defined empty probe.)
+            self.failed += 1
+            log.error("audit from %s sent invalid threshold %r — "
+                      "closing without a reply", peer, threshold)
+            return False
+        if self.refresh is not None:
+            async with self._refresh_lock:
+                await asyncio.to_thread(self.refresh)
+        template = Template.from_bytes(raw)
+        t0 = time.monotonic()
+        try:
+            if self._queue is not None:
+                fut = asyncio.get_running_loop().create_future()
+                await self._queue.put((template, threshold, fut))
+                outcome = await fut
+            elif self.audit:
+                async with self._round_gate:
+                    outcome = await self.coordinator.query_under(
+                        template, threshold, limit=self.max_matches
+                    )
+            else:
+                async with self._round_gate:
+                    outcome = await self.coordinator.query(template)
+        except (asyncio.IncompleteReadError, ConnectionResetError) as e:
+            # A PARTICIPANT stream breaking mid-round must count and log
+            # as a failed query, not be mistaken for the client dropping
+            # (the caller's except clause would otherwise win).
+            raise ConnectionError(f"participant stream failed: {e}") from e
+        if getattr(outcome, "limit_exceeded", False):
+            # Close without a reply: an empty match list would read as
+            # "no duplicates", and streaming an over-limit list is the
+            # resource hole max_matches exists to plug.
+            self.failed += 1
+            log.error(
+                "audit from %s exceeded max_matches=%d (threshold %r) — "
+                "closing without a reply", peer, self.max_matches,
+                threshold,
+            )
+            return False
+        self._count_query(time.monotonic() - t0)
+        if self.audit:
+            writer.write(AUDIT_HEAD.pack(
+                len(outcome.matches), outcome.total
+            ))
+            writer.write(b"".join(
+                AUDIT_REC.pack(m.index, m.distance)
+                for m in outcome.matches
+            ))
+        else:
+            writer.write(SERVE_REPLY.pack(
+                outcome.index, outcome.distance, outcome.total
+            ))
+        await writer.drain()
+        return True
+
     async def _handle(self, reader, writer):
-        from mpc_iris_tpu.protocol.wire import read_template_bytes
+        from mpc_iris_tpu.protocol.wire import TEMPLATE_BYTES
 
         peer = writer.get_extra_info("peername")
         try:
-            async def read_request():
-                raw = await read_template_bytes(reader)
+            def timed(coro):
+                return (asyncio.wait_for(coro, self.read_timeout)
+                        if self.read_timeout else coro)
+
+            async def read_head():
+                """First read decides the wire: the 8-byte persistent-mode
+                magic, or the leading bytes of a one-shot raw template."""
+                return await reader.readexactly(len(PERSIST_MAGIC))
+
+            async def read_rest(head: bytes):
+                raw = head + await reader.readexactly(
+                    TEMPLATE_BYTES - len(head))
                 if not self.audit:
                     return raw, None
                 t_raw = await reader.readexactly(AUDIT_THRESHOLD.size)
                 return raw, AUDIT_THRESHOLD.unpack(t_raw)[0]
 
-            read = read_request()
-            if self.read_timeout:
-                read = asyncio.wait_for(read, self.read_timeout)
-            raw, threshold = await read
-            if self.audit and not math.isfinite(threshold):
-                # A NaN threshold would make under_threshold_mask_np return
-                # an all-false mask — a well-formed "0 matches" reply that
-                # reads as "no duplicates" for a nonsense policy value; +inf
-                # matches the whole DB. Reject non-finite thresholds like
-                # the limit_exceeded path: close without a reply. (0.0 stays
-                # legal: "strictly under 0" is a well-defined empty probe.)
-                self.failed += 1
-                log.error("audit from %s sent invalid threshold %r — "
-                          "closing without a reply", peer, threshold)
+            head = await timed(read_head())
+            if head != PERSIST_MAGIC:
+                # One-shot wire (default, reference-shaped): the 8 bytes are
+                # the template's prefix.
+                raw, threshold = await timed(read_rest(head))
+                await self._serve_one(raw, threshold, peer, writer)
                 return
-            if self.refresh is not None:
-                async with self._refresh_lock:
-                    await asyncio.to_thread(self.refresh)
-            template = Template.from_bytes(raw)
-            t0 = time.monotonic()
-            try:
-                if self._queue is not None:
-                    fut = asyncio.get_running_loop().create_future()
-                    await self._queue.put((template, threshold, fut))
-                    outcome = await fut
-                elif self.audit:
-                    async with self._round_gate:
-                        outcome = await self.coordinator.query_under(
-                            template, threshold, limit=self.max_matches
-                        )
-                else:
-                    async with self._round_gate:
-                        outcome = await self.coordinator.query(template)
-            except (asyncio.IncompleteReadError, ConnectionResetError) as e:
-                # A PARTICIPANT stream breaking mid-round must count and log
-                # as a failed query, not be mistaken for the client dropping
-                # (the earlier except clause below would otherwise win).
-                raise ConnectionError(f"participant stream failed: {e}") from e
-            if getattr(outcome, "limit_exceeded", False):
-                # Close without a reply: an empty match list would read as
-                # "no duplicates", and streaming an over-limit list is the
-                # resource hole max_matches exists to plug.
-                self.failed += 1
-                log.error(
-                    "audit from %s exceeded max_matches=%d (threshold %r) — "
-                    "closing without a reply", peer, self.max_matches,
-                    threshold,
-                )
-                return
-            self._count_query(time.monotonic() - t0)
-            if self.audit:
-                writer.write(AUDIT_HEAD.pack(
-                    len(outcome.matches), outcome.total
-                ))
-                writer.write(b"".join(
-                    AUDIT_REC.pack(m.index, m.distance)
-                    for m in outcome.matches
-                ))
-            else:
-                writer.write(SERVE_REPLY.pack(
-                    outcome.index, outcome.distance, outcome.total
-                ))
-            await writer.drain()
+            # Persistent wire (SPEC 5.5): many queries per connection —
+            # amortizes the TCP/TLS handshake at serving. Each query is the
+            # same fixed-size record as the one-shot wire; clean EOF between
+            # records ends the session. read_timeout applies per record, so
+            # an idle keep-alive connection is reclaimed like a silent
+            # client (reconnect is cheap exactly because it is rare).
+            while True:
+                try:
+                    raw, threshold = await timed(read_rest(b""))
+                except asyncio.IncompleteReadError as e:
+                    if e.partial:
+                        raise  # torn mid-record: a real client failure
+                    break  # clean end-of-session
+                if not await self._serve_one(raw, threshold, peer, writer):
+                    return  # close-without-reply policy ends the session
         except asyncio.TimeoutError:
             log.warning("client %s sent no complete query within %.1fs — "
                         "closing", peer, self.read_timeout)
@@ -1161,3 +1208,72 @@ async def query_remote(host: str, port: int, template: Template,
             pass
     index, distance, total = SERVE_REPLY.unpack(raw)
     return QueryOutcome(index, distance, total)
+
+
+class PersistentQueryClient:
+    """Client for the persistent serving wire (SPEC 5.5): ONE connection
+    carrying many query/reply records — the per-query TCP (and TLS)
+    handshake of the one-shot wire disappears from the serving path.
+
+    Usage (argmin service)::
+
+        client = await PersistentQueryClient.connect(host, port)
+        try:
+            for t in templates:
+                outcome = await client.query(t)
+        finally:
+            await client.close()
+
+    For an audit service construct with ``audit=True`` and call
+    :meth:`query_under`. Queries are strictly sequential per connection
+    (the wire has no record ids); open several clients for parallelism —
+    the server micro-batches concurrent connections when configured to."""
+
+    def __init__(self, reader, writer, audit: bool = False,
+                 max_matches: int = 65536):
+        self._reader = reader
+        self._writer = writer
+        self.audit = audit
+        self.max_matches = max_matches
+
+    @classmethod
+    async def connect(cls, host: str, port: int, ssl_context=None,
+                      audit: bool = False, max_matches: int = 65536):
+        reader, writer = await asyncio.open_connection(
+            host, port, ssl=ssl_context)
+        writer.write(PERSIST_MAGIC)
+        return cls(reader, writer, audit=audit, max_matches=max_matches)
+
+    async def query(self, template: Template) -> QueryOutcome:
+        assert not self.audit, "audit client: use query_under"
+        self._writer.write(template.to_bytes())
+        await self._writer.drain()
+        raw = await self._reader.readexactly(SERVE_REPLY.size)
+        return QueryOutcome(*SERVE_REPLY.unpack(raw))
+
+    async def query_under(self, template: Template,
+                          threshold: float) -> UnderThresholdOutcome:
+        assert self.audit, "argmin client: use query"
+        self._writer.write(template.to_bytes())
+        self._writer.write(AUDIT_THRESHOLD.pack(float(threshold)))
+        await self._writer.drain()
+        head = await self._reader.readexactly(AUDIT_HEAD.size)
+        count, total = AUDIT_HEAD.unpack(head)
+        if count > self.max_matches:
+            raise ConnectionError(
+                f"audit server claims {count} matches > client cap "
+                f"{self.max_matches} — refusing to read the body"
+            )
+        body = await self._reader.readexactly(count * AUDIT_REC.size)
+        matches = [
+            MatchAt(*AUDIT_REC.unpack_from(body, k * AUDIT_REC.size))
+            for k in range(count)
+        ]
+        return UnderThresholdOutcome(matches, total)
+
+    async def close(self) -> None:
+        self._writer.close()
+        try:
+            await self._writer.wait_closed()
+        except (ConnectionResetError, BrokenPipeError):
+            pass

@@ -69,25 +69,56 @@ async def run(args):
     # warm the compile paths with one query
     await query_remote(host, port, queries[0])
 
-    sem = asyncio.Semaphore(args.clients)
     lat = []
 
-    async def client(q):
-        async with sem:
-            t0 = time.monotonic()
-            out = await query_remote(host, port, q)
-            lat.append(time.monotonic() - t0)
-            assert out.total == args.db
-            return out
+    if args.persistent:
+        # Persistent wire (SPEC 5.5): each concurrent client keeps ONE
+        # connection for its whole query stream — no per-query TCP handshake.
+        from mpc_iris_tpu.protocol import PersistentQueryClient
 
-    t0 = time.monotonic()
-    await asyncio.gather(*[client(q) for q in queries])
-    dt = time.monotonic() - t0
+        qq: asyncio.Queue = asyncio.Queue()
+        for q in queries:
+            qq.put_nowait(q)
+
+        async def worker():
+            c = await PersistentQueryClient.connect(host, port)
+            try:
+                while True:
+                    try:
+                        q = qq.get_nowait()
+                    except asyncio.QueueEmpty:
+                        return
+                    t0 = time.monotonic()
+                    out = await c.query(q)
+                    lat.append(time.monotonic() - t0)
+                    assert out.total == args.db
+            finally:
+                await c.close()
+
+        t0 = time.monotonic()
+        await asyncio.gather(*[worker() for _ in range(args.clients)])
+        dt = time.monotonic() - t0
+    else:
+        sem = asyncio.Semaphore(args.clients)
+
+        async def client(q):
+            async with sem:
+                t0 = time.monotonic()
+                out = await query_remote(host, port, q)
+                lat.append(time.monotonic() - t0)
+                assert out.total == args.db
+                return out
+
+        t0 = time.monotonic()
+        await asyncio.gather(*[client(q) for q in queries])
+        dt = time.monotonic() - t0
 
     lat.sort()
     qps = args.queries / dt
-    print(f"{args.queries} queries, {args.clients} concurrent clients, "
-          f"micro-batch {args.batch}: {dt:.2f}s = {qps:.1f} q/s "
+    wire_note = "persistent" if args.persistent else "one-shot"
+    print(f"{args.queries} queries, {args.clients} concurrent clients "
+          f"({wire_note} wire), micro-batch {args.batch}: "
+          f"{dt:.2f}s = {qps:.1f} q/s "
           f"({qps * args.db:.3e} query-entries/s); "
           f"client p50 {lat[len(lat)//2]*1e3:.0f} ms "
           f"p95 {lat[int(0.95*len(lat))]*1e3:.0f} ms", flush=True)
@@ -108,6 +139,9 @@ def main():
     p.add_argument("--rounds", type=int, default=1,
                    help="concurrent micro-batched MPC rounds (QueryServer "
                         "rounds_inflight)")
+    p.add_argument("--persistent", action="store_true",
+                   help="clients reuse ONE connection each (SPEC 5.5) "
+                        "instead of a fresh connection per query")
     p.add_argument("--keyed", action="store_true",
                    help="party 0 serves keyed (on-device share regeneration "
                         "from the 32-byte key) instead of file-backed")

@@ -447,15 +447,19 @@ def test_query_client_cli(workdir, capsys):
     assert ready.wait(timeout=60)
     try:
         # Self-queries from the DB itself: every verdict is DUPLICATE at 0.0.
-        rc = main(["query", f"127.0.0.1:{state['port']}", "db.json",
-                   "--count", "3", "--threshold", "0.5"])
-        assert rc == 0
-        out = capsys.readouterr().out
-        lines = [l for l in out.splitlines() if l.startswith("query ")]
-        assert len(lines) == 3
-        for i, l in enumerate(lines):
-            assert f"closest entry {i} of 12" in l
-            assert "at distance 0.0" in l and "DUPLICATE" in l
+        # default: >1 template reuses ONE persistent connection (SPEC 5.5);
+        # --one-shot restores the reference's connection-per-query. Outcomes
+        # must be identical.
+        for extra in ([], ["--one-shot"]):
+            rc = main(["query", f"127.0.0.1:{state['port']}", "db.json",
+                       "--count", "3", "--threshold", "0.5"] + extra)
+            assert rc == 0
+            out = capsys.readouterr().out
+            lines = [l for l in out.splitlines() if l.startswith("query ")]
+            assert len(lines) == 3
+            for i, l in enumerate(lines):
+                assert f"closest entry {i} of 12" in l
+                assert "at distance 0.0" in l and "DUPLICATE" in l
     finally:
         fut = asyncio.run_coroutine_threadsafe(state["server"].close(), loop)
         try:

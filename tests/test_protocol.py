@@ -427,6 +427,95 @@ class TestQueryServer:
         for s, c in zip(seq, con):
             assert (c.index, c.distance, c.total) == (s.index, s.distance, s.total)
 
+    def test_persistent_wire_reuses_one_connection(self, world):
+        """SPEC 5.5: a PersistentQueryClient sends many queries over ONE
+        connection; outcomes are bit-identical to one-shot queries and the
+        server counts every query."""
+        from mpc_iris_tpu.protocol import (
+            PersistentQueryClient,
+            QueryServer,
+            query_remote,
+        )
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        q2 = Template.random(np.random.default_rng(21))
+        q3 = db[7]
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0)
+            host, port = await server.start()
+            try:
+                client = await PersistentQueryClient.connect(host, port)
+                persist = [await client.query(q) for q in (query, q2, q3)]
+                await client.close()
+                solo = [await query_remote(host, port, q)
+                        for q in (query, q2, q3)]
+                return persist, solo, server.stats()
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        persist, solo, stats = asyncio.run(go())
+        for p, s in zip(persist, solo):
+            assert (p.index, p.distance, p.total) == \
+                (s.index, s.distance, s.total)
+        oracle = np.array([query.distance(t) for t in db])
+        assert persist[0].index == int(np.argmin(oracle))
+        assert persist[0].distance == oracle.min()
+        assert persist[2].distance == 0.0  # q3 is a DB self-match
+        assert stats["served"] == 6
+
+    def test_persistent_wire_composes_with_micro_batching(self, world):
+        """Two persistent sessions' concurrent queries aggregate into shared
+        batched rounds; outcomes bit-exact vs the oracle."""
+        from mpc_iris_tpu.protocol import PersistentQueryClient, QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        q2 = Template.random(np.random.default_rng(88))
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0,
+                                  wire="batched")
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, max_batch=2,
+                                 batch_window=0.25)
+            host, port = await server.start()
+            try:
+                c1 = await PersistentQueryClient.connect(host, port)
+                c2 = await PersistentQueryClient.connect(host, port)
+                round1 = await asyncio.gather(c1.query(query), c2.query(q2))
+                round2 = await asyncio.gather(c1.query(q2), c2.query(query))
+                await c1.close()
+                await c2.close()
+                return round1, round2
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        (o1, o2), (o2b, o1b) = asyncio.run(go())
+        for q, outs in ((query, (o1, o1b)), (q2, (o2, o2b))):
+            oracle = np.array([q.distance(t) for t in db])
+            for out in outs:
+                assert out.total == len(db)
+                assert out.index == int(np.argmin(oracle))
+                assert out.distance == oracle.min()
+
     def test_serve_micro_batching_aggregates_concurrent_clients(self, world):
         """max_batch > 1: concurrent clients share ONE batched MPC round;
         outcomes are bit-identical to solo queries, and the participants see

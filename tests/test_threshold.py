@@ -460,6 +460,57 @@ class TestCoordinatorQueryUnder:
 
         asyncio.run(go())
 
+    def test_persistent_audit_wire(self, world):
+        """SPEC 5.5 on the audit service: one connection carries several
+        (template ‖ threshold) queries; per-query lists identical to
+        one-shot audits, and a close-without-reply (limit exceeded) ends
+        the session as a short read."""
+        from mpc_iris_tpu.protocol import (
+            PersistentQueryClient,
+            QueryServer,
+            query_remote_under,
+        )
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+        oracle = np.array([query.distance(t) for t in db])
+        t1 = float(np.median(oracle))
+        t2 = 1e-9
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True,
+                                 max_matches=len(db) // 2)
+            host, port = await server.start()
+            try:
+                c = await PersistentQueryClient.connect(host, port,
+                                                        audit=True)
+                a1 = await c.query_under(query, t1)
+                a2 = await c.query_under(query, t2)
+                # threshold 1.0 exceeds max_matches -> session ends with a
+                # short read, not a fabricated reply
+                with pytest.raises(asyncio.IncompleteReadError):
+                    await c.query_under(query, 1.0)
+                await c.close()
+                solo1 = await query_remote_under(host, port, query, t1)
+                return a1, a2, solo1, server.stats()
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        a1, a2, solo1, stats = asyncio.run(go())
+        assert [(m.index, m.distance) for m in a1.matches] == \
+            [(m.index, m.distance) for m in solo1.matches]
+        assert sorted(m.index for m in a2.matches) == [3, 17]
+        assert stats["served"] == 3 and stats["failed"] == 1
+
     def test_batched_audit_matches_single(self, world):
         """query_batch_under over the batched wire: per-query audit lists
         identical to sequential query_under runs."""
