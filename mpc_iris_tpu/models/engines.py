@@ -698,6 +698,13 @@ class ShareEngine:
         self._source = shares_u16
         self.count = n
         self.chunk = chunk
+        # Out-of-core prefetch: one worker thread pages in + device_puts the
+        # NEXT streamed chunk while the current one computes (VERDICT r03
+        # item 6 — the reference's mmap participant gets this overlap from
+        # the OS readahead + DMA, src/main.rs:386-400). One future at a time;
+        # MPC_IRIS_NO_OOC_PREFETCH=1 disables (A/B measurement).
+        self._prefetch: dict[int, object] = {}
+        self._prefetch_pool = None
         self._resident = []
         for c in range(self._n_resident):
             self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
@@ -724,7 +731,9 @@ class ShareEngine:
         blowup motivates the batch term."""
         max_resident = max(0, int(self._hbm_budget // (2 * BITS * chunk)))
         if not self._explicit_budget and max_resident < num_chunks:
-            stream_ws = (2 * BITS + 6 * N_ROTATIONS * self._batch_hint) * chunk
+            # 2x the raw u16 chunk: the computing chunk plus the PREFETCHED
+            # next chunk live in HBM together.
+            stream_ws = (2 * (2 * BITS) + 6 * N_ROTATIONS * self._batch_hint) * chunk
             max_resident = max(
                 0, int((self._hbm_budget - stream_ws) // (2 * BITS * chunk))
             )
@@ -767,6 +776,11 @@ class ShareEngine:
             resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
         self._resident = resident  # atomic swap under the GIL
         self._n_resident = n_res
+        # A prefetched PADDED tail chunk captured pre-growth would feed zeros
+        # where appended rows now exist to a post-growth scan — drop every
+        # cached prefetch (in-flight consumers captured the old count and
+        # only read rows below it, which are append-stable).
+        self._prefetch.clear()
         return added
 
     def _warn_frozen_layout(self, n_new: int) -> None:
@@ -809,18 +823,50 @@ class ShareEngine:
     def resident_entries(self) -> int:
         return min(self.count, self._n_resident * self.chunk)
 
+    def _prefetch_submit(self, c: int) -> None:
+        """Queue page-in + device transfer of streamed chunk c on the worker
+        thread (no-op for resident/out-of-range chunks or when disabled)."""
+        import os as _os
+
+        if (c >= self._num_chunks or c < len(self._resident)
+                or c in self._prefetch
+                or _os.environ.get("MPC_IRIS_NO_OOC_PREFETCH")):
+            return
+        if self._prefetch_pool is None:
+            import concurrent.futures
+
+            self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="ooc-prefetch")
+        self._prefetch[c] = self._prefetch_pool.submit(
+            lambda: self._put(self._chunk_u16(c)))
+
     def dots_chunk(self, q_enc, chunk_index: int):
         """uint16 [B, chunk, 31] for one DB chunk (device array, async).
 
         Resident chunks dispatch immediately; out-of-core chunks pay a
         host->device transfer of the raw u16 rows first (the hot loop is then
         transfer-bound, exactly like the reference's mmap-streaming
-        participant on a memory-bandwidth-starved host)."""
+        participant on a memory-bandwidth-starved host). Sequential scans
+        overlap that cost: chunk c+1's page-in + transfer runs on a worker
+        thread while chunk c computes (concurrent scans at different
+        positions evict each other's prefetch and degrade to the synchronous
+        path — never to wrong bytes)."""
         res = self._resident  # snapshot: refresh() swaps the list, never mutates
         if chunk_index < len(res):
             planes = res[chunk_index]
+            if chunk_index + 1 == len(res):
+                # entering the streamed tail next: warm its first chunk
+                self._prefetch_submit(chunk_index + 1)
             return _share_dots_chunk(q_enc, planes[0], planes[1])
-        return _share_dots_chunk_u16(q_enc, self._put(self._chunk_u16(chunk_index)))
+        fut = self._prefetch.pop(chunk_index, None)
+        self._prefetch_submit(chunk_index + 1)
+        # Drop prefetches a sequential scan can no longer use (random access
+        # or a competing scan) so at most one future pins HBM + a worker slot.
+        for k in [k for k in self._prefetch if k != chunk_index + 1]:
+            self._prefetch.pop(k, None)
+        raw = fut.result() if fut is not None else self._put(
+            self._chunk_u16(chunk_index))
+        return _share_dots_chunk_u16(q_enc, raw)
 
     # Hook: engines whose DB lives in a transformed K order (KeyedShareEngine)
     # override this to transform the query planes once per batch.

@@ -7,6 +7,7 @@ import pytest
 
 from mpc_iris_tpu.constants import BITS_BYTES, N_ROTATIONS
 from mpc_iris_tpu.models import MasksEngine, PlaintextEngine, ShareEngine
+from mpc_iris_tpu.models.engines import prepare_query_planes
 from mpc_iris_tpu.ops.decode import decode_distance_batch_np
 from mpc_iris_tpu.ops.encode import encode_template
 from mpc_iris_tpu.types import Bits, EncodedBits, Template
@@ -178,6 +179,48 @@ class TestShareMasksEngines:
         np.testing.assert_array_equal(
             pure.dots(qpat, qmsk), resident.dots(qpat, qmsk)
         )
+        # the sequential scans above ran THROUGH the prefetch worker; prove
+        # it was actually engaged, then disable it and re-check parity
+        assert pure._prefetch_pool is not None
+        import os as _os
+
+        _os.environ["MPC_IRIS_NO_OOC_PREFETCH"] = "1"
+        try:
+            nopf = ShareEngine(share, chunk=8, hbm_budget=0)
+            np.testing.assert_array_equal(
+                nopf.dots(qpat, qmsk), resident.dots(qpat, qmsk)
+            )
+            assert nopf._prefetch_pool is None
+        finally:
+            del _os.environ["MPC_IRIS_NO_OOC_PREFETCH"]
+        # random chunk access after a sequential pass: stale prefetches are
+        # evicted, results stay identical
+        q_enc = prepare_query_planes(qpat, qmsk)[0]
+        a = np.asarray(pure.dots_chunk(q_enc, 2))
+        b = np.asarray(resident.dots_chunk(q_enc, 2))
+        np.testing.assert_array_equal(a, b)
+        assert set(pure._prefetch) <= {3}
+
+    def test_ooc_prefetch_invalidated_by_refresh(self, setup):
+        """A prefetched PADDED tail chunk must not leak pre-growth zeros
+        into a post-growth scan: refresh() clears the prefetch cache."""
+        rng, queries, db = setup
+        share = np.stack([EncodedBits.random(rng).data for _ in range(21)])
+        grown = np.concatenate(
+            [share, np.stack([EncodedBits.random(rng).data for _ in range(3)])]
+        )
+        qpat, qmsk = packed(queries)
+        eng = ShareEngine(share[:21], chunk=8, hbm_budget=0)
+        q_enc = prepare_query_planes(qpat, qmsk)[0]
+        # Touch chunk 1 -> schedules a prefetch of chunk 2 (the padded tail)
+        np.asarray(eng.dots_chunk(q_enc, 1))
+        assert 2 in eng._prefetch
+        eng.refresh(grown)
+        assert not eng._prefetch  # stale padded-tail future dropped
+        fresh = ShareEngine(grown, chunk=8, hbm_budget=0)
+        np.testing.assert_array_equal(
+            eng.dots(qpat, qmsk), fresh.dots(qpat, qmsk)
+        )
 
     def test_masks_stream_equals_bulk(self, setup):
         rng, queries, db = setup
@@ -244,9 +287,10 @@ def test_out_of_core_default_budget_reserves_stream_headroom(monkeypatch):
     plane_bytes = 2 * 12800 * 128  # one 128-entry chunk of lo/hi planes
     monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(5 * plane_bytes))
     eng = ShareEngine(share, chunk=128, batch_hint=8)
-    # 5 chunks' budget minus the transient: (2*12800 + 6*31*8)*128 bytes
-    # = ~1.04 plane-chunks -> 3 resident of 8, NOT 5.
-    assert eng._n_resident == 3
+    # 5 chunks' budget minus the transient: (2*(2*12800) + 6*31*8)*128 bytes
+    # (TWO raw u16 chunks — computing + prefetched — plus B-scaled blocks)
+    # = ~2.06 plane-chunks -> 2 resident of 8, NOT 5.
+    assert eng._n_resident == 2
     # all-resident DBs are unaffected by the headroom rule
     monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", str(8 * plane_bytes))
     assert ShareEngine(share, chunk=128, batch_hint=8)._n_resident == 8

@@ -142,7 +142,7 @@ def fx_share0(e: int) -> list:
     return [(12_345 * e + 7 * i + 1) % 65536 for i in range(BITS)]
 
 
-N_ENTRIES = 4
+N_ENTRIES = 8
 QUERY_PATTERN = fx_pattern(9)
 QUERY_MASK = fx_mask(9)
 
@@ -164,7 +164,8 @@ FROZEN_DEN_RECORD_E1 = [
 ]
 FROZEN_DISTANCES = [
     0.43550478042456653, 0.3982181210723093, 0.2532004537352131,
-    0.4519926815686898,
+    0.4519926815686898, 0.4224569711319552, 0.49659698590179874,
+    0.48152649489547883, 0.437773456490034,
 ]
 
 
@@ -363,3 +364,154 @@ class TestProtocolAgainstSpec:
         assert outcome.total == N_ENTRIES
         assert outcome.index == int(np.argmin(FROZEN_DISTANCES))
         assert outcome.distance == min(FROZEN_DISTANCES)
+
+
+# ===================================================================== keyed
+# Keyed-stream addressing (SPEC 4.1, our extension) pinned the same
+# three-way: an independent pure-int ChaCha20 (RFC 8439) below, the repo's
+# native/XLA implementations, and frozen literals. Covers every stream-id
+# class: small share ids, ids past 2^31 (u32 sign pitfalls), the maximum
+# assignable id 2^32-2, and the reserved re-randomization stream 2^32-1 —
+# plus u64 rows needing the nonce-word carry.
+
+
+def _spec_rotl32(x, n):
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def _spec_quarter(s, a, b, c, d):
+    s[a] = (s[a] + s[b]) & 0xFFFFFFFF
+    s[d] = _spec_rotl32(s[d] ^ s[a], 16)
+    s[c] = (s[c] + s[d]) & 0xFFFFFFFF
+    s[b] = _spec_rotl32(s[b] ^ s[c], 12)
+    s[a] = (s[a] + s[b]) & 0xFFFFFFFF
+    s[d] = _spec_rotl32(s[d] ^ s[a], 8)
+    s[c] = (s[c] + s[d]) & 0xFFFFFFFF
+    s[b] = _spec_rotl32(s[b] ^ s[c], 7)
+
+
+def _spec_chacha_block(key: bytes, counter: int, nonce_words) -> bytes:
+    st = (
+        [0x61707865, 0x3320646E, 0x79622D32, 0x6B206574]
+        + [int.from_bytes(key[i * 4:i * 4 + 4], "little") for i in range(8)]
+        + [counter & 0xFFFFFFFF]
+        + list(nonce_words)
+    )
+    w = list(st)
+    for _ in range(10):
+        _spec_quarter(w, 0, 4, 8, 12)
+        _spec_quarter(w, 1, 5, 9, 13)
+        _spec_quarter(w, 2, 6, 10, 14)
+        _spec_quarter(w, 3, 7, 11, 15)
+        _spec_quarter(w, 0, 5, 10, 15)
+        _spec_quarter(w, 1, 6, 11, 12)
+        _spec_quarter(w, 2, 7, 8, 13)
+        _spec_quarter(w, 3, 4, 9, 14)
+    return b"".join(((a + b) & 0xFFFFFFFF).to_bytes(4, "little")
+                    for a, b in zip(w, st))
+
+
+def _spec_keyed_row_u16(key: bytes, stream_id: int, row: int, n_u16: int):
+    """SPEC 4.1: keystream for share `stream_id` of global row `row` is
+    ChaCha20(key, counter=0.., nonce = sid:4LE || row:8LE), read as LE u16."""
+    nonce = (stream_id & 0xFFFFFFFF, row & 0xFFFFFFFF,
+             (row >> 32) & 0xFFFFFFFF)
+    nbytes = n_u16 * 2
+    ks = b"".join(_spec_chacha_block(key, c, nonce)
+                  for c in range(-(-nbytes // 64)))[:nbytes]
+    return [int.from_bytes(ks[i * 2:i * 2 + 2], "little")
+            for i in range(n_u16)]
+
+
+KEY_A = bytes(range(32))
+KEY_B = bytes(range(1, 33))
+
+FROZEN_KEYED_ROWS = {
+    (0, 0): [64825, 32043, 50649, 27161],
+    (1, 1): [27390, 27408, 23409, 47431],
+    (5, 1000): [60086, 61944, 29730, 63774],
+    (2147483648, 4294967296): [1764, 10301, 43630, 27855],
+    (4294967294, 1099511627775): [17723, 57347, 18570, 44325],
+    (4294967295, 3): [20680, 25815, 31232, 15733],
+}
+FROZEN_REKEYED_DATA_ROW2_PREFIX = [
+    63895, 48453, 19472, 47573, 18156, 43470, 16146, 57207,
+]
+
+
+class TestKeyedStreamKATs:
+    def test_rfc8439_block_vector(self):
+        """The spec ChaCha20 reproduces the RFC 8439 §2.3.2 test block."""
+        nw = tuple(int.from_bytes(bytes.fromhex(h), "little")
+                   for h in ("00000009", "0000004a", "00000000"))
+        blk = _spec_chacha_block(KEY_A, 1, nw)
+        assert blk[:16].hex() == "10f1e7e4d13b5915500fdd1fa32071c4"
+
+    @pytest.mark.parametrize("sid,row", sorted(FROZEN_KEYED_ROWS))
+    def test_keyed_row_addressing_three_way(self, sid, row):
+        """spec == frozen == native for every stream-id/row class."""
+        from mpc_iris_tpu import native
+
+        spec4 = _spec_keyed_row_u16(KEY_A, sid, row, 4)
+        assert spec4 == FROZEN_KEYED_ROWS[(sid, row)]
+        nonce = (sid & 0xFFFFFFFF).to_bytes(4, "little") + \
+            (row & (2**64 - 1)).to_bytes(8, "little")
+        got = np.asarray(
+            native.chacha20_stream(KEY_A, 0, nonce, 8)
+        ).view("<u2").tolist()
+        assert got == spec4
+
+    def test_keyed_row_xla_path(self):
+        """ops.chacha.share_rows (the device regen path) matches the spec
+        for a full 12,800-u16 row."""
+        from mpc_iris_tpu.ops.chacha import key_words, share_rows
+
+        sid, row = 5, 1000
+        want = _spec_keyed_row_u16(KEY_A, sid, row, BITS)
+        got = np.asarray(
+            share_rows(key_words(KEY_A), sid, np.uint32(row), 1)
+        )[0].tolist()
+        assert got == want
+
+    def test_rekey_epoch_frozen(self, tmp_path, monkeypatch):
+        """SPEC 4.3 key rotation over a hand-built keyed store: the rewritten
+        data share must equal enc - keystream(new key) per row — checked
+        against the spec formula, the frozen prefix, and reconstruction."""
+        import os as _os
+
+        from mpc_iris_tpu.cli import main
+
+        base = str(tmp_path / "kat")
+        rows = list(range(N_ENTRIES))
+        encs = [_spec_encode(fx_pattern(e), fx_mask(e)) for e in rows]
+        ks_a = [_spec_keyed_row_u16(KEY_A, 0, r, BITS) for r in rows]
+        with open(f"{base}.share-0", "wb") as f:
+            for r in rows:
+                f.write(_u16s_to_le_bytes(ks_a[r]))
+        with open(f"{base}.share-1", "wb") as f:
+            for r in rows:
+                f.write(_u16s_to_le_bytes(
+                    [(e - k) % 65536 for e, k in zip(encs[r], ks_a[r])]
+                ))
+        with open(f"{base}.oldkey", "w") as f:
+            f.write(KEY_A.hex())  # key files carry 64 hex digits
+        monkeypatch.setattr(_os, "urandom",
+                            lambda n: KEY_B[:n] if n == 32 else b"\0" * n)
+        rc = main(["rekey", base, "--count", "2",
+                   "--old-key", f"{base}.oldkey",
+                   "--new-key-out", f"{base}.newkey"])
+        assert rc == 0
+        assert bytes.fromhex(
+            open(f"{base}.newkey").read().strip()) == KEY_B
+
+        got0 = np.fromfile(f"{base}.share-0", "<u2").reshape(N_ENTRIES, BITS)
+        got1 = np.fromfile(f"{base}.share-1", "<u2").reshape(N_ENTRIES, BITS)
+        for r in rows:
+            ks_b = _spec_keyed_row_u16(KEY_B, 0, r, BITS)
+            assert got0[r].tolist() == ks_b  # keyed file rewritten to k'
+            want_data = [(e - k) % 65536 for e, k in zip(encs[r], ks_b)]
+            assert got1[r].tolist() == want_data
+            # reconstruction preserved: share-0 + share-1 == enc (mod 2^16)
+            assert ((got0[r].astype(np.int64) + got1[r]) % 65536
+                    ).tolist() == encs[r]
+        assert got1[2][:8].tolist() == FROZEN_REKEYED_DATA_ROW2_PREFIX
