@@ -108,6 +108,48 @@ def main() -> int:
                           file_eng.dots(qpat[:2], qmsk[:2])), "keyed != file"
     print(f"[5] Mosaic ChaCha == XLA (incl. nonce wrap); keyed == file "
           f"engine OK ({time.monotonic()-t0:.0f}s)")
+
+    # 6. serving stack on the live chip: 2-party coordinator behind a
+    # QueryServer, one-shot AND persistent wires (SPEC 5.2/5.5), outcomes
+    # equal the scalar-oracle distance from [4]'s world.
+    import asyncio
+
+    from mpc_iris_tpu.protocol import (
+        Coordinator,
+        ParticipantServer,
+        PersistentQueryClient,
+        QueryServer,
+        query_remote,
+    )
+
+    q_t = Template(Bits(qpat[0]), Bits(qmsk[0]))
+    oracle = np.array([q_t.distance(t) for t in db_t])
+
+    async def serve_round():
+        parts = [ParticipantServer(e, "127.0.0.1", 0) for e in se]
+        addrs = [await p.start() for p in parts]
+        coord = Coordinator(me, addrs, batch_records=32)
+        front = QueryServer(coord, "127.0.0.1", 0)
+        host, port = await front.start()
+        try:
+            solo = await query_remote(host, port, q_t)
+            client = await PersistentQueryClient.connect(host, port)
+            p1 = await client.query(q_t)
+            p2 = await client.query(db_t[7])
+            await client.close()
+            return solo, p1, p2
+        finally:
+            await front.close()
+            for p in parts:
+                await p.close()
+
+    solo, p1, p2 = asyncio.run(serve_round())
+    assert (solo.index, solo.distance) == (p1.index, p1.distance)
+    assert solo.index == int(np.argmin(oracle))
+    assert solo.distance == oracle.min()
+    assert p2.index == 7 and p2.distance == 0.0  # DB self-match
+    print(f"[6] serving front (one-shot + persistent wires) == oracle OK "
+          f"({time.monotonic()-t0:.0f}s)")
     print("TPU smoke: ALL OK")
     return 0
 
