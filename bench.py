@@ -321,6 +321,13 @@ def main():
             if eng.num_chunks() > eng._n_resident:
                 np.asarray(fold(eng.dots_chunk(q_enc, eng.num_chunks() - 1)))
 
+    from mpc_iris_tpu.utils.stats import (
+        append_history,
+        delta_line,
+        format_summary,
+        summarize_timings,
+    )
+
     try:
         warm
     except NameError:
@@ -341,13 +348,6 @@ def main():
 
     comparisons = b * n * 31
     if args.latency:
-        from mpc_iris_tpu.utils.stats import (
-            append_history,
-            delta_line,
-            format_summary,
-            summarize_timings,
-        )
-
         stats = summarize_timings(times)
         p50 = stats["median_clean"]
         rate = n * 31 / p50  # ONE real query; padded rows are not counted
@@ -387,13 +387,6 @@ def main():
             )
         )
         return
-
-    from mpc_iris_tpu.utils.stats import (
-        append_history,
-        delta_line,
-        format_summary,
-        summarize_timings,
-    )
 
     stats = summarize_timings(times)
     dt = stats["min"]

@@ -22,6 +22,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -656,6 +657,28 @@ def default_hbm_budget() -> int:
     return int(13.5 * (1 << 30))
 
 
+_OOC_POOL = None
+_OOC_POOL_LOCK = threading.Lock()
+
+
+def _ooc_prefetch_pool():
+    """Process-wide single-worker executor for out-of-core chunk prefetch.
+
+    Shared by every engine: one 'ooc-prefetch' thread total (no per-engine
+    leak when engines are rebuilt after growth), lazy creation guarded by a
+    lock (engines are driven from asyncio.to_thread workers, so first touch
+    can race). One worker also keeps page-ins serialized — the right shape
+    for a single host disk/NIC feeding one device."""
+    global _OOC_POOL
+    with _OOC_POOL_LOCK:
+        if _OOC_POOL is None:
+            import concurrent.futures
+
+            _OOC_POOL = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="ooc-prefetch")
+    return _OOC_POOL
+
+
 class ShareEngine:
     """Participant-side engine: dot shares of queries against a u16 share DB
     (== reference `DistanceEngine`, src/lib.rs:28-52).
@@ -702,9 +725,10 @@ class ShareEngine:
         # NEXT streamed chunk while the current one computes (VERDICT r03
         # item 6 — the reference's mmap participant gets this overlap from
         # the OS readahead + DMA, src/main.rs:386-400). One future at a time;
-        # MPC_IRIS_NO_OOC_PREFETCH=1 disables (A/B measurement).
+        # MPC_IRIS_NO_OOC_PREFETCH=1 disables (A/B measurement). The worker
+        # pool is PROCESS-wide (module-level), so engines never leak threads
+        # and lazy creation cannot race.
         self._prefetch: dict[int, object] = {}
-        self._prefetch_pool = None
         self._resident = []
         for c in range(self._n_resident):
             self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
@@ -777,10 +801,13 @@ class ShareEngine:
         self._resident = resident  # atomic swap under the GIL
         self._n_resident = n_res
         # A prefetched PADDED tail chunk captured pre-growth would feed zeros
-        # where appended rows now exist to a post-growth scan — drop every
-        # cached prefetch (in-flight consumers captured the old count and
-        # only read rows below it, which are append-stable).
-        self._prefetch.clear()
+        # where appended rows now exist to a post-growth scan — drop (and
+        # cancel, if not yet started) every cached prefetch. In-flight
+        # consumers captured the old count and only read rows below it,
+        # which are append-stable.
+        while self._prefetch:
+            _, stale = self._prefetch.popitem()
+            stale.cancel()
         return added
 
     def _warn_frozen_layout(self, n_new: int) -> None:
@@ -832,12 +859,7 @@ class ShareEngine:
                 or c in self._prefetch
                 or _os.environ.get("MPC_IRIS_NO_OOC_PREFETCH")):
             return
-        if self._prefetch_pool is None:
-            import concurrent.futures
-
-            self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
-                1, thread_name_prefix="ooc-prefetch")
-        self._prefetch[c] = self._prefetch_pool.submit(
+        self._prefetch[c] = _ooc_prefetch_pool().submit(
             lambda: self._put(self._chunk_u16(c)))
 
     def dots_chunk(self, q_enc, chunk_index: int):
@@ -861,9 +883,13 @@ class ShareEngine:
         fut = self._prefetch.pop(chunk_index, None)
         self._prefetch_submit(chunk_index + 1)
         # Drop prefetches a sequential scan can no longer use (random access
-        # or a competing scan) so at most one future pins HBM + a worker slot.
+        # or a competing scan) so at most one future pins HBM + a worker
+        # slot; cancel() skips not-yet-started page-ins so the shared worker
+        # never transfers a chunk nobody will consume.
         for k in [k for k in self._prefetch if k != chunk_index + 1]:
-            self._prefetch.pop(k, None)
+            stale = self._prefetch.pop(k, None)
+            if stale is not None:
+                stale.cancel()
         raw = fut.result() if fut is not None else self._put(
             self._chunk_u16(chunk_index))
         return _share_dots_chunk_u16(q_enc, raw)

@@ -873,6 +873,10 @@ class QueryServer:
         self._dispatcher: asyncio.Task | None = None
         self._round_tasks: set[asyncio.Task] = set()
         self._tracker = ConnectionTracker()
+        # Persistent sessions parked between records (SPEC 5.5): drained
+        # immediately at shutdown — nothing is in flight on them.
+        self._idle_persistent: set[asyncio.StreamWriter] = set()
+        self._draining = False
 
     async def start(self) -> tuple[str, int]:
         self._server = await asyncio.start_server(
@@ -899,9 +903,19 @@ class QueryServer:
         """Graceful shutdown: stop accepting new clients, wait up to `grace`
         seconds for every in-flight query (including queued micro-batch
         members — their handlers hold the connection until the shared round
-        resolves) to be answered. Returns False if the deadline expired with
-        queries still running — call :meth:`abort_connections` then
-        :meth:`close` to finish shutdown (close also stops the dispatcher)."""
+        resolves) to be answered. Persistent sessions parked BETWEEN records
+        are ended immediately (EOF between records is the wire's clean
+        end-of-session — nothing of theirs is in flight); a persistent
+        client unlucky enough to be mid-record sees a short read and
+        retries against the replacement server. Returns False if the
+        deadline expired with queries still running — call
+        :meth:`abort_connections` then :meth:`close` to finish shutdown
+        (close also stops the dispatcher)."""
+        self._draining = True
+        if self._server is not None:
+            self._server.close()  # stop accepting before ending idle sessions
+        for w in list(self._idle_persistent):
+            w.close()  # graceful FIN: the parked record read ends cleanly
         return await drain_server(self._server, grace, tracker=self._tracker)
 
     def abort_connections(self) -> int:
@@ -1100,12 +1114,13 @@ class QueryServer:
                 return (asyncio.wait_for(coro, self.read_timeout)
                         if self.read_timeout else coro)
 
-            async def read_head():
-                """First read decides the wire: the 8-byte persistent-mode
-                magic, or the leading bytes of a one-shot raw template."""
-                return await reader.readexactly(len(PERSIST_MAGIC))
-
-            async def read_rest(head: bytes):
+            async def read_first():
+                """First request under ONE deadline (a slow-loris client
+                must not get a fresh budget per partial read): the 8-byte
+                persistent magic, or a complete one-shot request."""
+                head = await reader.readexactly(len(PERSIST_MAGIC))
+                if head == PERSIST_MAGIC:
+                    return None
                 raw = head + await reader.readexactly(
                     TEMPLATE_BYTES - len(head))
                 if not self.audit:
@@ -1113,27 +1128,48 @@ class QueryServer:
                 t_raw = await reader.readexactly(AUDIT_THRESHOLD.size)
                 return raw, AUDIT_THRESHOLD.unpack(t_raw)[0]
 
-            head = await timed(read_head())
-            if head != PERSIST_MAGIC:
-                # One-shot wire (default, reference-shaped): the 8 bytes are
-                # the template's prefix.
-                raw, threshold = await timed(read_rest(head))
-                await self._serve_one(raw, threshold, peer, writer)
+            async def read_record():
+                """One persistent record under one deadline. Returns None on
+                a clean end-of-session (EOF at the record boundary); EOF
+                anywhere INSIDE the record — including between an audit
+                template and its threshold — raises (torn record)."""
+                try:
+                    raw = await reader.readexactly(TEMPLATE_BYTES)
+                except asyncio.IncompleteReadError as e:
+                    if e.partial:
+                        raise
+                    return None
+                if not self.audit:
+                    return raw, None
+                t_raw = await reader.readexactly(AUDIT_THRESHOLD.size)
+                return raw, AUDIT_THRESHOLD.unpack(t_raw)[0]
+
+            first = await timed(read_first())
+            if first is not None:
+                # One-shot wire (default, reference-shaped).
+                await self._serve_one(first[0], first[1], peer, writer)
                 return
             # Persistent wire (SPEC 5.5): many queries per connection —
             # amortizes the TCP/TLS handshake at serving. Each query is the
             # same fixed-size record as the one-shot wire; clean EOF between
             # records ends the session. read_timeout applies per record, so
             # an idle keep-alive connection is reclaimed like a silent
-            # client (reconnect is cheap exactly because it is rare).
+            # client (reconnect is cheap exactly because it is rare). While
+            # parked between records the session registers as IDLE so a
+            # graceful drain can end it immediately instead of burning the
+            # whole grace on a connection with nothing in flight.
             while True:
+                self._idle_persistent.add(writer)
+                if self._draining:
+                    self._idle_persistent.discard(writer)
+                    break
                 try:
-                    raw, threshold = await timed(read_rest(b""))
-                except asyncio.IncompleteReadError as e:
-                    if e.partial:
-                        raise  # torn mid-record: a real client failure
-                    break  # clean end-of-session
-                if not await self._serve_one(raw, threshold, peer, writer):
+                    rec = await timed(read_record())
+                finally:
+                    self._idle_persistent.discard(writer)
+                if rec is None:
+                    break
+                if not await self._serve_one(rec[0], rec[1], peer, writer):
                     return  # close-without-reply policy ends the session
         except asyncio.TimeoutError:
             log.warning("client %s sent no complete query within %.1fs — "

@@ -88,17 +88,31 @@ async def drain_server(server: asyncio.AbstractServer | None,
     # Pre-3.12.1 fallback: wait_closed() is listener-close only (and is NOT
     # awaited here — under the >=3.12.1 semantics this code path can still
     # be reached in tests, where it would block on in-flight connections).
-    # Yield one loop turn so handlers for already-accepted connections get
-    # scheduled and register with the tracker, then poll the live count.
+    # Handlers register with the tracker only once they START, which for an
+    # accepted-but-mid-TLS-handshake connection is several loop turns plus a
+    # network round trip away — so after the listener closes, hold a short
+    # SETTLE window during which the tracker must stay at zero before
+    # reporting clean (shrinks, but cannot fully close, the registration
+    # race; Python >= 3.12.1's wait_closed() is the airtight path).
     if tracker is None:
         # No tracker: in-flight connections are unobservable on this
         # Python; one extra turn is the best available effort.
         await asyncio.sleep(0)
         return True
     deadline = None if grace is None else time.monotonic() + grace
-    await asyncio.sleep(0)
-    while tracker.active:
-        if deadline is not None and time.monotonic() >= deadline:
-            return False
+    settle_for = 0.25 if grace is None else min(0.25, grace)
+    zero_since = None
+    while True:
+        now = time.monotonic()
+        if tracker.active:
+            zero_since = None
+            if deadline is not None and now >= deadline:
+                return False
+        else:
+            if zero_since is None:
+                zero_since = now
+            if now - zero_since >= settle_for:
+                return True
+            if deadline is not None and now >= deadline:
+                return True  # zero at the deadline: nothing left to abort
         await asyncio.sleep(0.02)
-    return True

@@ -181,7 +181,9 @@ class TestShareMasksEngines:
         )
         # the sequential scans above ran THROUGH the prefetch worker; prove
         # it was actually engaged, then disable it and re-check parity
-        assert pure._prefetch_pool is not None
+        from mpc_iris_tpu.models import engines as engines_mod
+
+        assert engines_mod._OOC_POOL is not None  # shared worker engaged
         import os as _os
 
         _os.environ["MPC_IRIS_NO_OOC_PREFETCH"] = "1"
@@ -190,7 +192,7 @@ class TestShareMasksEngines:
             np.testing.assert_array_equal(
                 nopf.dots(qpat, qmsk), resident.dots(qpat, qmsk)
             )
-            assert nopf._prefetch_pool is None
+            assert not nopf._prefetch  # no futures scheduled when disabled
         finally:
             del _os.environ["MPC_IRIS_NO_OOC_PREFETCH"]
         # random chunk access after a sequential pass: stale prefetches are

@@ -516,6 +516,127 @@ class TestQueryServer:
                 assert out.index == int(np.argmin(oracle))
                 assert out.distance == oracle.min()
 
+    def test_idle_persistent_session_does_not_block_drain(self, world):
+        """A persistent client parked between records has nothing in flight:
+        drain must end its session immediately (clean EOF at the record
+        boundary) instead of burning the whole grace and reporting failure."""
+        import time as _time
+
+        from mpc_iris_tpu.protocol import PersistentQueryClient, QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0)
+            host, port = await server.start()
+            client = await PersistentQueryClient.connect(host, port)
+            out = await client.query(query)  # one served record, then idle
+            await asyncio.sleep(0.05)  # let the handler park on the next read
+            t0 = _time.monotonic()
+            ok = await server.drain(grace=10.0)
+            dt = _time.monotonic() - t0
+            # the parked session sees EOF -> clean end; further queries fail
+            with pytest.raises((asyncio.IncompleteReadError,
+                                ConnectionError)):
+                await client.query(query)
+            await client.close()
+            await server.close()
+            for p in parts:
+                await p.close()
+            return out, ok, dt
+
+        out, ok, dt = asyncio.run(go())
+        oracle = np.array([query.distance(t) for t in db])
+        assert out.index == int(np.argmin(oracle))
+        assert ok is True
+        assert dt < 5.0, f"drain burned {dt:.1f}s on an idle session"
+
+    def test_persistent_audit_torn_mid_record_is_not_clean_eof(self, world,
+                                                               caplog):
+        """EOF between an audit template and its 8-byte threshold is a TORN
+        record: the session must be logged as a dropped client, never
+        treated as a clean end-of-session."""
+        import logging
+
+        from mpc_iris_tpu.protocol.coordinator import PERSIST_MAGIC
+        from mpc_iris_tpu.protocol import QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 2)
+
+        async def go():
+            parts = [
+                ParticipantServer(ShareEngine(m, chunk=8), "127.0.0.1", 0)
+                for m in mats
+            ]
+            addrs = [await p.start() for p in parts]
+            coord = Coordinator(MasksEngine(masks, chunk=8), addrs,
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, audit=True)
+            host, port = await server.start()
+            try:
+                reader, writer = await asyncio.open_connection(host, port)
+                writer.write(PERSIST_MAGIC + query.to_bytes())  # no threshold
+                await writer.drain()
+                writer.close()
+                await writer.wait_closed()
+                await asyncio.sleep(0.2)  # let the handler observe the EOF
+            finally:
+                await server.close()
+                for p in parts:
+                    await p.close()
+
+        with caplog.at_level(logging.WARNING, logger="mpc_iris_tpu.coordinator"):
+            asyncio.run(go())
+        assert any("dropped" in r.getMessage() for r in caplog.records), \
+            [r.getMessage() for r in caplog.records]
+
+    def test_serve_read_timeout_single_deadline(self, world):
+        """A slow-loris client that sends 8 bytes just under the deadline
+        must NOT get a fresh budget for the rest of the record: the whole
+        first request shares one read_timeout."""
+        import time as _time
+
+        from mpc_iris_tpu.protocol import QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            part = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                     "127.0.0.1", 0)
+            addr = await part.start()
+            coord = Coordinator(MasksEngine(masks, chunk=8), [addr],
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0, read_timeout=0.6)
+            host, port = await server.start()
+            try:
+                reader, writer = await asyncio.open_connection(host, port)
+                t0 = _time.monotonic()
+                await asyncio.sleep(0.4)
+                writer.write(query.to_bytes()[:8])  # head only, then stall
+                await writer.drain()
+                eof = await reader.read()  # server closes at the deadline
+                dt = _time.monotonic() - t0
+                writer.close()
+                await writer.wait_closed()
+                return eof, dt
+            finally:
+                await server.close()
+                await part.close()
+
+        eof, dt = asyncio.run(go())
+        assert eof == b""  # closed with no reply record
+        assert dt < 1.1, f"two stacked deadlines: closed after {dt:.2f}s"
+
     def test_serve_micro_batching_aggregates_concurrent_clients(self, world):
         """max_batch > 1: concurrent clients share ONE batched MPC round;
         outcomes are bit-identical to solo queries, and the participants see
