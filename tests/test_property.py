@@ -255,3 +255,66 @@ def test_native_parser_chunk_boundaries_match_python(seed, chunk_size,
     for (gp, gm), p, m in zip(got, pats, msks):
         np.testing.assert_array_equal(gp[0], p)
         np.testing.assert_array_equal(gm[0], m)
+
+
+@FAST
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(0, 3),
+    torn=st.integers(0, 3199),
+    cuts=st.lists(st.integers(0, 13000), max_size=8),
+)
+def test_persistent_wire_record_framing(seed, n, torn, cuts):
+    """The persistent serving wire (SPEC 5.5) under ANY fragmentation: a
+    session of n whole records yields exactly n replies; a torn trailing
+    record (1..3199 bytes) never yields an extra reply and never crashes
+    the handler. Uses a stub coordinator so each example costs no MPC."""
+    from mpc_iris_tpu.protocol.coordinator import (
+        PERSIST_MAGIC,
+        SERVE_REPLY,
+        QueryOutcome,
+        QueryServer,
+    )
+
+    class StubCoord:
+        async def query(self, template):
+            return QueryOutcome(7, 0.25, 99)
+
+    class SinkWriter:
+        def __init__(self):
+            self.buf = bytearray()
+
+        def write(self, b):
+            self.buf += b
+
+        async def drain(self):
+            pass
+
+        def close(self):
+            pass
+
+        async def wait_closed(self):
+            pass
+
+        def get_extra_info(self, key):
+            return ("stub", 0)
+
+    rng = np.random.default_rng(seed)
+    records = rng.integers(0, 256, (n, 3200), dtype=np.uint8).tobytes()
+    raw = PERSIST_MAGIC + records + bytes(torn)
+    server = QueryServer(StubCoord(), "127.0.0.1", 0)
+    writer = SinkWriter()
+
+    async def go():
+        reader = _feed_in_splits(raw, cuts)
+        await server._handle(reader, writer)
+
+    asyncio.run(go())
+    assert len(writer.buf) == n * SERVE_REPLY.size
+    for k in range(n):
+        idx, dist, total = SERVE_REPLY.unpack_from(writer.buf,
+                                                   k * SERVE_REPLY.size)
+        assert (idx, dist, total) == (7, 0.25, 99)
+    assert server.served == n
+    # torn tails are dropped-client events, clean tails are clean sessions
+    assert server.failed == 0
