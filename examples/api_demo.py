@@ -139,6 +139,46 @@ def main():
     )
     print("    shares changed, share-sum unchanged")
 
+    # ------------------------------------------------- 6. serving stack
+    # The network roles as library objects: two share-holding participants
+    # behind a Coordinator, fronted by a QueryServer; clients use the
+    # one-shot wire or a persistent session (SPEC 5.2/5.5).
+    print("[6] serving stack: QueryServer + persistent client, in-process")
+    import asyncio
+
+    from mpc_iris_tpu.protocol import (
+        Coordinator,
+        ParticipantServer,
+        PersistentQueryClient,
+        QueryServer,
+        query_remote,
+    )
+
+    async def serve_demo():
+        servers = [ParticipantServer(p, "127.0.0.1", 0) for p in parties]
+        addrs = [await s.start() for s in servers]
+        coord = Coordinator(masks_eng, addrs)
+        front = QueryServer(coord, "127.0.0.1", 0)
+        host, port = await front.start()
+        try:
+            q_t = Template.from_bytes(bytes(qpat[0]) + bytes(qmsk[0]))
+            solo = await query_remote(host, port, q_t)
+            session = await PersistentQueryClient.connect(host, port)
+            o1 = await session.query(q_t)   # same connection,
+            o2 = await session.query(q_t)   # many queries
+            await session.close()
+            return solo, o1, o2
+        finally:
+            await front.close()
+            for s in servers:
+                await s.close()
+
+    solo, o1, o2 = asyncio.run(serve_demo())
+    check((solo.index, solo.distance) == (o1.index, o1.distance)
+          == (o2.index, o2.distance), "persistent == one-shot outcomes")
+    check(solo.distance == results[0].distance, "served == local engine")
+    print("    one-shot and persistent wires agree with the local engine")
+
     print("api_demo: all checks passed")
 
 
