@@ -202,3 +202,27 @@ def test_graft_entry_dryrun_serving_stack():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_multihost_two_process_party():
+    """A REAL 2-process jax.distributed universe (Gloo over localhost) runs
+    the sharded match step with process-local DB loading — the multi-host
+    party path (SURVEY §5 distributed comm) executed, not just unit-tested.
+    Subprocess-isolated because jax.distributed.initialize is process-global
+    and this test process already owns an 8-device local backend."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "scripts" / "multihost_smoke.py"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # the forked ranks size their own devices
+    env["PYTHONPATH"] = str(script.parents[1])
+    out = subprocess.run(
+        [sys.executable, str(script), "--procs", "2"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multihost smoke: OK" in out.stdout
