@@ -291,6 +291,62 @@ def _fractions_scan_packed(q_enc, q_mask, db_pat, db_msk):
     return jnp.moveaxis(ys, 0, 2).reshape(2, b, -1)
 
 
+def _compact_under_device(nd, t_hi, k):
+    """Device-side audit compaction: keep only CANDIDATE entries.
+
+    nd: uint16 [2, B, Np] per-entry minimal (num, den) pairs (on device).
+    t_hi: f32 scalar, a CONSERVATIVE upper bound of the threshold — the
+    float32 prefilter ``n < t_hi * d`` must be a SUPERSET of the exact
+    rational ``n/d < t`` (multiplication-only: n, d <= 65,535 are exact in
+    f32, so one correctly-rounded multiply is the only rounding; the caller
+    inflates t by ~1e-4 relative, orders of magnitude above that error).
+    d == 0 is excluded for free (n < t_hi*0 is false). The EXACT strict-<
+    decision happens on host over the compacted candidates.
+
+    Returns (meta int32 [B, k+1], nd_out uint16 [2, B, k]) — TWO arrays to
+    bound the remote-fetch round trips: meta[:, 0] = candidate count (may
+    exceed k: caller must then fall back to the full fetch), meta[:, 1:] =
+    candidate DB indices ascending (-1 padding)."""
+    n = nd[0].astype(jnp.float32)
+    d = nd[1].astype(jnp.float32)
+    mask = n < t_hi * d  # [B, Np] conservative superset
+    counts = mask.sum(axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(mask, pos, k)  # k = out of bounds -> dropped
+    src_idx = jnp.broadcast_to(
+        jnp.arange(mask.shape[1], dtype=jnp.int32), mask.shape
+    )
+
+    def scatter(fill, t, s):
+        return fill.at[t].set(s, mode="drop")
+
+    idx_out = jax.vmap(scatter)(
+        jnp.full((mask.shape[0], k), -1, jnp.int32), tgt, src_idx
+    )
+    n_out = jax.vmap(scatter)(
+        jnp.zeros((mask.shape[0], k), jnp.uint16), tgt, nd[0]
+    )
+    d_out = jax.vmap(scatter)(
+        jnp.zeros((mask.shape[0], k), jnp.uint16), tgt, nd[1]
+    )
+    meta = jnp.concatenate([counts[:, None], idx_out], axis=1)
+    return meta, jnp.stack([n_out, d_out])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fractions_under_compact(q_enc, q_mask, db_enc, db_mask, t_hi, k):
+    return _compact_under_device(
+        _fractions_scan(q_enc, q_mask, db_enc, db_mask), t_hi, k
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fractions_under_compact_packed(q_enc, q_mask, db_pat, db_msk, t_hi, k):
+    return _compact_under_device(
+        _fractions_scan_packed(q_enc, q_mask, db_pat, db_msk), t_hi, k
+    )
+
+
 @jax.jit
 def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
     """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
@@ -453,27 +509,32 @@ class AuditLimitExceeded(RuntimeError):
 
 
 def hits_under_from_fractions(nums, dens, threshold: float,
-                              limit: int | None = None):
+                              limit: int | None = None, indices=None):
     """Shared host epilogue of every threshold-audit path: per-entry minimal
     (numerator, denominator) int arrays [N] -> (idx, dist, n, d) arrays of
     the entries EXACTLY under the threshold
     (ops.decode.under_threshold_mask_np), ascending by reported f64 distance,
     index-ordered within equal-f64 ties. Raises :class:`AuditLimitExceeded`
     BEFORE building any per-hit objects when more than ``limit`` entries
-    match."""
+    match.
+
+    ``indices``: optional global DB indices of the rows (for pre-compacted
+    candidate arrays — the device-side audit compaction); defaults to
+    positional 0..N-1."""
     from mpc_iris_tpu.ops.decode import (
         fractions_to_f64_np,
         under_threshold_mask_np,
     )
 
-    idx = np.nonzero(under_threshold_mask_np(nums, dens, threshold))[0]
+    sel = np.nonzero(under_threshold_mask_np(nums, dens, threshold))[0]
+    idx = sel if indices is None else np.asarray(indices)[sel]
     if limit is not None and idx.size > limit:
         raise AuditLimitExceeded(
             f"{idx.size} entries under threshold {threshold} exceeds the "
             f"configured match limit {limit}"
         )
-    n_b = np.asarray(nums)[idx].astype(np.int64)
-    d_b = np.asarray(dens)[idx].astype(np.int64)
+    n_b = np.asarray(nums)[sel].astype(np.int64)
+    d_b = np.asarray(dens)[sel].astype(np.int64)
     dist = fractions_to_f64_np(n_b, d_b)
     order = np.lexsort((idx, dist))
     return idx[order], dist[order], n_b[order], d_b[order]
@@ -622,8 +683,9 @@ class PlaintextEngine:
             out = _fractions_scan(q_enc, q_mask, self.db_enc, self.db_mask)
         return np.asarray(out)[:, :, : self.count]
 
-    def find_under(self, patterns_packed, masks_packed,
-                   threshold: float) -> list[list[MatchResult]]:
+    def find_under(self, patterns_packed, masks_packed, threshold: float,
+                   limit: int | None = None,
+                   compact_k: int | None = None) -> list[list[MatchResult]]:
         """ALL DB entries with distance strictly under ``threshold``, per query
         (ascending distance, index-ordered within ties) — the dedup-audit
         complement of `match` (which returns only the argmin winner).
@@ -634,14 +696,71 @@ class PlaintextEngine:
         streams exact integer fractions and the threshold comparison is exact
         in the rational order (ops.decode.under_threshold_mask_np), so a
         threshold placed exactly ON a representable distance excludes it
-        (strict <) deterministically."""
-        from mpc_iris_tpu.ops.decode import (
-            fractions_to_f64_np,
-            under_threshold_mask_np,
-        )
+        (strict <) deterministically.
 
-        nd = self.min_fractions(patterns_packed, masks_packed)
-        return find_under_from_fractions(nd, threshold)
+        Fetch is O(matches), not O(N): the device pass compacts a
+        CONSERVATIVE candidate superset (float32 prefilter with margin —
+        never excludes a true match) and only those (index, num, den)
+        triples cross to the host, where the exact rational compare settles
+        them. At a 1M-entry DB this turns a 4·B·N-byte spectrum fetch into
+        kilobytes. Falls back to the full-spectrum path when candidates
+        exceed ``compact_k`` (default: limit-scaled, >= 65,536) — e.g. an
+        adversarial threshold sitting on a popular distance — so results
+        are identical in every case.
+
+        ``limit``: raise :class:`AuditLimitExceeded` when any query matches
+        more than this many entries (the serving guard)."""
+        t = float(threshold)
+        b = np.asarray(patterns_packed).shape[0]
+        if np.isnan(t) or t <= 0.0:
+            return [[] for _ in range(b)]
+        k = compact_k if compact_k is not None else max(
+            65536, 2 * limit if limit else 0
+        )
+        k = min(k, self.count)
+        if np.isinf(t) or k == self.count:
+            # everything (valid) matches / no compaction possible: full path
+            nd = self.min_fractions(patterns_packed, masks_packed)
+            return find_under_from_fractions(nd, t, limit=limit)
+
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        # Conservative f32 bound: inflate t by 1e-4 relative (the prefilter's
+        # only rounding is one f32 multiply, error ~2^-24).
+        t_hi = np.float32(t * (1.0 + 1e-4))
+        if self.storage == "packed":
+            meta, nd_c = _fractions_under_compact_packed(
+                q_enc, q_mask, self.db_pat, self.db_msk, t_hi, k)
+        else:
+            meta, nd_c = _fractions_under_compact(
+                q_enc, q_mask, self.db_enc, self.db_mask, t_hi, k)
+        meta = np.asarray(meta)
+        counts = meta[:, 0]
+        if (counts > k).any():
+            # candidate superset overflowed the compact buffer (adversarial
+            # boundary pile-up): identical results via the full fetch
+            nd = self.min_fractions(patterns_packed, masks_packed)
+            return find_under_from_fractions(nd, t, limit=limit)
+        nd_c = np.asarray(nd_c)
+        results: list[list[MatchResult]] = []
+        for q in range(b):
+            c = int(counts[q])
+            # compacted rows can include padded entries >= count only if the
+            # scan padding produced d > 0 — it cannot (mask-0 padding), but
+            # trim defensively against index space anyway
+            idx_g = meta[q, 1:1 + c]
+            keep = idx_g < self.count
+            idx, dist, n_b, d_b = hits_under_from_fractions(
+                nd_c[0, q, :c][keep].astype(np.int64),
+                nd_c[1, q, :c][keep].astype(np.int64),
+                t, limit=limit, indices=idx_g[keep],
+            )
+            results.append([
+                MatchResult(int(i), float(v), int(nn), int(dd))
+                for i, v, nn, dd in zip(idx, dist, n_b, d_b)
+            ])
+        return results
 
 
 def default_hbm_budget() -> int:

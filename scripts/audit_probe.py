@@ -32,6 +32,7 @@ def main():
     p.add_argument("--chunk", type=int, default=32_768)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--threshold", type=float, default=0.375)
+    p.add_argument("--compact-k", type=int, default=65536)
     args = p.parse_args()
 
     n, b, chunk = args.db, args.batch, args.chunk
@@ -57,6 +58,28 @@ def main():
         hits = under_threshold_mask_np(nd[0], nd[1], args.threshold)
         return int(hits.sum())
 
+    def audit_pass_compact():
+        # O(matches) fetch: device-side conservative prefilter + compaction
+        # (engines._fractions_under_compact_packed); exact settle over the
+        # candidates on host.
+        from mpc_iris_tpu.models.engines import (
+            _fractions_under_compact_packed,
+        )
+
+        t_hi = np.float32(args.threshold * (1.0 + 1e-4))
+        meta, nd_c = _fractions_under_compact_packed(
+            q_enc, q_mask, db_pat, db_msk, t_hi, args.compact_k)
+        meta = np.asarray(meta)
+        nd_c = np.asarray(nd_c)
+        total = 0
+        for q in range(b):
+            c = int(meta[q, 0])
+            assert c <= args.compact_k, "raise --compact-k for this threshold"
+            total += int(under_threshold_mask_np(
+                nd_c[0, q, :c].astype(np.int64),
+                nd_c[1, q, :c].astype(np.int64), args.threshold).sum())
+        return total
+
     def match_pass():
         return np.asarray(
             _match_scan_packed(q_enc, q_mask, db_pat, db_msk,
@@ -64,7 +87,8 @@ def main():
                                interpret=interp and b % 8 == 0)
         )
 
-    for name, fn in (("match", match_pass), ("audit", audit_pass)):
+    for name, fn in (("match", match_pass), ("audit", audit_pass),
+                     ("audit-compact", audit_pass_compact)):
         fn()  # compile + warm
         times = []
         for _ in range(args.iters):

@@ -155,6 +155,44 @@ class TestPlaintextFindUnder:
         # threshold exactly 0.0: strict < excludes the exact duplicates
         assert eng.find_under(qpat, qmsk, 0.0)[0] == []
 
+    @pytest.mark.parametrize("storage", ["dense", "packed"])
+    def test_compact_path_matches_full(self, audit_world, storage):
+        """The device-compacted audit (O(matches) fetch) is bit-identical to
+        the full-spectrum path at every threshold class: normal, tiny,
+        median, and one sitting EXACTLY on a present distance (the f32
+        prefilter over-includes it; the exact host settle must exclude)."""
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage=storage)
+        finite = oracle[np.isfinite(oracle)]
+        exact_hit = float(finite[5])  # a threshold equal to a real distance
+        for t in (0.25, float(np.median(finite)), 1e-9, exact_hit, 2.0):
+            # compact_k < count forces the compacted device path
+            fast = eng.find_under(qpat, qmsk, t, compact_k=48)
+            full = eng.find_under(qpat, qmsk, t)  # k >= count: full path
+            assert [[(m.index, m.distance, m.numerator, m.denominator)
+                     for m in row] for row in fast] == \
+                [[(m.index, m.distance, m.numerator, m.denominator)
+                  for m in row] for row in full], t
+
+    def test_compact_overflow_falls_back_to_full(self, audit_world):
+        """Candidates past compact_k (e.g. an adversarial threshold matching
+        nearly everything) fall back to the full fetch — identical lists."""
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+        fast = eng.find_under(qpat, qmsk, 0.9, compact_k=4)  # overflow
+        full = eng.find_under(qpat, qmsk, 0.9)
+        assert [[m.index for m in row] for row in fast] == \
+            [[m.index for m in row] for row in full]
+
+    def test_compact_path_respects_limit(self, audit_world):
+        """The serving limit guard raises through the compacted path too."""
+        from mpc_iris_tpu.models.engines import AuditLimitExceeded
+
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+        with pytest.raises(AuditLimitExceeded):
+            eng.find_under(qpat, qmsk, 0.9, limit=2, compact_k=48)
+
     def test_min_fractions_equals_full_oracle(self, audit_world):
         dpat, dmsk, qpat, qmsk, oracle = audit_world
         eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
