@@ -333,6 +333,14 @@ def _compact_under_device(nd, t_hi, k):
     return meta, jnp.stack([n_out, d_out])
 
 
+# Standalone jit of the compaction for callers whose spectrum already lives
+# on device (ShardedPlaintextEngine.find_under); module-level so repeat calls
+# hit the jit cache.
+_compact_under_jit = functools.partial(
+    jax.jit, static_argnames=("k",)
+)(_compact_under_device)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fractions_under_compact(q_enc, q_mask, db_enc, db_mask, t_hi, k):
     return _compact_under_device(
@@ -540,6 +548,38 @@ def hits_under_from_fractions(nums, dens, threshold: float,
     return idx[order], dist[order], n_b[order], d_b[order]
 
 
+def settle_compacted_under(meta, nd_c, k: int, count: int, threshold: float,
+                           limit: int | None = None
+                           ) -> list[list[MatchResult]] | None:
+    """Host epilogue of the device-compacted audit (_compact_under_device):
+    exact rational settle of the candidate superset -> per-query match
+    lists, or None when any query's candidates overflowed the compact
+    buffer (the caller must rerun via the full-spectrum path)."""
+    meta = np.asarray(meta)
+    counts = meta[:, 0]
+    if (counts > k).any():
+        return None
+    nd_c = np.asarray(nd_c)
+    results: list[list[MatchResult]] = []
+    for q in range(meta.shape[0]):
+        c = int(counts[q])
+        # compacted rows could only include padded entries >= count if the
+        # scan padding produced d > 0 — it cannot (mask-0 padding), but
+        # trim defensively against index space anyway
+        idx_g = meta[q, 1:1 + c]
+        keep = idx_g < count
+        idx, dist, n_b, d_b = hits_under_from_fractions(
+            nd_c[0, q, :c][keep].astype(np.int64),
+            nd_c[1, q, :c][keep].astype(np.int64),
+            threshold, limit=limit, indices=idx_g[keep],
+        )
+        results.append([
+            MatchResult(int(i), float(v), int(nn), int(dd))
+            for i, v, nn, dd in zip(idx, dist, n_b, d_b)
+        ])
+    return results
+
+
 def find_under_from_fractions(nd: np.ndarray, threshold: float,
                               limit: int | None = None
                               ) -> list[list[MatchResult]]:
@@ -735,32 +775,14 @@ class PlaintextEngine:
         else:
             meta, nd_c = _fractions_under_compact(
                 q_enc, q_mask, self.db_enc, self.db_mask, t_hi, k)
-        meta = np.asarray(meta)
-        counts = meta[:, 0]
-        if (counts > k).any():
+        compacted = settle_compacted_under(meta, nd_c, k, self.count, t,
+                                           limit=limit)
+        if compacted is None:
             # candidate superset overflowed the compact buffer (adversarial
             # boundary pile-up): identical results via the full fetch
             nd = self.min_fractions(patterns_packed, masks_packed)
             return find_under_from_fractions(nd, t, limit=limit)
-        nd_c = np.asarray(nd_c)
-        results: list[list[MatchResult]] = []
-        for q in range(b):
-            c = int(counts[q])
-            # compacted rows can include padded entries >= count only if the
-            # scan padding produced d > 0 — it cannot (mask-0 padding), but
-            # trim defensively against index space anyway
-            idx_g = meta[q, 1:1 + c]
-            keep = idx_g < self.count
-            idx, dist, n_b, d_b = hits_under_from_fractions(
-                nd_c[0, q, :c][keep].astype(np.int64),
-                nd_c[1, q, :c][keep].astype(np.int64),
-                t, limit=limit, indices=idx_g[keep],
-            )
-            results.append([
-                MatchResult(int(i), float(v), int(nn), int(dd))
-                for i, v, nn, dd in zip(idx, dist, n_b, d_b)
-            ])
-        return results
+        return compacted
 
 
 def default_hbm_budget() -> int:

@@ -309,13 +309,53 @@ class ShardedPlaintextEngine(_ShardedBase):
         b = nd.shape[1]
         return nd.reshape(2, b, -1)[:, :, : self.count]
 
-    def find_under(self, patterns_packed, masks_packed, threshold: float):
+    def find_under(self, patterns_packed, masks_packed, threshold: float,
+                   limit: int | None = None, compact_k: int | None = None):
         """ALL DB entries with distance strictly under ``threshold`` per query
-        (== models.PlaintextEngine.find_under, DB sharded across the mesh)."""
-        from mpc_iris_tpu.models.engines import find_under_from_fractions
+        (== models.PlaintextEngine.find_under, DB sharded across the mesh).
 
-        nd = self.min_fractions(patterns_packed, masks_packed)
-        return find_under_from_fractions(nd, threshold)
+        Same O(matches) fetch as the single-chip engine: the sharded
+        fraction pass stays on device; one compaction jit over the gathered
+        [2, B, N] spectrum fetches only candidate triples (the conservative
+        f32 prefilter + exact host settle), falling back to the full fetch
+        on overflow — identical results in every case."""
+        import math as _math
+
+        from mpc_iris_tpu.models.engines import (
+            _compact_under_jit,
+            find_under_from_fractions,
+            settle_compacted_under,
+        )
+
+        t = float(threshold)
+        b = np.asarray(patterns_packed).shape[0]
+        if _math.isnan(t) or t <= 0.0:
+            return [[] for _ in range(b)]
+        k = compact_k if compact_k is not None else max(
+            65536, 2 * limit if limit else 0
+        )
+        k = min(k, self.count)
+        if _math.isinf(t) or k == self.count:
+            nd = self.min_fractions(patterns_packed, masks_packed)
+            return find_under_from_fractions(nd, t, limit=limit)
+
+        q_enc, q_mask = prepare_query_planes(
+            jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
+        )
+        q_enc = jax.device_put(q_enc, self._query_sharding())
+        q_mask = jax.device_put(q_mask, self._query_sharding())
+        out = self._fetchable(
+            self._fractions(q_enc, q_mask, self.db_enc, self.db_mask)
+        )
+        nd_dev = out.reshape(2, b, -1)  # global DB order (module docstring)
+        t_hi = np.float32(t * (1.0 + 1e-4))
+        meta, nd_c = _compact_under_jit(nd_dev, t_hi, k=k)
+        compacted = settle_compacted_under(meta, nd_c, k, self.count, t,
+                                           limit=limit)
+        if compacted is None:
+            nd = np.asarray(nd_dev)[:, :, : self.count]
+            return find_under_from_fractions(nd, t, limit=limit)
+        return compacted
 
 
 class ShardedShareEngine(_ShardedBase):

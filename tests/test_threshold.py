@@ -220,6 +220,21 @@ class TestShardedFindUnder:
         assert np.array_equal(fractions_to_f64_np(nd[0], nd[1]), oracle)
         t = float(np.median(oracle[np.isfinite(oracle)]))
         check_against_oracle(seng.find_under(qpat, qmsk, t), oracle, t)
+        # compacted device path (forced by compact_k < count) == full path
+        # at every threshold class, incl. one equal to a present distance
+        finite = oracle[np.isfinite(oracle)]
+        for tt in (t, 1e-9, float(finite[4]), 2.0):
+            fast = seng.find_under(qpat, qmsk, tt, compact_k=48)
+            full = seng.find_under(qpat, qmsk, tt)
+            assert [[(m.index, m.distance, m.numerator, m.denominator)
+                     for m in row] for row in fast] == \
+                [[(m.index, m.distance, m.numerator, m.denominator)
+                  for m in row] for row in full], tt
+        # overflow falls back to the full fetch, identical lists
+        fast = seng.find_under(qpat, qmsk, 0.9, compact_k=4)
+        full = seng.find_under(qpat, qmsk, 0.9)
+        assert [[m.index for m in row] for row in fast] == \
+            [[m.index for m in row] for row in full]
 
 
 class TestCoordinatorQueryUnder:
