@@ -71,6 +71,30 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
          f"dispatch overhead {overhead*1e3:.1f}ms (subtracted)")
     results = []
 
+    def _net_row(name, st, items, macs=None, extra=None):
+        """Overhead-subtracted result row (criterion-style: rate from the
+        post-outlier-rejection median, dispersion alongside) with the
+        dispatch-bound guard: a measurement within noise of the fixed
+        dispatch cost reports no fabricated rate."""
+        raw_dt = st["median_clean"]
+        net = raw_dt - overhead
+        bound = net < 0.25 * overhead
+        dt = max(net, 1e-9)
+        row = {
+            "bench": name,
+            "time_s": raw_dt if bound else dt,
+            "pairs_per_s": None if bound else items / dt,
+            "tmacs": None if bound or macs is None else macs / dt / 1e12,
+            "dispatch_bound": bound,
+            "mad_s": st["mad"],
+            "samples": st["n"],
+            "outliers_rejected": st["outliers_rejected"],
+        }
+        if extra:
+            row.update({k: (None if bound else v / dt)
+                        for k, v in extra.items()})
+        results.append(row)
+
     key = jax.random.key(0)
     kq, kd = jax.random.split(key)
 
@@ -89,68 +113,26 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
                      "(HBM cap)")
             db = jax.random.randint(kd, (n_eff, BITS), -1, 2, dtype=jnp.int8)
 
-            def record(name, st, pairs, macs):
-                # Criterion-style: rate from the post-outlier-rejection
-                # median; dispersion (MAD, n) recorded alongside. Sub-
-                # dispatch-scale measurements are noise-dominated; report
-                # them as dispatch-bound instead of fabricating a rate.
-                raw_dt = st["median_clean"]
-                net = raw_dt - overhead
-                bound = net < 0.25 * overhead
-                dt_eff = max(net, 1e-9)
-                results.append({
-                    "bench": name,
-                    "time_s": raw_dt if bound else dt_eff,
-                    "pairs_per_s": None if bound else pairs / dt_eff,
-                    "tmacs": None if bound else macs / dt_eff / 1e12,
-                    "dispatch_bound": bound,
-                    "mad_s": st["mad"],
-                    "samples": st["n"],
-                    "outliers_rejected": st["outliers_rejected"],
-                })
-
             mm = jax.jit(lambda q, db: dot_bits_batch_i4(q, db).sum())
             pairs = m_rows * n_eff
-            record(f"dot_mask/{label}/{n_eff}",
-                   _timeit_stats(lambda: np.asarray(mm(q, db))), pairs,
-                   pairs * BITS)
+            _net_row(f"dot_mask/{label}/{n_eff}",
+                     _timeit_stats(lambda: np.asarray(mm(q, db))), pairs,
+                     macs=pairs * BITS)
 
             lo = jax.random.randint(kq, (n_eff, BITS), -128, 128, dtype=jnp.int8)
             hi = jax.random.randint(kd, (n_eff, BITS), -128, 128, dtype=jnp.int8)
             ms = jax.jit(
                 lambda q, lo, hi: dot_share_batch(q, lo, hi).astype(jnp.uint32).sum()
             )
-            record(f"dot_share/{label}/{n_eff}",
-                   _timeit_stats(lambda: np.asarray(ms(q, lo, hi))), pairs,
-                   2 * pairs * BITS)
+            _net_row(f"dot_share/{label}/{n_eff}",
+                     _timeit_stats(lambda: np.asarray(ms(q, lo, hi))), pairs,
+                     macs=2 * pairs * BITS)
             del lo, hi, db
 
     # Fused match step: throughput-vs-batch curve (latency/throughput tradeoff).
     chunk, n_chunks = 32768, 4
     db = jax.random.randint(kd, (n_chunks, chunk, BITS), -1, 2, dtype=jnp.int8)
     dm = (db != 0).astype(jnp.int8)
-    def _net_row(name, st, items, macs=None, extra=None):
-        """Overhead-subtracted row with the same dispatch-bound guard as
-        record(): a measurement within noise of the fixed dispatch cost
-        reports no fabricated rate."""
-        raw_dt = st["median_clean"]
-        net = raw_dt - overhead
-        bound = net < 0.25 * overhead
-        dt = max(net, 1e-9)
-        row = {
-            "bench": name,
-            "time_s": raw_dt if bound else dt,
-            "pairs_per_s": None if bound else items / dt,
-            "tmacs": None if bound or macs is None else macs / dt / 1e12,
-            "dispatch_bound": bound,
-            "mad_s": st["mad"],
-            "samples": st["n"],
-            "outliers_rejected": st["outliers_rejected"],
-        }
-        if extra and not bound:
-            row.update({k: v / dt for k, v in extra.items()})
-        results.append(row)
-
     for b in sorted({8, 64, batch}):
         qe = jax.random.randint(kq, (b, N_ROTATIONS, BITS), -1, 2, dtype=jnp.int8)
         qm = (qe != 0).astype(jnp.int8)

@@ -580,6 +580,47 @@ def settle_compacted_under(meta, nd_c, k: int, count: int, threshold: float,
     return results
 
 
+def orchestrate_find_under(count: int, b: int, threshold: float,
+                           limit, compact_k, full_nd_fn, compact_fn
+                           ) -> list[list[MatchResult]]:
+    """Shared audit orchestration (single-chip AND sharded engines — one
+    copy of the policy): threshold classification, compact-buffer sizing,
+    the conservative f32 bound incl. its soundness guards, the compacted
+    attempt + exact settle, and the overflow fallback.
+
+    full_nd_fn() -> host uint16 [2, B, count] spectrum (the exact path).
+    compact_fn(t_hi, k) -> (meta, nd_c) device outputs of
+    :func:`_compact_under_device`.
+
+    f32-bound guards: t_hi = f32(t·(1+1e-4)) is only a guaranteed SUPERSET
+    bound while it is a NORMAL finite f32 — a subnormal t_hi (t < ~1.2e-38)
+    would be flushed to zero on TPU, turning ``n < t_hi·d`` into
+    ``0 < 0`` and silently EXCLUDING genuine matches (exact duplicates have
+    n = 0); such thresholds take the exact full path instead."""
+    import math as _math
+
+    t = float(threshold)
+    if _math.isnan(t) or t <= 0.0:
+        return [[] for _ in range(b)]
+    k = compact_k if compact_k is not None else max(
+        65536, 2 * limit if limit else 0
+    )
+    k = min(k, count)
+    t_hi = np.float32(t * (1.0 + 1e-4))
+    if (_math.isinf(t) or k == count
+            or not np.isfinite(t_hi) or t_hi < np.finfo(np.float32).tiny):
+        # everything matches / no compaction possible / the f32 bound is
+        # unsound (subnormal or overflowed): exact full path
+        return find_under_from_fractions(full_nd_fn(), t, limit=limit)
+    meta, nd_c = compact_fn(t_hi, k)
+    compacted = settle_compacted_under(meta, nd_c, k, count, t, limit=limit)
+    if compacted is None:
+        # candidate superset overflowed the compact buffer (adversarial
+        # boundary pile-up): identical results via the full fetch
+        return find_under_from_fractions(full_nd_fn(), t, limit=limit)
+    return compacted
+
+
 def find_under_from_fractions(nd: np.ndarray, threshold: float,
                               limit: int | None = None
                               ) -> list[list[MatchResult]]:
@@ -697,6 +738,18 @@ class PlaintextEngine:
             out.append(vals)
         return np.concatenate(out, axis=1)[:, : self.count]
 
+    def _guard_spectrum(self, b: int) -> None:
+        """The fraction-spectrum device output costs 4·B bytes per padded
+        entry; both the full-fetch path and the compacted path materialize
+        it on device, so both share this blow-up guard."""
+        db = self.db_pat if self.storage == "packed" else self.db_enc
+        out_bytes = 4 * b * db.shape[0] * db.shape[1]
+        if out_bytes > 4 * (1 << 30):
+            raise ValueError(
+                f"min_fractions output would be {out_bytes / 2**30:.1f} GiB "
+                f"on device (B={b}); split the query batch"
+            )
+
     def min_fractions(self, patterns_packed, masks_packed) -> np.ndarray:
         """Per-entry minimal exact fractions: uint16 [2, B, N] of the
         min-over-31-rotations (numerator, denominator) pair per (query, entry).
@@ -709,14 +762,7 @@ class PlaintextEngine:
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        b = q_enc.shape[0]
-        n_padded = (self.db_pat if self.storage == "packed" else self.db_enc)
-        out_bytes = 4 * b * n_padded.shape[0] * n_padded.shape[1]
-        if out_bytes > 4 * (1 << 30):
-            raise ValueError(
-                f"min_fractions output would be {out_bytes / 2**30:.1f} GiB "
-                f"on device (B={b}); split the query batch"
-            )
+        self._guard_spectrum(q_enc.shape[0])
         if self.storage == "packed":
             out = _fractions_scan_packed(q_enc, q_mask, self.db_pat, self.db_msk)
         else:
@@ -749,40 +795,31 @@ class PlaintextEngine:
         are identical in every case.
 
         ``limit``: raise :class:`AuditLimitExceeded` when any query matches
-        more than this many entries (the serving guard)."""
-        t = float(threshold)
-        b = np.asarray(patterns_packed).shape[0]
-        if np.isnan(t) or t <= 0.0:
-            return [[] for _ in range(b)]
-        k = compact_k if compact_k is not None else max(
-            65536, 2 * limit if limit else 0
-        )
-        k = min(k, self.count)
-        if np.isinf(t) or k == self.count:
-            # everything (valid) matches / no compaction possible: full path
-            nd = self.min_fractions(patterns_packed, masks_packed)
-            return find_under_from_fractions(nd, t, limit=limit)
+        more than this many entries (the serving guard).
 
+        The compacted attempt runs as ONE fused dispatch (scan + compaction
+        — a dispatch costs ~27 ms on remote backends); the rare overflow
+        fallback therefore re-runs the scan via min_fractions, accepting a
+        doubled device pass on adversarial thresholds rather than taxing
+        the common path."""
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
-        # Conservative f32 bound: inflate t by 1e-4 relative (the prefilter's
-        # only rounding is one f32 multiply, error ~2^-24).
-        t_hi = np.float32(t * (1.0 + 1e-4))
-        if self.storage == "packed":
-            meta, nd_c = _fractions_under_compact_packed(
-                q_enc, q_mask, self.db_pat, self.db_msk, t_hi, k)
-        else:
-            meta, nd_c = _fractions_under_compact(
+        b = q_enc.shape[0]
+        self._guard_spectrum(b)
+
+        def compact_fn(t_hi, k):
+            if self.storage == "packed":
+                return _fractions_under_compact_packed(
+                    q_enc, q_mask, self.db_pat, self.db_msk, t_hi, k)
+            return _fractions_under_compact(
                 q_enc, q_mask, self.db_enc, self.db_mask, t_hi, k)
-        compacted = settle_compacted_under(meta, nd_c, k, self.count, t,
-                                           limit=limit)
-        if compacted is None:
-            # candidate superset overflowed the compact buffer (adversarial
-            # boundary pile-up): identical results via the full fetch
-            nd = self.min_fractions(patterns_packed, masks_packed)
-            return find_under_from_fractions(nd, t, limit=limit)
-        return compacted
+
+        return orchestrate_find_under(
+            self.count, b, threshold, limit, compact_k,
+            lambda: self.min_fractions(patterns_packed, masks_packed),
+            compact_fn,
+        )
 
 
 def default_hbm_budget() -> int:
@@ -868,8 +905,16 @@ class ShareEngine:
         # the OS readahead + DMA, src/main.rs:386-400). One future at a time;
         # MPC_IRIS_NO_OOC_PREFETCH=1 disables (A/B measurement). The worker
         # pool is PROCESS-wide (module-level), so engines never leak threads
-        # and lazy creation cannot race.
-        self._prefetch: dict[int, object] = {}
+        # and lazy creation cannot race. The dict maps chunk -> (epoch,
+        # future) under a lock: concurrent scans (multiple pump threads per
+        # engine are supported) mutate it safely, and refresh() bumps the
+        # epoch so a pre-growth future can never serve a post-growth scan.
+        # Active only under the DEFAULT budget policy, which reserves the
+        # second raw-chunk transient; an explicit hbm_budget is the caller's
+        # exact accounting and must not gain a hidden +2*BITS*chunk peak.
+        self._prefetch: dict[int, tuple[int, object]] = {}
+        self._prefetch_lock = threading.Lock()
+        self._prefetch_epoch = 0
         self._resident = []
         for c in range(self._n_resident):
             self._resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
@@ -929,8 +974,18 @@ class ShareEngine:
             )
         added = n_new - self.count
         full_before = self.count // self.chunk  # chunks that had no padding
-        self._source = shares_u16
-        self.count = n_new
+        # Invalidate prefetches ATOMICALLY with the source/count swap: a
+        # prefetched pre-growth PADDED tail chunk would feed zeros where
+        # appended rows now exist to a scan that starts mid-refresh with the
+        # NEW count. Submits capture (epoch, source, count) under the same
+        # lock, so a future tagged with epoch E always holds epoch-E bytes
+        # and consumers reject any tag != current.
+        with self._prefetch_lock:
+            self._prefetch_epoch += 1
+            while self._prefetch:
+                self._prefetch.popitem()[1][1].cancel()
+            self._source = shares_u16
+            self.count = n_new
         self._num_chunks = max(1, -(-n_new // self.chunk))
         self._warn_frozen_layout(n_new)
         n_res = min(self._num_chunks,
@@ -967,15 +1022,19 @@ class ShareEngine:
                 "dispatches", file=sys.stderr,
             )
 
-    def _chunk_u16(self, c: int) -> np.ndarray:
+    def _chunk_u16(self, c: int, src=None, count=None) -> np.ndarray:
         """Host u16 [chunk, K] view for chunk c, zero-padded at the tail.
 
         Full chunks are returned as direct views (a memmap slice feeds
         `device_put` without an extra host copy — host passes are the
-        bottleneck on bandwidth-starved hosts)."""
+        bottleneck on bandwidth-starved hosts). ``src``/``count`` pin a
+        snapshot (the prefetch worker's epoch consistency); default = the
+        engine's current source."""
+        src = self._source if src is None else src
+        count = self.count if count is None else count
         start = c * self.chunk
-        end = min(self.count, start + self.chunk)
-        s = self._source[start:end]
+        end = min(count, start + self.chunk)
+        s = src[start:end]
         if (isinstance(s, np.ndarray) and s.dtype == np.uint16
                 and s.flags.c_contiguous and end - start == self.chunk):
             return s
@@ -993,15 +1052,25 @@ class ShareEngine:
 
     def _prefetch_submit(self, c: int) -> None:
         """Queue page-in + device transfer of streamed chunk c on the worker
-        thread (no-op for resident/out-of-range chunks or when disabled)."""
+        thread (no-op for resident/out-of-range chunks, explicit budgets —
+        which don't reserve the second raw-chunk transient — or when
+        disabled)."""
         import os as _os
 
-        if (c >= self._num_chunks or c < len(self._resident)
-                or c in self._prefetch
+        if (self._explicit_budget
+                or c >= self._num_chunks or c < len(self._resident)
                 or _os.environ.get("MPC_IRIS_NO_OOC_PREFETCH")):
             return
-        self._prefetch[c] = _ooc_prefetch_pool().submit(
-            lambda: self._put(self._chunk_u16(c)))
+        with self._prefetch_lock:
+            if c in self._prefetch:
+                return
+            # Bind the worker to THIS epoch's source/count (captured under
+            # the same lock refresh() swaps them under) so an epoch-E tag
+            # always labels epoch-E bytes.
+            epoch = self._prefetch_epoch
+            src, cnt = self._source, self.count
+            self._prefetch[c] = (epoch, _ooc_prefetch_pool().submit(
+                lambda: self._put(self._chunk_u16(c, src, cnt))))
 
     def dots_chunk(self, q_enc, chunk_index: int):
         """uint16 [B, chunk, 31] for one DB chunk (device array, async).
@@ -1021,16 +1090,23 @@ class ShareEngine:
                 # entering the streamed tail next: warm its first chunk
                 self._prefetch_submit(chunk_index + 1)
             return _share_dots_chunk(q_enc, planes[0], planes[1])
-        fut = self._prefetch.pop(chunk_index, None)
+        with self._prefetch_lock:
+            hit = self._prefetch.pop(chunk_index, None)
+            # Drop prefetches a sequential scan can no longer use (random
+            # access or a competing scan) so at most one future pins HBM +
+            # a worker slot; cancel() skips not-yet-started page-ins so the
+            # shared worker never transfers a chunk nobody will consume.
+            for k in [k for k in self._prefetch if k != chunk_index + 1]:
+                self._prefetch.pop(k)[1].cancel()
+            epoch_now = self._prefetch_epoch
         self._prefetch_submit(chunk_index + 1)
-        # Drop prefetches a sequential scan can no longer use (random access
-        # or a competing scan) so at most one future pins HBM + a worker
-        # slot; cancel() skips not-yet-started page-ins so the shared worker
-        # never transfers a chunk nobody will consume.
-        for k in [k for k in self._prefetch if k != chunk_index + 1]:
-            stale = self._prefetch.pop(k, None)
-            if stale is not None:
-                stale.cancel()
+        fut = None
+        if hit is not None:
+            epoch, f = hit
+            if epoch == epoch_now:
+                fut = f
+            else:
+                f.cancel()  # pre-refresh future: bytes may be stale-padded
         raw = fut.result() if fut is not None else self._put(
             self._chunk_u16(chunk_index))
         return _share_dots_chunk_u16(q_enc, raw)

@@ -314,30 +314,34 @@ class ShardedPlaintextEngine(_ShardedBase):
         """ALL DB entries with distance strictly under ``threshold`` per query
         (== models.PlaintextEngine.find_under, DB sharded across the mesh).
 
-        Same O(matches) fetch as the single-chip engine: the sharded
-        fraction pass stays on device; one compaction jit over the gathered
-        [2, B, N] spectrum fetches only candidate triples (the conservative
-        f32 prefilter + exact host settle), falling back to the full fetch
-        on overflow — identical results in every case."""
+        Same O(matches) fetch as the single-chip engine (one shared policy:
+        engines.orchestrate_find_under): the sharded fraction pass stays on
+        device; one compaction jit over the gathered [2, B, N] spectrum
+        fetches only candidate triples (the conservative f32 prefilter +
+        exact host settle), falling back to the full fetch on overflow —
+        identical results in every case. The spectrum device array is
+        computed ONCE and reused by the fallback (no second sharded pass);
+        the min_fractions blow-up guard applies to both paths."""
         import math as _math
 
         from mpc_iris_tpu.models.engines import (
             _compact_under_jit,
-            find_under_from_fractions,
-            settle_compacted_under,
+            orchestrate_find_under,
         )
 
         t = float(threshold)
         b = np.asarray(patterns_packed).shape[0]
         if _math.isnan(t) or t <= 0.0:
             return [[] for _ in range(b)]
-        k = compact_k if compact_k is not None else max(
-            65536, 2 * limit if limit else 0
-        )
-        k = min(k, self.count)
-        if _math.isinf(t) or k == self.count:
-            nd = self.min_fractions(patterns_packed, masks_packed)
-            return find_under_from_fractions(nd, t, limit=limit)
+        # Same device-output blow-up guard as min_fractions — the spectrum
+        # is materialized on the mesh for either path.
+        n_padded = self.db_enc.shape[0] * self.n_shards * self.chunk
+        if 4 * b * n_padded > 4 * (1 << 30):
+            raise ValueError(
+                f"find_under spectrum would be "
+                f"{4 * b * n_padded / 2**30:.1f} GiB on device (B={b}); "
+                "split the query batch"
+            )
 
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
@@ -348,14 +352,12 @@ class ShardedPlaintextEngine(_ShardedBase):
             self._fractions(q_enc, q_mask, self.db_enc, self.db_mask)
         )
         nd_dev = out.reshape(2, b, -1)  # global DB order (module docstring)
-        t_hi = np.float32(t * (1.0 + 1e-4))
-        meta, nd_c = _compact_under_jit(nd_dev, t_hi, k=k)
-        compacted = settle_compacted_under(meta, nd_c, k, self.count, t,
-                                           limit=limit)
-        if compacted is None:
-            nd = np.asarray(nd_dev)[:, :, : self.count]
-            return find_under_from_fractions(nd, t, limit=limit)
-        return compacted
+
+        return orchestrate_find_under(
+            self.count, b, threshold, limit, compact_k,
+            lambda: np.asarray(nd_dev)[:, :, : self.count],
+            lambda t_hi, k: _compact_under_jit(nd_dev, t_hi, k=k),
+        )
 
 
 class ShardedShareEngine(_ShardedBase):

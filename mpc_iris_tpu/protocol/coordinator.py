@@ -943,6 +943,13 @@ class QueryServer:
             _t, _th, fut = self._queue.get_nowait()
             if not fut.done():
                 fut.cancel()
+        # Persistent sessions parked between records would keep their
+        # handler alive forever (read_timeout defaults to None), and
+        # wait_closed() on >=3.12.1 waits for every handler — end them like
+        # drain() does, or close() deadlocks on one idle keep-alive client.
+        self._draining = True
+        for w in list(self._idle_persistent):
+            w.close()
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()

@@ -173,53 +173,72 @@ class TestShareMasksEngines:
             np.concatenate(list(resident.stream(qpat, qmsk, entry_major=True)),
                            axis=0),
         )
-        # zero-resident (pure streaming) also works
+        # zero-resident (pure streaming) also works; an EXPLICIT budget is
+        # the caller's exact accounting, so prefetch (which would add a
+        # second raw-chunk HBM transient) must stay off for it
         pure = ShareEngine(share, chunk=8, hbm_budget=0)
         assert pure.resident_entries == 0
         np.testing.assert_array_equal(
             pure.dots(qpat, qmsk), resident.dots(qpat, qmsk)
         )
-        # the sequential scans above ran THROUGH the prefetch worker; prove
-        # it was actually engaged, then disable it and re-check parity
+        assert not pure._prefetch
+
+    def test_ooc_prefetch_default_budget(self, setup, monkeypatch):
+        """Under the DEFAULT budget policy (which reserves the second
+        raw-chunk transient) sequential scans run through the prefetch
+        worker with bit-identical results; MPC_IRIS_NO_OOC_PREFETCH=1
+        disables it; random access evicts stale futures."""
         from mpc_iris_tpu.models import engines as engines_mod
 
-        assert engines_mod._OOC_POOL is not None  # shared worker engaged
-        import os as _os
-
-        _os.environ["MPC_IRIS_NO_OOC_PREFETCH"] = "1"
-        try:
-            nopf = ShareEngine(share, chunk=8, hbm_budget=0)
-            np.testing.assert_array_equal(
-                nopf.dots(qpat, qmsk), resident.dots(qpat, qmsk)
-            )
-            assert not nopf._prefetch  # no futures scheduled when disabled
-        finally:
-            del _os.environ["MPC_IRIS_NO_OOC_PREFETCH"]
+        rng, queries, db = setup
+        share = np.stack([EncodedBits.random(rng).data for _ in range(21)])
+        qpat, qmsk = packed(queries)
+        resident = ShareEngine(share, chunk=8)
+        # tiny DEFAULT budget (env, not explicit arg) -> 0 resident, OOC
+        monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", "1")
+        eng = ShareEngine(share, chunk=8)
+        assert eng.resident_entries == 0 and not eng._explicit_budget
+        np.testing.assert_array_equal(
+            eng.dots(qpat, qmsk), resident.dots(qpat, qmsk)
+        )
+        assert engines_mod._OOC_POOL is not None  # worker engaged
+        monkeypatch.setenv("MPC_IRIS_NO_OOC_PREFETCH", "1")
+        nopf = ShareEngine(share, chunk=8)
+        np.testing.assert_array_equal(
+            nopf.dots(qpat, qmsk), resident.dots(qpat, qmsk)
+        )
+        assert not nopf._prefetch
+        monkeypatch.delenv("MPC_IRIS_NO_OOC_PREFETCH")
         # random chunk access after a sequential pass: stale prefetches are
         # evicted, results stay identical
         q_enc = prepare_query_planes(qpat, qmsk)[0]
-        a = np.asarray(pure.dots_chunk(q_enc, 2))
-        b = np.asarray(resident.dots_chunk(q_enc, 2))
-        np.testing.assert_array_equal(a, b)
-        assert set(pure._prefetch) <= {3}
+        np.testing.assert_array_equal(
+            np.asarray(eng.dots_chunk(q_enc, 2)),
+            np.asarray(resident.dots_chunk(q_enc, 2)),
+        )
+        assert set(eng._prefetch) <= {3}
 
-    def test_ooc_prefetch_invalidated_by_refresh(self, setup):
+    def test_ooc_prefetch_invalidated_by_refresh(self, setup, monkeypatch):
         """A prefetched PADDED tail chunk must not leak pre-growth zeros
-        into a post-growth scan: refresh() clears the prefetch cache."""
+        into a post-growth scan: refresh() bumps the epoch and clears the
+        cache atomically with the source swap."""
         rng, queries, db = setup
         share = np.stack([EncodedBits.random(rng).data for _ in range(21)])
         grown = np.concatenate(
             [share, np.stack([EncodedBits.random(rng).data for _ in range(3)])]
         )
         qpat, qmsk = packed(queries)
-        eng = ShareEngine(share[:21], chunk=8, hbm_budget=0)
+        monkeypatch.setenv("MPC_IRIS_HBM_BUDGET", "1")
+        eng = ShareEngine(share[:21], chunk=8)
         q_enc = prepare_query_planes(qpat, qmsk)[0]
         # Touch chunk 1 -> schedules a prefetch of chunk 2 (the padded tail)
         np.asarray(eng.dots_chunk(q_enc, 1))
         assert 2 in eng._prefetch
+        epoch_before = eng._prefetch_epoch
         eng.refresh(grown)
         assert not eng._prefetch  # stale padded-tail future dropped
-        fresh = ShareEngine(grown, chunk=8, hbm_budget=0)
+        assert eng._prefetch_epoch == epoch_before + 1
+        fresh = ShareEngine(grown, chunk=8)
         np.testing.assert_array_equal(
             eng.dots(qpat, qmsk), fresh.dots(qpat, qmsk)
         )

@@ -559,6 +559,33 @@ class TestQueryServer:
         assert ok is True
         assert dt < 5.0, f"drain burned {dt:.1f}s on an idle session"
 
+    def test_close_with_idle_persistent_session_does_not_hang(self, world):
+        """server.close() (without a prior drain) must not deadlock in
+        wait_closed() on a persistent session parked between records —
+        Python >=3.12.1 waits for every handler, and an idle keep-alive
+        handler never exits on its own (read_timeout defaults to None)."""
+        from mpc_iris_tpu.protocol import PersistentQueryClient, QueryServer
+
+        rng, db, query, masks = world
+        mats = build_party_data(rng, db, 1)
+
+        async def go():
+            part = ParticipantServer(ShareEngine(mats[0], chunk=8),
+                                     "127.0.0.1", 0)
+            addr = await part.start()
+            coord = Coordinator(MasksEngine(masks, chunk=8), [addr],
+                                batch_records=7)
+            server = QueryServer(coord, "127.0.0.1", 0)
+            host, port = await server.start()
+            client = await PersistentQueryClient.connect(host, port)
+            await client.query(query)
+            await asyncio.sleep(0.05)  # handler parks on the next record
+            await asyncio.wait_for(server.close(), timeout=10)
+            await client.close()
+            await part.close()
+
+        asyncio.run(go())  # wait_for raising TimeoutError = the hang
+
     def test_persistent_audit_torn_mid_record_is_not_clean_eof(self, world,
                                                                caplog):
         """EOF between an audit template and its 8-byte threshold is a TORN

@@ -174,6 +174,22 @@ class TestPlaintextFindUnder:
                 [[(m.index, m.distance, m.numerator, m.denominator)
                   for m in row] for row in full], t
 
+    def test_compact_subnormal_threshold_takes_exact_path(self, audit_world):
+        """A threshold below f32 normal range must NOT go through the f32
+        prefilter (TPU flush-to-zero would turn t_hi*d into 0 and silently
+        exclude exact duplicates); the orchestrator routes it to the exact
+        full path — the planted distance-0 duplicates must appear."""
+        dpat, dmsk, qpat, qmsk, oracle = audit_world
+        eng = PlaintextEngine(dpat, dmsk, chunk=16, storage="dense")
+        hits = eng.find_under(qpat, qmsk, 1e-40, compact_k=48)[0]
+        assert [m.index for m in hits] == [7, 20]  # exact duplicates found
+        assert all(m.distance == 0.0 for m in hits)
+        # gigantic thresholds (f32 overflow of t_hi) likewise stay exact
+        big = eng.find_under(qpat, qmsk, 1e39, compact_k=48)
+        full = eng.find_under(qpat, qmsk, 1e39)
+        assert [[m.index for m in row] for row in big] == \
+            [[m.index for m in row] for row in full]
+
     def test_compact_overflow_falls_back_to_full(self, audit_world):
         """Candidates past compact_k (e.g. an adversarial threshold matching
         nearly everything) fall back to the full fetch — identical lists."""
