@@ -70,6 +70,48 @@ def _ensure_share_file(path: str, entries: int):
             row += k
 
 
+def _run_suite() -> None:
+    """Headline + the 4 secondary shapes, one subprocess each.
+
+    Fresh process per shape: HBM never fragments across modes, and the
+    parent process touches no TPU state (never two live TPU processes —
+    the r04 contention wedge). Every shape appends its median±MAD entry to
+    docs/BENCH_HISTORY.jsonl via its own append_history; stdout stays ONE
+    JSON line (the headline's), satisfying the driver contract."""
+    import os
+    import subprocess
+
+    shapes = [
+        ("headline packed/1M", []),
+        ("share-keyed/1M", ["--mode", "share-keyed"]),
+        ("latency/1M", ["--latency"]),
+        ("audit-compact/1M", ["--mode", "audit"]),
+        ("share/262k out-of-core", ["--mode", "share"]),
+    ]
+    headline_json = None
+    failures = []
+    for name, extra in shapes:
+        log(f"=== suite: {name} ===")
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + extra,
+            stdout=subprocess.PIPE, timeout=3600,
+        )
+        out = proc.stdout.decode().strip()
+        if proc.returncode != 0 or not out:
+            failures.append(name)
+            log(f"suite shape FAILED: {name} (rc={proc.returncode})")
+            continue
+        log(f"{name}: {out}  [{time.monotonic() - t0:.0f}s]")
+        if headline_json is None:
+            headline_json = out
+    if failures or headline_json is None:
+        log(f"suite: {len(failures)} shape(s) failed: {failures}")
+        sys.exit(1)
+    log(f"suite: all {len(shapes)} shapes recorded in the ledger")
+    print(headline_json)
+
+
 def main():
     from mpc_iris_tpu.utils.config import enable_compile_cache
 
@@ -115,7 +157,27 @@ def main():
         "utilization (docs/RESULTS.md latency table). Kept for experiments",
     )
     p.add_argument(
-        "--mode", choices=["plaintext", "packed", "share", "share-keyed"],
+        "--suite", action="store_true",
+        help="run the full regression suite: the headline shape plus the 4 "
+        "secondary shapes (share-keyed/1M, latency/1M, audit-compact/1M, "
+        "share/262k), one subprocess each (fresh HBM per mode), recording "
+        "every shape in docs/BENCH_HISTORY.jsonl with its delta. The single "
+        "stdout JSON line is still the headline result (driver contract)",
+    )
+    p.add_argument(
+        "--threshold", type=float, default=0.375,
+        help="audit mode: distance threshold for the compacted find_under "
+        "pass (default 0.375; ~uniform-random match rate keeps the "
+        "candidate set small, the production audit regime)",
+    )
+    p.add_argument(
+        "--compact-k", type=int, default=65536,
+        help="audit mode: device-side candidate capacity per query "
+        "(overflow falls back to the exact full fetch)",
+    )
+    p.add_argument(
+        "--mode",
+        choices=["plaintext", "packed", "share", "share-keyed", "audit"],
         default="packed",
         help="packed (default) = bit-packed HBM storage (3.2 KB/entry; the "
         "north-star 1M-entry DB fits on one chip) with on-device unpack per "
@@ -123,7 +185,10 @@ def main():
         "(HBM-resident when it fits, out-of-core streamed from a share file "
         "beyond that — shares are incompressible at 25.6 KB/entry); "
         "share-keyed = PRF-backed participant regenerating its share DB on "
-        "device from a 32-byte key (zero share I/O, any DB size)",
+        "device from a 32-byte key (zero share I/O, any DB size); "
+        "audit = threshold-audit serving shape (find_under): full fraction "
+        "spectrum on device + O(matches) compacted fetch + exact host "
+        "settle (models.engines._fractions_under_compact_packed)",
     )
     p.add_argument(
         "--share-file", default="/root/mpc_bench_shares.dat",
@@ -131,6 +196,9 @@ def main():
         "with ChaCha20 random bytes on demand)",
     )
     args = p.parse_args()
+
+    if args.suite:
+        return _run_suite()
 
     import jax
     import jax.numpy as jnp
@@ -174,7 +242,10 @@ def main():
         # the keyed share path peaks at 1024 (1536 forces a 3-chunk resident
         # head and gains nothing; 4 resident chunks at B=1536 OOM);
         # dense/plaintext and the streamed share path gain nothing past 256.
-        args.batch = {"packed": 1536, "share-keyed": 1024}.get(args.mode, 256)
+        # audit: the compacted fetch scales with B*matches and the serving
+        # audit shape is few queries at a time — B=8 matches audit_probe.
+        args.batch = {"packed": 1536, "share-keyed": 1024,
+                      "audit": 8}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "
@@ -231,6 +302,43 @@ def main():
             _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=fused,
                                interpret=interp)
         )
+        macs_per_pass = 2 * (31 * b) * n * BITS
+    elif args.mode == "audit":
+        # Threshold-audit serving shape (PlaintextEngine.find_under): the
+        # full 31-rotation fraction spectrum stays on device; only the
+        # O(matches) compacted candidate set crosses the tunnel, then the
+        # exact host settle filters it (same two-stage policy as
+        # engines.orchestrate_find_under; == reference exactness bar,
+        # src/lib.rs:97-107).
+        from mpc_iris_tpu.models.engines import (
+            _fractions_under_compact_packed,
+        )
+        from mpc_iris_tpu.ops.decode import under_threshold_mask_np
+
+        genp = jax.jit(
+            lambda k: jax.random.bits(k, (n_chunks, chunk, BITS_BYTES), jnp.uint8)
+        )
+        db_pat = jax.block_until_ready(genp(kdb))
+        db_msk = jax.block_until_ready(genp(kq))
+        t_hi = np.float32(args.threshold * (1.0 + 1e-4))
+
+        def run():
+            meta, nd_c = _fractions_under_compact_packed(
+                q_enc, q_mask, db_pat, db_msk, t_hi, args.compact_k)
+            meta = np.asarray(meta)
+            nd_c = np.asarray(nd_c)
+            total = 0
+            for q in range(b):
+                c = int(meta[q, 0])
+                if c > args.compact_k:
+                    raise RuntimeError(
+                        f"candidate overflow ({c} > {args.compact_k}); "
+                        "raise --compact-k or lower --threshold")
+                total += int(under_threshold_mask_np(
+                    nd_c[0, q, :c].astype(np.int64),
+                    nd_c[1, q, :c].astype(np.int64), args.threshold).sum())
+            return total
+
         macs_per_pass = 2 * (31 * b) * n * BITS
     elif args.mode == "share-keyed":
         # PRF-backed participant: every chunk's share rows are regenerated on

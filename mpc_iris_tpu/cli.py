@@ -292,7 +292,8 @@ def parse_keyed_spec(spec: str) -> tuple[int, int, bytes]:
         _, s_idx, s_count, key_path = spec.split(":", 3)
         sid = check_stream_id(int(s_idx))
         count = parse_si(s_count)
-        key = bytes.fromhex(open(key_path).read().strip())
+        with open(key_path) as kf:
+            key = bytes.fromhex(kf.read().strip())
         if len(key) != 32:
             raise ValueError(f"key file holds {len(key)} bytes, want 32")
     except (ValueError, OSError) as e:
@@ -445,7 +446,8 @@ def cmd_store_check(args) -> int:
     count_path = f"{base}.count"
     if os.path.exists(count_path):
         try:
-            sidecar = int(open(count_path).read().strip())
+            with open(count_path) as cf:
+                sidecar = int(cf.read().strip())
         except ValueError:
             problems.append(
                 f"{count_path}: unparseable count sidecar (not an integer)"
@@ -893,7 +895,8 @@ def make_keyed_count_watcher(path: str, engine):
 
     def refresh() -> int:
         try:
-            text = open(path).read().strip()
+            with open(path) as cf:
+                text = cf.read().strip()
             count = parse_si(text) if text else 0
         except (OSError, ValueError):
             return 0  # mid-write or absent: adopt it on the next request

@@ -606,7 +606,8 @@ def orchestrate_find_under(count: int, b: int, threshold: float,
         65536, 2 * limit if limit else 0
     )
     k = min(k, count)
-    t_hi = np.float32(t * (1.0 + 1e-4))
+    with np.errstate(over="ignore"):  # overflow handled by the isfinite guard
+        t_hi = np.float32(t * (1.0 + 1e-4))
     if (_math.isinf(t) or k == count
             or not np.isfinite(t_hi) or t_hi < np.finfo(np.float32).tiny):
         # everything matches / no compaction possible / the f32 bound is
@@ -996,14 +997,6 @@ class ShareEngine:
             resident.append(_shares_reformat(self._put(self._chunk_u16(c))))
         self._resident = resident  # atomic swap under the GIL
         self._n_resident = n_res
-        # A prefetched PADDED tail chunk captured pre-growth would feed zeros
-        # where appended rows now exist to a post-growth scan — drop (and
-        # cancel, if not yet started) every cached prefetch. In-flight
-        # consumers captured the old count and only read rows below it,
-        # which are append-stable.
-        while self._prefetch:
-            _, stale = self._prefetch.popitem()
-            stale.cancel()
         return added
 
     def _warn_frozen_layout(self, n_new: int) -> None:

@@ -1285,6 +1285,9 @@ class PersistentQueryClient:
         reader, writer = await asyncio.open_connection(
             host, port, ssl=ssl_context)
         writer.write(PERSIST_MAGIC)
+        # Flush now so a transport failure surfaces HERE (where callers
+        # report "cannot connect"), not as an opaque error on the first query.
+        await writer.drain()
         return cls(reader, writer, audit=audit, max_matches=max_matches)
 
     async def query(self, template: Template) -> QueryOutcome:

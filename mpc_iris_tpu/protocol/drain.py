@@ -17,6 +17,12 @@ returns as soon as the *listener* socket closes (bpo gh-79033, fixed in
 so there drain falls back to polling the :class:`ConnectionTracker` (after
 one loop turn, letting already-accepted handlers register). Handlers always
 close their writer when done, so connections never outlive their reply.
+
+The fallback is BEST-EFFORT: a connection accepted moments before the
+listener closed whose handler has not yet registered (e.g. mid-TLS
+handshake) can slip past the settle window and have its reply torn after
+drain reports clean. Guaranteed-clean drains therefore require
+Python >= 3.12.1; earlier interpreters get the documented best effort.
 """
 
 from __future__ import annotations

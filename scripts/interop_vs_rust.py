@@ -218,16 +218,47 @@ def check_wire_rust_queries(rust_bin, work, port=19992):
 
 
 def main():
+    import json
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--rust-bin", required=True)
     ap.add_argument("--workdir", required=True)
+    ap.add_argument("--json-out", default=None,
+                    help="also write the one-line JSON verdict to this path "
+                    "(stdout always gets it; for CI artifact collection)")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     work = args.workdir
 
-    check_prepare_and_decrypt(args.rust_bin, work)
-    check_wire_rust_serves(args.rust_bin, work)
-    check_wire_rust_queries(args.rust_bin, work)
+    checks = [
+        ("prepare-parity+decrypt", check_prepare_and_decrypt),
+        ("wire-rust-serves", check_wire_rust_serves),
+        ("wire-rust-queries", check_wire_rust_queries),
+    ]
+    results = []
+    failed = None
+    for name, fn in checks:
+        try:
+            fn(args.rust_bin, work)
+            results.append({"name": name, "ok": True})
+        except BaseException as e:  # SystemExit carries the failure detail
+            results.append({"name": name, "ok": False, "error": str(e)})
+            failed = name
+            break
+    verdict = {
+        "gate": "interop_vs_rust",
+        "status": "FAIL" if failed else "PASS",
+        "checks": results,
+        "reference": os.environ.get("MPC_IRIS_REFERENCE", "/root/reference"),
+        "date": time.strftime("%Y-%m-%d"),
+    }
+    line = json.dumps(verdict, sort_keys=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    print(line, flush=True)
+    if failed:
+        raise SystemExit(1)
     log("ALL INTEROP CHECKS PASSED")
 
 

@@ -439,8 +439,21 @@ def test_query_client_cli(workdir, capsys):
         asyncio.set_event_loop(loop)
         try:
             loop.run_until_complete(serve())
-        except asyncio.CancelledError:
-            pass
+        except (asyncio.CancelledError, RuntimeError):
+            pass  # RuntimeError: loop.stop() fired before serve() finished
+        finally:
+            # Retire whatever is still pending (serve(), micro-batcher,
+            # handler tasks) so interpreter-exit GC never sees a pending
+            # task or an open loop.
+            pending = asyncio.all_tasks(loop)
+            for task in pending:
+                task.cancel()
+            if pending:
+                loop.run_until_complete(
+                    asyncio.gather(*pending, return_exceptions=True))
+            loop.run_until_complete(loop.shutdown_asyncgens())
+            loop.close()
+            asyncio.set_event_loop(None)
 
     t = threading.Thread(target=run_loop, daemon=True)
     t.start()
@@ -466,7 +479,10 @@ def test_query_client_cli(workdir, capsys):
             fut.result(timeout=10)
         except Exception:
             pass
-        loop.call_soon_threadsafe(loop.stop)
+        try:
+            loop.call_soon_threadsafe(loop.stop)
+        except RuntimeError:
+            pass  # serve() already returned and run_loop closed the loop
         t.join(timeout=10)
 
 

@@ -617,3 +617,124 @@ class TestCoordinatorQueryUnder:
         single0 = self.run_under(world, t)
         assert [(m.index, m.distance) for m in outs[0].matches] == \
             [(m.index, m.distance) for m in single0.matches]
+
+
+# ------------------------------------------------------- compaction properties
+
+
+class TestCompactionProperties:
+    """Hypothesis coverage of the device-side audit compaction
+    (models.engines._compact_under_device + its host epilogues), VERDICT r04
+    next-round #8: for random (n, d) spectra and thresholds placed exactly
+    on representable distances, (a) the f32 prefilter candidate set is a
+    SUPERSET of the exact match set, (b) settle_compacted_under equals
+    find_under_from_fractions, and (c) overflow (> k candidates) falls back
+    through orchestrate_find_under with identical results. Exactness bar ==
+    the reference decode (src/lib.rs:97-107)."""
+
+    @staticmethod
+    def _spectrum(seed: int, b: int, n: int) -> np.ndarray:
+        """uint16 [2, B, N] with adversarial structure: d == 0 invalids,
+        n == 0 exact duplicates, tiny denominators, and a cluster of equal
+        fractions (boundary pile-ups)."""
+        rng = np.random.default_rng(seed)
+        d = rng.integers(0, 12801, (b, n)).astype(np.int64)
+        d[rng.random((b, n)) < 0.05] = 0            # invalid entries
+        num = np.floor(rng.random((b, n)) * (d + 1)).astype(np.int64)
+        num[rng.random((b, n)) < 0.05] = 0          # exact duplicates
+        tiny = rng.random((b, n)) < 0.05            # tiny-denominator rows
+        d[tiny] = rng.integers(1, 8, tiny.sum())
+        num = np.minimum(num, d)
+        # a pile-up: several entries share one exact fraction
+        if n >= 16:
+            num[:, 3:9] = 300
+            d[:, 3:9] = 800
+        return np.stack([num, d]).astype(np.uint16)
+
+    @staticmethod
+    def _thresholds(nd: np.ndarray, seed: int) -> list[float]:
+        """A threshold EXACTLY on a representable present distance, one a
+        ulp above/below it, and a generic one."""
+        from mpc_iris_tpu.ops.decode import fractions_to_f64_np
+
+        dist = fractions_to_f64_np(nd[0].ravel(), nd[1].ravel())
+        finite = dist[np.isfinite(dist) & (dist > 0)]
+        rng = np.random.default_rng(seed)
+        ts = [0.375]
+        if finite.size:
+            t = float(rng.choice(finite))
+            ts += [t, float(np.nextafter(t, 2.0)), float(np.nextafter(t, 0.0))]
+        return ts
+
+    def _check_one(self, nd: np.ndarray, t: float, k: int):
+        import jax.numpy as jnp
+
+        from mpc_iris_tpu.models.engines import (
+            _compact_under_jit,
+            find_under_from_fractions,
+            orchestrate_find_under,
+            settle_compacted_under,
+        )
+
+        b, n = nd.shape[1], nd.shape[2]
+        t_hi = np.float32(t * (1.0 + 1e-4))
+        assert np.isfinite(t_hi) and t_hi >= np.finfo(np.float32).tiny
+        meta, nd_c = _compact_under_jit(jnp.asarray(nd), t_hi, k=k)
+        meta = np.asarray(meta)
+        nd_c = np.asarray(nd_c)
+
+        exact = under_threshold_mask_np(
+            nd[0].astype(np.int64), nd[1].astype(np.int64), t)
+        for q in range(b):
+            want = set(np.nonzero(exact[q])[0].tolist())
+            c = int(meta[q, 0])
+            if c > k:
+                continue  # overflow: superset property checked via fallback
+            cand = set(meta[q, 1:1 + c].tolist())
+            # (a) conservative f32 prefilter: candidates ⊇ exact matches
+            assert want <= cand, (t, q, sorted(want - cand))
+
+        full = find_under_from_fractions(nd, t)
+        settled = settle_compacted_under(meta, nd_c, k, n, t)
+        as_tuples = lambda rows: [
+            [(m.index, m.distance, m.numerator, m.denominator) for m in r]
+            for r in rows
+        ]
+        if settled is not None:
+            # (b) compacted settle == full-spectrum epilogue, bit for bit
+            assert as_tuples(settled) == as_tuples(full), t
+        # (c) the shared orchestration equals the full path whether the
+        # compacted attempt succeeded or overflowed into the fallback
+        orch = orchestrate_find_under(
+            n, b, t, None, k, lambda: nd,
+            lambda t_hi_, k_: _compact_under_jit(jnp.asarray(nd), t_hi_, k=k_),
+        )
+        assert as_tuples(orch) == as_tuples(full), t
+
+    def test_compaction_properties_random_spectra(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        # shapes drawn from a fixed palette so the jit cache is bounded
+        @settings(max_examples=20, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(seed=st.integers(0, 2**32 - 1),
+               b=st.sampled_from([1, 3]),
+               n=st.sampled_from([64, 257]),
+               k_frac=st.sampled_from([0.05, 0.5, 1.0]))
+        def prop(seed, b, n, k_frac):
+            nd = self._spectrum(seed, b, n)
+            k = max(1, int(n * k_frac))
+            for t in self._thresholds(nd, seed):
+                self._check_one(nd, t, k)
+
+        prop()
+
+    def test_compaction_properties_at_scale(self):
+        """One deterministic pass at 10k+ entries (VERDICT scale bar),
+        including a threshold exactly on the planted pile-up fraction and a
+        compact_k small enough to force the overflow fallback."""
+        nd = self._spectrum(99, 2, 16384)
+        for t in self._thresholds(nd, 99) + [300 / 800]:
+            self._check_one(nd, t, k=4096)   # normal compaction
+            self._check_one(nd, t, k=64)     # likely overflow -> fallback
