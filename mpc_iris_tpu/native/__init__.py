@@ -39,7 +39,11 @@ def _build_dir() -> str:
     return os.path.join(cache, "mpc-iris-tpu", "native-build")
 
 
-_SO = os.path.join(_build_dir(), "libiris_codec.so")
+# MPC_IRIS_NATIVE_SO: absolute path to a prebuilt library to load INSTEAD of
+# the on-demand build — used by the ASan gate (tests/test_native_asan.py) to
+# point a subprocess at build/libiris_codec_asan.so.
+_SO = os.environ.get("MPC_IRIS_NATIVE_SO") or os.path.join(
+    _build_dir(), "libiris_codec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -52,6 +56,8 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 
 
 def _build() -> bool:
+    if os.environ.get("MPC_IRIS_NATIVE_SO"):
+        return os.path.exists(_SO)  # explicit prebuilt library: never rebuild
     if not os.path.exists(_SRC):
         return False
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
