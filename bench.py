@@ -205,7 +205,6 @@ def main():
 
     from mpc_iris_tpu.constants import BITS, BITS_BYTES
     from mpc_iris_tpu.models.engines import (
-        _match_scan_packed,
         match_scan_auto,
         _share_dots_chunk,
         prepare_query_planes,
@@ -294,13 +293,13 @@ def main():
         )
         db_pat = jax.block_until_ready(genp(kdb))
         db_msk = jax.block_until_ready(genp(kq))
-        from mpc_iris_tpu.models.engines import _fused_ok
+        # Dispatch: B 1..7 -> packed small-batch kernel (in-VMEM bit-plane
+        # unpack, the B=1 serving-latency path); B % 8 == 0 -> fused
+        # selection scan; else plain XLA scan (engines.match_scan_packed_auto).
+        from mpc_iris_tpu.models.engines import match_scan_packed_auto
 
-        fused = _fused_ok(b, chunk)  # Pallas tile alignment (B%8, chunk%2048)
-        interp = fused and jax.default_backend() != "tpu"
         run = lambda: np.asarray(
-            _match_scan_packed(q_enc, q_mask, db_pat, db_msk, fused=fused,
-                               interpret=interp)
+            match_scan_packed_auto(q_enc, q_mask, db_pat, db_msk)
         )
         macs_per_pass = 2 * (31 * b) * n * BITS
     elif args.mode == "audit":

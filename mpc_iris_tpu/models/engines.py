@@ -185,6 +185,28 @@ def match_scan_auto(q_enc, q_mask, db_enc, db_mask):
     return _match_scan(q_enc, q_mask, db_enc, db_mask)
 
 
+def match_scan_packed_auto(q_enc, q_mask, db_pat, db_msk):
+    """Dispatch for the packed-storage match step.
+
+    B in 1..7 -> the packed small-batch kernel (ops/packed_match.py): one
+    fused dispatch that unpacks bit-planes in VMEM instead of materializing
+    ~29 GB of int8 encoding planes per pass — p50 73.7 ms vs 104.5 ms at
+    B=1 / 1M on the v5e (the reference's connection-per-query serving
+    shape, src/main.rs:411-447). B % 8 == 0 -> the batched fused-selection
+    scan; anything else -> the plain XLA scan. All three are bit-identical.
+    """
+    from mpc_iris_tpu.ops.packed_match import match_packed_small_b, small_b_ok
+
+    b, chunk = q_enc.shape[0], db_pat.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    if small_b_ok(b, chunk):
+        return match_packed_small_b(q_enc, q_mask, db_pat, db_msk,
+                                    interpret=interpret)
+    fused = _fused_ok(b, chunk)
+    return _match_scan_packed(q_enc, q_mask, db_pat, db_msk,
+                              interpret=fused and interpret, fused=fused)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "fused"))
 def _match_scan_packed(q_enc, q_mask, db_pat, db_msk, *, interpret=False, fused=True):
     """Match scan over a BIT-PACKED DB: uint8 [C, c, 1600] pattern/mask planes.
@@ -705,11 +727,8 @@ class PlaintextEngine:
         """Raw jit-to-jit entry: prepared query planes -> int32 [3, B] stacked
         (numerator, denominator, DB index); tuple-unpackable."""
         if self.storage == "packed":
-            fused = _fused_ok(q_enc.shape[0], self.chunk)
-            interpret = fused and jax.default_backend() != "tpu"
-            return _match_scan_packed(
-                q_enc, q_mask, self.db_pat, self.db_msk,
-                interpret=interpret, fused=fused,
+            return match_scan_packed_auto(
+                q_enc, q_mask, self.db_pat, self.db_msk
             )
         return match_scan_auto(q_enc, q_mask, self.db_enc, self.db_mask)
 

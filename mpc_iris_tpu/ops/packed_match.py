@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: small-batch match directly over BIT-PACKED DB planes.
+
+The serving-latency shape — one query (or a handful) per dispatch, the
+reference's connection-per-query loop (src/main.rs:411-447) — is floored not
+by FLOPs but by HBM traffic: the batched path materializes the unpacked int8
+encoding planes (25.6 KB/entry written + read back per pass, ~29 GB at 1M
+entries), which B=1536 amortizes across the batch and B=1 pays in full.
+Measured decomposition at 1M packed, B=1 (scripts/latency_probe.py, TPU
+v5e): ~29 ms tunnel + ~46 ms unpack+encode + ~30 ms low-M matmuls + ~2 ms
+selection = 104.5 ms p50.
+
+This kernel never materializes the planes. Each grid step reads one
+[tile_n, 1600] PACKED tile pair (pattern + mask bytes — the storage format
+itself, 3.2 KB/entry total), unpacks all 8 bit-planes in VMEM, and
+accumulates 8 slab dots of K=1600 per operand against the (padded) 32-row
+query block, then folds the exact rational selection in-kernel
+(select_pallas's reduction helpers over VMEM scratch). The only HBM write
+of the whole pass is the [B, 384] winner block.
+
+The K order is BIT-PLANE-MAJOR (k = bit * 1600 + byte): the dot is
+invariant under any fixed permutation applied to both operands' K axes
+(same trick as the keyed engine's natural-K order, DESIGN.md 6.1), and in
+this order each unpacked bit-plane IS a contiguous K slab, so the query
+side is permuted once per batch and the DB side needs no interleave at all.
+
+Mosaic constraints baked in (discovered on metal): int8 vector shifts /
+multiplies do not legalize (bit arithmetic runs in i32 lanes, i8 only as
+the final dot-operand cast); int4 in-kernel dots do not legalize ("Expected
+mask vector type"); tile_n=512 needs the scoped-VMEM limit raised to 32 MB.
+
+Measured (1M entries, B=1, TPU v5e): p50 73.7 ms end-to-end vs 104.5 ms for
+the unfused packed scan — bit-identical winners (scripts/b1_kernel_probe.py
+sweep: tile_n 128 -> 77.5 ms, 256 -> 76.3, 512 -> 73.7, 1024 -> 76.0).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpc_iris_tpu.constants import BITS, BITS_BYTES, N_ROTATIONS
+from mpc_iris_tpu.ops.select_pallas import (
+    _LANES,
+    _column_min_to_lanes,
+    _keep_first_select,
+    _lane_argmin,
+    _rotation_min,
+)
+
+DIMS = (((1,), (1,)), ((), ()))
+N_ROT_PAD = 32
+PLANE = BITS_BYTES  # 1600 packed bytes per entry = one bit-plane's K slab
+
+# Production config, validated on metal (see module docstring sweep).
+SMALL_B_TILE_N = 512
+_VMEM_LIMIT_MB = 32
+
+# The kernel holds B*32 query rows plus the widened tile in VMEM; past B=7
+# the batched fused path (B % 8 == 0) is both applicable and faster.
+SMALL_B_MAX = 7
+
+
+@functools.cache
+def _bitplane_perm() -> np.ndarray:
+    """K permutation natural -> bit-plane-major: position j = bit*1600 + byte
+    holds natural index byte*8 + bit (natural order per bits.rs:44-57:
+    bit i lives at byte i//8, bit i%8, LSB-first). Cached as a HOST array:
+    caching a jnp array would capture the first jit trace's tracer."""
+    j = np.arange(BITS)
+    return (j % PLANE) * 8 + j // PLANE
+
+
+def _unpack_planes(pat32, msk32, b):
+    """One bit-plane: i32-widened packed bytes [tn, 1600] -> (enc_b, m_b)
+    int8 [tn, 1600] with enc in {-1, 0, 1}, mask in {0, 1}.
+
+    i32 lanes because Mosaic does not legalize int8 vector shifts
+    (arith.shrui) or multiplies (arith.muli); the encode m - 2*(p & m) is
+    expressed as a select for the same reason."""
+    one = jnp.int32(1)
+    p_b = jax.lax.shift_right_logical(pat32, jnp.int32(b)) & one
+    m_b = jax.lax.shift_right_logical(msk32, jnp.int32(b)) & one
+    m_i = m_b.astype(jnp.int8)
+    enc_b = jnp.where((p_b & m_b) != 0, jnp.int8(-1), m_i)
+    return enc_b, m_i
+
+
+def _acc_dots(qe_ref, qm_ref, pat_t, msk_t, rows, tile_n):
+    """8 slab dots per operand: int32 (dot, den) [rows, tile_n]."""
+    pat32 = pat_t.astype(jnp.int32)
+    msk32 = msk_t.astype(jnp.int32)
+    acc_dot = jnp.zeros((rows, tile_n), jnp.int32)
+    acc_den = jnp.zeros((rows, tile_n), jnp.int32)
+    for b in range(8):
+        enc_b, m_b = _unpack_planes(pat32, msk32, b)
+        sl = pl.dslice(b * PLANE, PLANE)
+        acc_dot = acc_dot + jax.lax.dot_general(
+            qe_ref[:, sl], enc_b, DIMS, preferred_element_type=jnp.int32)
+        acc_den = acc_den + jax.lax.dot_general(
+            qm_ref[:, sl], m_b, DIMS, preferred_element_type=jnp.int32)
+    return acc_dot, acc_den
+
+
+def _pk_select_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref,
+                      ns, ds, idxs, *, b, tile_n):
+    j = pl.program_id(0)
+    acc_dot, acc_den = _acc_dots(
+        qe_ref, qm_ref, pat_ref[...], msk_ref[...], b * N_ROT_PAD, tile_n)
+    num3 = ((acc_den - acc_dot) >> 1).reshape(b, N_ROT_PAD, tile_n)
+    den3 = acc_den.reshape(b, N_ROT_PAD, tile_n)
+    n, d = _rotation_min(num3, den3)
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + j * tile_n
+    n, d, idx = _column_min_to_lanes(n, d, col)
+
+    # Running per-lane best in VMEM scratch; one tiny output write at the end
+    # (per-step writes to a small revisited block serialize the pipeline).
+    @pl.when(j == 0)
+    def _():
+        ns[...], ds[...], idxs[...] = n, d, idx
+
+    @pl.when(j != 0)
+    def _():
+        ns[...], ds[...], idxs[...] = _keep_first_select(
+            ns[...], ds[...], n, d, idxs[...], idx)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        n1, d1, i1 = _lane_argmin(ns[...], ds[...], idxs[...])
+        out_ref[...] = jnp.concatenate(
+            [jnp.broadcast_to(v, (b, _LANES)) for v in (n1, d1, i1)], axis=1)
+
+
+def small_b_ok(b: int, chunk: int) -> bool:
+    """True when the packed small-batch kernel applies: 1..7 queries and a
+    chunk the tile divides (the flat DB is chunk-padded, so chunk
+    divisibility implies total divisibility)."""
+    return 1 <= b <= SMALL_B_MAX and chunk % SMALL_B_TILE_N == 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
+                         tile_n=SMALL_B_TILE_N, interpret=False):
+    """Small-batch match over a bit-packed DB, one fused dispatch.
+
+    Args:
+      q_enc, q_mask: int8 [B, 31, K] prepared query planes (natural K order,
+        engines.prepare_query_planes), 1 <= B <= 7.
+      db_pat, db_msk: uint8 [C, c, 1600] packed chunks (c % tile_n == 0;
+        padded entries must be all-zero: mask 0 -> den 0 -> invalid).
+
+    Returns int32 [3, B] stacked (numerator, denominator, index) — identical
+    semantics (exact rational argmin, earliest-rotation/lowest-index ties)
+    and bit-identical results to `_match_scan_packed`.
+    """
+    b = q_enc.shape[0]
+    n_rows = db_pat.shape[0] * db_pat.shape[1]
+    pat = db_pat.reshape(n_rows, PLANE)
+    msk = db_msk.reshape(n_rows, PLANE)
+
+    # Pad each query's 31 rotation rows to 32 (dummy row: mask 0 = invalid)
+    # and permute K to bit-plane-major.
+    perm = jnp.asarray(_bitplane_perm())
+    pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
+    qe = jnp.concatenate([q_enc, pad], axis=1)[:, :, perm].reshape(
+        b * N_ROT_PAD, BITS)
+    qm = jnp.concatenate([q_mask, pad], axis=1)[:, :, perm].reshape(
+        b * N_ROT_PAD, BITS)
+
+    rows = b * N_ROT_PAD
+    packed = pl.pallas_call(
+        functools.partial(_pk_select_kernel, b=b, tile_n=tile_n),
+        grid=(n_rows // tile_n,),
+        in_specs=[
+            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, 3 * _LANES), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3 * _LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b, _LANES), jnp.int32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024),
+        interpret=interpret,
+    )(qe, qm, pat, msk)
+    return jnp.stack(
+        [packed[:, 0], packed[:, _LANES], packed[:, 2 * _LANES]])

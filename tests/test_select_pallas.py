@@ -100,3 +100,91 @@ def test_select_chunk_oracle(rng):
             assert nq / dq == best_rot[q][i]
         else:
             assert np.isinf(best_rot[q][i])
+
+
+# -------------------------------------------------- packed small-batch kernel
+
+
+class TestPackedSmallB:
+    """ops/packed_match.py: the B=1..7 serving-latency kernel (in-VMEM
+    bit-plane unpack + slab dots + fused exact selection) must be
+    bit-identical to the packed scan at every small batch size, including
+    planted self-matches, all-invalid entries, ties, and padded tail
+    chunks."""
+
+    @staticmethod
+    def _world(rng, n):
+        from mpc_iris_tpu.constants import BITS_BYTES
+
+        pat = rng.integers(0, 256, (n, BITS_BYTES), dtype=np.uint8)
+        msk = rng.integers(0, 256, (n, BITS_BYTES), dtype=np.uint8)
+        msk[5] = 0  # all-invalid entry: d == 0 -> +inf, never wins
+        return pat, msk
+
+    @pytest.mark.parametrize("b", [1, 2, 3, 7])
+    def test_matches_packed_scan(self, rng, b):
+        from mpc_iris_tpu.models.engines import (
+            _match_scan_packed,
+            prepare_query_planes,
+        )
+        from mpc_iris_tpu.ops.packed_match import match_packed_small_b
+
+        n, chunk = 2048, 1024
+        pat, msk = self._world(rng, n)
+        qpat = pat[rng.integers(0, n, b)].copy()  # planted exact matches
+        qmsk = msk[rng.integers(0, n, b)].copy()
+        qpat[0], qmsk[0] = pat[17], msk[17]       # self-match for query 0
+        q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+        db_pat = jnp.asarray(pat).reshape(n // chunk, chunk, -1)
+        db_msk = jnp.asarray(msk).reshape(n // chunk, chunk, -1)
+        want = np.asarray(_match_scan_packed(
+            q_enc, q_mask, db_pat, db_msk, fused=False))
+        got = np.asarray(match_packed_small_b(
+            q_enc, q_mask, db_pat, db_msk, tile_n=512, interpret=True))
+        assert np.array_equal(got, want)
+        assert got[2, 0] == 17 and got[0, 0] == 0  # exact self-match
+
+    def test_padded_tail_and_duplicate_tie(self, rng):
+        """Zero-padded tail rows never win (mask 0 = invalid) and duplicate
+        entries tie to the LOWER DB index, matching the scan semantics."""
+        from mpc_iris_tpu.models.engines import (
+            _match_scan_packed,
+            _pad_chunks,
+            prepare_query_planes,
+        )
+        from mpc_iris_tpu.ops.packed_match import match_packed_small_b
+
+        n, chunk = 1500, 1024  # pads to 2048 with 548 zero rows
+        pat, msk = self._world(rng, n)
+        pat[700], msk[700] = pat[300], msk[300]  # duplicate pair
+        qpat, qmsk = pat[300:301].copy(), msk[300:301].copy()
+        q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+        pat_c, _ = _pad_chunks(pat, chunk)
+        msk_c, _ = _pad_chunks(msk, chunk)
+        db_pat, db_msk = jnp.asarray(pat_c), jnp.asarray(msk_c)
+        want = np.asarray(_match_scan_packed(
+            q_enc, q_mask, db_pat, db_msk, fused=False))
+        got = np.asarray(match_packed_small_b(
+            q_enc, q_mask, db_pat, db_msk, tile_n=512, interpret=True))
+        assert np.array_equal(got, want)
+        assert got[2, 0] == 300  # lower index of the duplicate pair
+
+    def test_engine_dispatches_small_b(self, rng):
+        """PlaintextEngine packed storage routes B<8 through the kernel and
+        returns scan-identical results (CPU: interpret mode)."""
+        from mpc_iris_tpu.models.engines import PlaintextEngine
+
+        n = 1024
+        pat, msk = self._world(rng, n)
+        eng = PlaintextEngine(pat, msk, chunk=512, storage="packed")
+        r = eng.match(pat[:3], msk[:3])
+        assert [m.index for m in r] == [0, 1, 2]
+        assert all(m.distance == 0.0 for m in r)
+
+    def test_small_b_ok_policy(self):
+        from mpc_iris_tpu.ops.packed_match import small_b_ok
+
+        assert small_b_ok(1, 512) and small_b_ok(7, 1024)
+        assert not small_b_ok(8, 512)       # batched fused path instead
+        assert not small_b_ok(1, 500)       # tile must divide the chunk
+        assert not small_b_ok(0, 512)
