@@ -217,13 +217,27 @@ class ShardedPlaintextEngine(_ShardedBase):
             local_b = db_b.reshape(db_b.shape[0], c, db_b.shape[-1])
             if packed:
                 from mpc_iris_tpu.models.engines import _match_scan_packed
-
-                fused = _fused_ok_local(q_enc.shape[0], c)
-                n_, d_, l = _match_scan_packed(
-                    q_enc, q_mask, local_a, local_b,
-                    interpret=fused and jax.default_backend() != "tpu",
-                    fused=fused,
+                from mpc_iris_tpu.ops.packed_match import (
+                    match_packed_small_b,
+                    small_b_ok,
                 )
+
+                b_local = q_enc.shape[0]  # per-shard batch (shard_map local)
+                if small_b_ok(b_local, c):
+                    # serving-latency kernel (in-VMEM bit-plane unpack; see
+                    # ops/packed_match.py) — same dispatch policy as the
+                    # single-chip engine's match_scan_packed_auto
+                    n_, d_, l = match_packed_small_b(
+                        q_enc, q_mask, local_a, local_b,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                else:
+                    fused = _fused_ok_local(b_local, c)
+                    n_, d_, l = _match_scan_packed(
+                        q_enc, q_mask, local_a, local_b,
+                        interpret=fused and jax.default_backend() != "tpu",
+                        fused=fused,
+                    )
             else:
                 # Fused Pallas selection when local shapes align (TPU), else XLA.
                 n_, d_, l = match_scan_auto(q_enc, q_mask, local_a, local_b)

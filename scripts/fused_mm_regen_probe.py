@@ -69,19 +69,22 @@ CONFIGS = [
                "--tile-m", "256", "--tile-n", "256", "--tile-k", "3200"],
          note="K as revisited-accumulator grid axis — the per-step "
               "re-visited output block collapses the Mosaic pipeline"),
-    dict(id="grid-k/m512-n512-k1600", expect="ok",
+    dict(id="grid-k/m496-n512-k3200", expect="ok",
          argv=[PY, "scripts/mm_ktile_probe.py", "--variant", "grid-k",
-               "--tile-m", "512", "--tile-n", "512", "--tile-k", "1600"],
-         note="larger MN tiles, shallower K per step"),
+               "--tile-m", "496", "--tile-n", "512", "--tile-k", "3200"],
+         note="larger N tile, M tile matching the fused kernel's"),
     dict(id="slab/m256-n256-k3200", expect="ok",
          argv=[PY, "scripts/mm_ktile_probe.py", "--variant", "slab",
                "--tile-m", "256", "--tile-n", "256", "--tile-k", "3200"],
          note="whole-K VMEM operands + static slab accumulation (the "
               "in-kernel matmul style the fused kernel uses)"),
-    dict(id="slab/m496-n1024-k1600", expect="ok",
+    dict(id="slab/m496-n1024-k3200", expect="ok",
          argv=[PY, "scripts/mm_ktile_probe.py", "--variant", "slab",
-               "--tile-m", "496", "--tile-n", "1024", "--tile-k", "1600"],
-         note="the fused kernel's own tile shape, matmul only"),
+               "--tile-m", "496", "--tile-n", "1024", "--tile-k", "3200"],
+         note="the fused kernel's MN tile, matmul only (tile_k must be a "
+              "multiple of 128 here: the slab loop's dynamic dslice offset "
+              "needs a provable 128 alignment, so 1600 only works in the "
+              "fused kernel's statically unrolled slabs)"),
     # --- the fused regen+matmul kernel itself (bit-exact in interpret mode;
     #     tests cover correctness — these runs measure the rate ceiling)
     dict(id="fused-serial/B64-n512", expect="ok",
@@ -109,8 +112,11 @@ CONFIGS = [
     dict(id="fused-pipe/B64-n1024", expect="ok",
          argv=[PY, "scripts/fused_regen_probe.py", "--batch", "64",
                "--rows", "8192", "--tile-m", "496", "--tile-n", "1024",
-               "--tile-k", "1600", "--vmem-mb", "96", "--interleave"],
-         note="pipelined, deeper n-tile"),
+               "--tile-k", "1600", "--vmem-mb", "96", "--interleave",
+               "--regen-rows", "256"],
+         note="pipelined, deeper n-tile (regen_rows 256: the pipeline "
+              "spreads n_sub=tile_n/regen_rows subtile regens over the 4 "
+              "m-steps)"),
     dict(id="fused-pipe/B256-n1024", expect="ok",
          argv=[PY, "scripts/fused_regen_probe.py", "--batch", "256",
                "--rows", "8192", "--tile-m", "496", "--tile-n", "1024",

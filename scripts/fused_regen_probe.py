@@ -241,6 +241,8 @@ def main():
     p.add_argument("--regen-rows", type=int, default=128)
     p.add_argument("--vmem-mb", type=int, default=None,
                    help="raise the Mosaic scoped-VMEM limit (default 16)")
+    p.add_argument("--reps", type=int, default=8,
+                   help="in-jit repetitions per dispatch (see fold())")
     p.add_argument("--interleave", action="store_true",
                    help="software-pipelined variant: regen tile i+1 during "
                    "tile i's matmul steps (double-buffered scratch)")
@@ -261,7 +263,21 @@ def main():
     fn = make_kernel(m_rows, args.rows, args.tile_m, args.tile_n,
                      args.tile_k, regen_rows=args.regen_rows,
                      vmem_mb=args.vmem_mb, interleave=args.interleave)
-    fold = jax.jit(lambda q, kw: fn(q, kw, 0, 0).astype(jnp.uint32).sum())
+    reps = args.reps
+
+    # R in-jit repetitions per dispatch (perturbed query per step, defeating
+    # CSE): a single sub-27 ms pass hides entirely inside the tunnel round
+    # trip and yields garbage rates after subtracting the dispatch cost.
+    @jax.jit
+    def fold(q, kw):
+        def step(acc, i):
+            qi = (q.astype(jnp.int32) + i % 2).astype(jnp.int8)
+            return acc + fn(qi, kw, 0, 0).astype(jnp.uint32).sum(), None
+
+        acc, _ = jax.lax.scan(
+            step, jnp.uint32(0), jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
     s = int(np.asarray(fold(q, kw)))  # compile + sync + sanity
     ts = []
     for _ in range(3):
@@ -269,11 +285,11 @@ def main():
         np.asarray(fold(q, kw))
         ts.append(time.monotonic() - t0)
     dt = min(ts) - 0.027
-    macs = 2 * m_rows * args.rows * K
-    cmps = (m_rows // 31) * args.rows * 31
+    macs = 2 * m_rows * args.rows * K * reps
+    cmps = (m_rows // 31) * args.rows * 31 * reps
     tag = "interleave" if args.interleave else "serial"
-    print(f"{tag} tiles m{args.tile_m} n{args.tile_n} k{args.tile_k}: "
-          f"{dt*1e3:.1f}ms  {macs/dt/1e12:.0f} TMAC/s  "
+    print(f"{tag} tiles m{args.tile_m} n{args.tile_n} k{args.tile_k} "
+          f"x{reps}: {dt*1e3:.1f}ms  {macs/dt/1e12:.0f} TMAC/s  "
           f"{cmps/dt:.2e} cmp/s  (checksum {s})", flush=True)
 
 

@@ -109,21 +109,41 @@ def main():
     p.add_argument("--tile-m", type=int, default=256)
     p.add_argument("--tile-n", type=int, default=256)
     p.add_argument("--tile-k", type=int, default=3200)
+    p.add_argument("--reps", type=int, default=8,
+                   help="in-jit repetitions per dispatch (lax.scan with a "
+                   "per-step perturbed LHS). A single sub-27 ms kernel hides "
+                   "entirely inside the tunnel round trip — wall time stays "
+                   "~27 ms however fast the kernel is, and subtracting the "
+                   "dispatch cost yields garbage (measured r05); amortizing "
+                   "R kernels over one dispatch restores a real rate")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.integers(-1, 2, (M, K), dtype=np.int8))
     db = jnp.asarray(rng.integers(-128, 128, (N, K), dtype=np.int8))
-    macs = M * N * K
+    macs = M * N * K * args.reps
 
     if args.variant == "xla":
-        run = jax.jit(lambda q, db: jax.lax.dot_general(
+        base = jax.jit(lambda q, db: jax.lax.dot_general(
             q, db, DIMS, preferred_element_type=jnp.int32
         ).astype(jnp.uint32).sum())
     elif args.variant == "grid-k":
-        run = make_grid_k(args.tile_m, args.tile_n, args.tile_k)
+        base = make_grid_k(args.tile_m, args.tile_n, args.tile_k)
     else:
-        run = make_slab(args.tile_m, args.tile_n, args.tile_k)
+        base = make_slab(args.tile_m, args.tile_n, args.tile_k)
+
+    reps = args.reps
+
+    @jax.jit
+    def run(q, db):
+        def step(acc, i):
+            # per-step LHS perturbation defeats CSE across repetitions
+            qi = (q.astype(jnp.int32) + i % 2).astype(jnp.int8)
+            return acc + base(qi, db), None
+
+        acc, _ = jax.lax.scan(
+            step, jnp.uint32(0), jnp.arange(reps, dtype=jnp.int32))
+        return acc
 
     np.asarray(run(q, db))  # compile
     ts = []
@@ -132,8 +152,8 @@ def main():
         np.asarray(run(q, db))
         ts.append(time.monotonic() - t0)
     dt = min(ts) - 0.027
-    print(f"{args.variant} m{args.tile_m} n{args.tile_n} k{args.tile_k}: "
-          f"{dt*1e3:.1f}ms  {macs/dt/1e12:.0f} TMAC/s", flush=True)
+    print(f"{args.variant} m{args.tile_m} n{args.tile_n} k{args.tile_k} "
+          f"x{reps}: {dt*1e3:.1f}ms  {macs/dt/1e12:.0f} TMAC/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,14 @@ def main() -> int:
         for want, c in zip(idx, r_sh):
             assert c.index == want and c.distance == 0.0
         log(f"[1] sharded {storage} match == flat match OK")
+        if storage == "packed":
+            # B=3: the packed small-batch kernel INSIDE shard_map (the
+            # serving-latency path, ops/packed_match.py) on real Mosaic
+            r3_f = flat.match(qpat[:3], qmsk[:3])
+            r3_s = sh.match(qpat[:3], qmsk[:3])
+            for a, c in zip(r3_f, r3_s):
+                assert (a.index, a.distance) == (c.index, c.distance)
+            log("[1b] sharded packed small-B (B=3) kernel == flat OK")
 
     # ---- 2. audit path: min_fractions + find_under parity ---------------
     sh = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=2048, storage="packed")

@@ -226,3 +226,25 @@ def test_multihost_two_process_party():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "multihost smoke: OK" in out.stdout
+
+
+def test_sharded_packed_small_b_kernel(data):
+    """B < 8 with a tile-aligned chunk routes each shard through the packed
+    small-batch kernel (ops/packed_match.py) inside shard_map — winners must
+    equal the single-chip engine's (which uses the same dispatch policy)."""
+    rng = np.random.default_rng(77)
+    n = 1024  # >= 512/shard so effective_chunk keeps the 512 tile alignment
+    dpat = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    qpat, qmsk = dpat[[3, 700, 41]].copy(), dmsk[[3, 700, 41]].copy()
+    mesh = make_mesh(db=2, batch=1)
+    sharded = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=512,
+                                     storage="packed")
+    assert sharded.chunk % 512 == 0  # the small-b kernel tile must divide
+    single = PlaintextEngine(dpat, dmsk, chunk=512, storage="packed")
+    rs = sharded.match(qpat, qmsk)
+    r1 = single.match(qpat, qmsk)
+    for a, b, want in zip(rs, r1, (3, 700, 41)):
+        assert (a.index, a.numerator, a.denominator, a.distance) == (
+            b.index, b.numerator, b.denominator, b.distance)
+        assert a.index == want and a.distance == 0.0
