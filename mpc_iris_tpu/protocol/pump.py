@@ -28,6 +28,18 @@ def put_blocking(queue: asyncio.Queue, item, loop, stop: threading.Event) -> boo
             fut.result(timeout=0.25)
             return True
         except concurrent.futures.TimeoutError:
+            if loop.is_closed():
+                # The loop died between submit and the call_soon_threadsafe
+                # callback running: that callback will never execute, so the
+                # queue.put coroutine would be GC'd un-awaited (a
+                # RuntimeWarning at collection time) and fut would never
+                # resolve (this worker would spin until process exit).
+                fut.cancel()
+                try:
+                    coro.close()
+                except RuntimeError:
+                    pass  # a task claimed it before the loop died
+                return False
             if stop.is_set():
                 fut.cancel()
                 return False

@@ -1766,3 +1766,62 @@ class TestChain:
             assert outcome.total == len(db)
             assert outcome.index == int(np.argmin(oracle))
             assert outcome.distance == oracle.min()
+
+
+def test_pump_put_blocking_survives_loop_death():
+    """A pump worker blocked on a full queue when the event loop CLOSES must
+    exit promptly (not spin until process exit) and must retire the pending
+    queue.put coroutine instead of leaking it to GC as an un-awaited
+    coroutine (the r04 suite-shutdown RuntimeWarning)."""
+    import threading
+    import warnings
+
+    from mpc_iris_tpu.protocol.pump import put_blocking
+
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    stop = threading.Event()  # never set: only loop death may release it
+    result = {}
+
+    async def fill_then_park():
+        q = asyncio.Queue(maxsize=1)
+        await q.put("full")
+        result["q"] = q
+        ready.set()
+        # Park without draining: the worker's put stays blocked until the
+        # runner returns and the loop is closed out from under it.
+        await asyncio.sleep(0.6)
+
+    def run_loop():
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(fill_then_park())
+        finally:
+            for task in asyncio.all_tasks(loop):
+                task.cancel()
+            loop.close()
+            asyncio.set_event_loop(None)
+
+    t = threading.Thread(target=run_loop)
+    t.start()
+    assert ready.wait(10)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        worker_done = threading.Event()
+
+        def worker():
+            result["ok"] = put_blocking(result["q"], "blocked", loop, stop)
+            worker_done.set()
+
+        # daemon: a regression (worker spinning past loop death) must FAIL
+        # the assert below, not hang the interpreter at exit
+        w = threading.Thread(target=worker, daemon=True)
+        w.start()
+        t.join(20)
+        assert worker_done.wait(10), "worker spun past loop death"
+        w.join(10)
+        import gc
+
+        gc.collect()  # would raise the un-awaited-coroutine RuntimeWarning
+    assert result["ok"] is False
