@@ -86,7 +86,7 @@ def _run_suite() -> None:
         ("share-keyed/1M", ["--mode", "share-keyed"]),
         ("latency/1M", ["--latency"]),
         ("audit-compact/1M", ["--mode", "audit"]),
-        ("share/262k out-of-core", ["--mode", "share"]),
+        ("share/262k", ["--mode", "share"]),
     ]
     headline_json = None
     failures = []
@@ -511,7 +511,13 @@ def main():
     # Round-over-round regression ledger (criterion-style record: dispersion
     # + warmup + delta vs the last committed entry at the SAME shape key).
     entry = {
-        "key": f"{args.mode}/db{n}/b{b}/c{chunk}",
+        # The share mode's residency decision changes what is measured (HBM
+        # scan vs host-streamed out-of-core) — give each its own ledger key
+        # so deltas never compare across modes (an OOC experiment with a
+        # small MPC_IRIS_HBM_BUDGET once shared the resident key).
+        "key": (f"{args.mode}-ooc/db{n}/b{b}/c{chunk}"
+                if args.mode == "share" and not share_resident
+                else f"{args.mode}/db{n}/b{b}/c{chunk}"),
         "value": rate,
         "unit": "comparisons/s",
         "median_s": stats["median_clean"],
