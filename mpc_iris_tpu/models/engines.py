@@ -188,12 +188,14 @@ def match_scan_auto(q_enc, q_mask, db_enc, db_mask):
 def match_scan_packed_auto(q_enc, q_mask, db_pat, db_msk):
     """Dispatch for the packed-storage match step.
 
-    B in 1..7 -> the packed small-batch kernel (ops/packed_match.py): one
+    B in 1..8 -> the packed small-batch kernel (ops/packed_match.py): one
     fused dispatch that unpacks bit-planes in VMEM instead of materializing
-    ~29 GB of int8 encoding planes per pass — p50 73.7 ms vs 104.5 ms at
+    ~29 GB of int8 encoding planes per pass — p50 72.9 ms vs 104.5 ms at
     B=1 / 1M on the v5e (the reference's connection-per-query serving
-    shape, src/main.rs:411-447). B % 8 == 0 -> the batched fused-selection
-    scan; anything else -> the plain XLA scan. All three are bit-identical.
+    shape, src/main.rs:411-447), and still 20% ahead of the fused scan at
+    B=8; larger LHS row blocks stop compiling (see packed_match.SMALL_B_MAX).
+    B % 8 == 0 past 8 -> the batched fused-selection scan; anything else ->
+    the plain XLA scan. All three are bit-identical.
     """
     from mpc_iris_tpu.ops.packed_match import match_packed_small_b, small_b_ok
 

@@ -60,9 +60,13 @@ PLANE = BITS_BYTES  # 1600 packed bytes per entry = one bit-plane's K slab
 SMALL_B_TILE_N = 512
 _VMEM_LIMIT_MB = 32
 
-# The kernel holds B*32 query rows plus the widened tile in VMEM; past B=7
-# the batched fused path (B % 8 == 0) is both applicable and faster.
-SMALL_B_MAX = 7
+# Measured dispatch boundary (1M entries, TPU v5e): the kernel beats the
+# batched fused scan through B=8 (91.8 ms vs 114.6 ms — the scan's
+# materialized-planes traffic still dominates at 8 queries); B=12 and B=16
+# (LHS row blocks of 384/512) SIGABRT the remote Mosaic compiler, so the
+# boundary sits exactly where the kernel stops compiling. B=9..15 fall back
+# to the XLA scan; B % 8 == 0 past 8 uses the batched fused scan.
+SMALL_B_MAX = 8
 
 
 @functools.cache
@@ -136,9 +140,9 @@ def _pk_select_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref,
 
 
 def small_b_ok(b: int, chunk: int) -> bool:
-    """True when the packed small-batch kernel applies: 1..7 queries and a
-    chunk the tile divides (the flat DB is chunk-padded, so chunk
-    divisibility implies total divisibility)."""
+    """True when the packed small-batch kernel applies: 1..SMALL_B_MAX
+    queries and a chunk the tile divides (the flat DB is chunk-padded, so
+    chunk divisibility implies total divisibility)."""
     return 1 <= b <= SMALL_B_MAX and chunk % SMALL_B_TILE_N == 0
 
 

@@ -100,6 +100,16 @@ def main() -> int:
             for a, c in zip(r3_f, r3_s):
                 assert (a.index, a.distance) == (c.index, c.distance)
             log("[1b] sharded packed small-B (B=3) kernel == flat OK")
+            # B=16: the batched FUSED-selection scan inside shard_map (B=8
+            # now routes to the small-batch kernel, so keep explicit metal
+            # coverage of the fused path's Mosaic lowering in shard_map)
+            q16p = np.concatenate([qpat, qpat])
+            q16m = np.concatenate([qmsk, qmsk])
+            r16_f = flat.match(q16p, q16m)
+            r16_s = sh.match(q16p, q16m)
+            for a, c in zip(r16_f, r16_s):
+                assert (a.index, a.distance) == (c.index, c.distance)
+            log("[1c] sharded packed fused-scan (B=16) == flat OK")
 
     # ---- 2. audit path: min_fractions + find_under parity ---------------
     sh = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=2048, storage="packed")

@@ -121,7 +121,7 @@ class TestPackedSmallB:
         msk[5] = 0  # all-invalid entry: d == 0 -> +inf, never wins
         return pat, msk
 
-    @pytest.mark.parametrize("b", [1, 2, 3, 7])
+    @pytest.mark.parametrize("b", [1, 2, 3, 8])
     def test_matches_packed_scan(self, rng, b):
         from mpc_iris_tpu.models.engines import (
             _match_scan_packed,
@@ -185,6 +185,8 @@ class TestPackedSmallB:
         from mpc_iris_tpu.ops.packed_match import small_b_ok
 
         assert small_b_ok(1, 512) and small_b_ok(7, 1024)
-        assert not small_b_ok(8, 512)       # batched fused path instead
+        assert small_b_ok(8, 512)           # beats the fused scan at B=8 too
+        assert not small_b_ok(9, 512)       # >8 row blocks stop compiling
+        assert not small_b_ok(16, 512)      # batched fused path instead
         assert not small_b_ok(1, 500)       # tile must divide the chunk
         assert not small_b_ok(0, 512)
