@@ -101,10 +101,11 @@ def _sum_decode_argmin_device(shares, dens):
     numerator = ((d - dot) mod 2^16) >> 1 (the wrapping sub of reference
     src/lib.rs:104), rotation-min and entry-argmin all fuse into ONE device
     dispatch per batch — the 1-vCPU host only moves bytes. Selection is the
-    exact rational argmin with d == 0 as +inf — a refinement of the
-    reference's f64 compare chain (identical results except when two
-    *distinct* rationals round to the same f64, i.e. sub-ulp index ties; the
-    reported distance is the same to 1 ulp either way — see docs/SPEC.md).
+    exact rational argmin with d == 0 as +inf — provably bit-identical
+    (index AND value) to the reference's f64 compare chain on this domain:
+    distinct fractions with d <= 12,800 are >= 1/12,800^2 apart while the
+    correctly-rounded f64 quotients are perturbed < 2^-52, so f64 order ==
+    exact rational order (docs/SPEC.md section 5.1).
     """
     import jax.numpy as jnp
 

@@ -264,3 +264,83 @@ class TestShareSplitDevice:
         enc = native.encode_u16_native(pats, msks)
         host = native.share_split(enc, 3, key, row_offset=9)
         np.testing.assert_array_equal(dev, np.asarray(host))
+
+
+class TestSelectionOrderTheorem:
+    """SPEC 5.1: on this domain (0 <= n <= d <= 12,800) the reference's f64
+    quotient order IS the exact rational order — distinct fractions are
+    >= 1/12,800^2 apart while correctly-rounded quotients are perturbed
+    < 2^-52, so exact-rational selection is bit-identical to the reference's
+    f64 compare chain, index and value. These tests pin the theorem at its
+    adversarial extremes."""
+
+    D = 12_800
+
+    def test_farey_neighbor_extremes(self):
+        """The tightest possible gaps: pairs with |n1*d2 - n2*d1| == 1 at
+        the maximal denominators (Farey neighbors of 12,799/12,800). Every
+        such pair must have distinct f64 quotients in the exact order."""
+        d1, d2 = self.D - 1, self.D
+        # n2/d2 vs n1/d1 with n1*d2 - n2*d1 = ±1: since d2 ≡ 1 (mod d1),
+        # n1 ≡ ±1 (mod d1) gives integer n2 = (n1*d2 ∓ 1)/d1.
+        pairs = []
+        for n1 in (1, d1 - 1):
+            for sign in (1, -1):
+                num = n1 * d2 - sign
+                if num % d1 == 0 and 0 <= num // d1 <= d2:
+                    pairs.append((n1, d1, num // d1, d2))
+        assert pairs, "construction produced no Farey pairs"
+        for n1, dd1, n2, dd2 in pairs:
+            assert abs(n1 * dd2 - n2 * dd1) == 1  # minimal possible gap
+            q1 = np.float64(n1) / np.float64(dd1)
+            q2 = np.float64(n2) / np.float64(dd2)
+            assert q1 != q2
+            assert (q1 < q2) == (Fraction(n1, dd1) < Fraction(n2, dd2))
+
+    def test_f64_order_equals_exact_order_randomized(self):
+        """Randomized sweep including near-tie pairs: the f64 quotient order
+        must equal the exact rational order for every sampled pair."""
+        rng = np.random.default_rng(0xF64)
+        d = rng.integers(1, self.D + 1, size=4096)
+        n = (rng.random(4096) * (d + 1)).astype(np.int64)
+        n = np.minimum(n, d)
+        # adversarial near-ties: for random (n1, d1) pick n2 = round(n1*d2/d1)
+        d1, n1 = d[:2048], n[:2048]
+        d2 = rng.integers(1, self.D + 1, size=2048)
+        n2 = np.minimum(np.round(n1 * d2 / d1).astype(np.int64), d2)
+        q1 = n1.astype(np.float64) / d1
+        q2 = n2.astype(np.float64) / d2
+        cross1 = n1 * d2
+        cross2 = n2 * d1
+        distinct = cross1 != cross2
+        # distinct rationals -> distinct f64s, in the exact order
+        assert (q1[distinct] != q2[distinct]).all()
+        assert ((q1 < q2) == (cross1 < cross2))[distinct].all()
+        # equal rationals -> equal f64s (both sides then tie on index)
+        assert (q1[~distinct] == q2[~distinct]).all()
+
+    def test_device_argmin_equals_f64_argmin(self):
+        """End to end: the device exact-rational argmin over a spectrum with
+        planted near-ties equals a host f64 argmin implementing the
+        reference's fold (strict-less update = earliest index on ties)."""
+        from mpc_iris_tpu.ops.decode import fraction_argmin
+
+        rng = np.random.default_rng(7)
+        n_ent = 513
+        d = rng.integers(1, self.D + 1, size=n_ent).astype(np.int32)
+        n = np.minimum((rng.random(n_ent) * d).astype(np.int32), d)
+        d[100] = 0  # invalid: +inf, must never win
+        # plant exact duplicates of the running minimum (index tie)
+        jmin = int(np.argmin(np.where(d > 0, n / np.where(d > 0, d, 1), 2.0)))
+        n[400], d[400] = n[jmin], d[jmin]
+        nw, dw, iw = (int(x) for x in np.asarray(fraction_argmin(
+            jnp.asarray(n), jnp.asarray(d), axis=0)))
+        # reference fold: f64 quotients, strict-less update, NaN/0-den skipped
+        best, best_i = np.inf, -1
+        for j in range(n_ent):
+            if d[j] == 0:
+                continue
+            q = np.float64(n[j]) / np.float64(d[j])
+            if q < best:
+                best, best_i = q, j
+        assert (iw, np.float64(nw) / np.float64(dw)) == (best_i, best)
