@@ -310,7 +310,7 @@ def main():
         # engines.orchestrate_find_under; == reference exactness bar,
         # src/lib.rs:97-107).
         from mpc_iris_tpu.models.engines import (
-            _fractions_under_compact_packed,
+            fractions_under_compact_packed_auto,
         )
         from mpc_iris_tpu.ops.decode import under_threshold_mask_np
 
@@ -322,7 +322,7 @@ def main():
         t_hi = np.float32(args.threshold * (1.0 + 1e-4))
 
         def run():
-            meta, nd_c = _fractions_under_compact_packed(
+            meta, nd_c = fractions_under_compact_packed_auto(
                 q_enc, q_mask, db_pat, db_msk, t_hi, args.compact_k)
             meta = np.asarray(meta)
             nd_c = np.asarray(nd_c)

@@ -149,10 +149,17 @@ def _match_scan_fused(
     and mask, so den == 0 == invalid). That costs ~3% extra MXU work but makes the
     kernel's (tile_b*32, tn) -> (tile_b, 32, tn) view free of sublane relayouts.
     """
+    from mpc_iris_tpu.ops.select_pallas import ROT_BITREV
+
     b = q_enc.shape[0]
     pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
-    qe = jnp.concatenate([q_enc, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
-    qm = jnp.concatenate([q_mask, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+    # Bit-reversed rotation order: makes the kernel's halving tree tie to
+    # the earliest ORIGINAL rotation (select_pallas.ROT_BITREV).
+    rev = jnp.asarray(ROT_BITREV)
+    qe = jnp.concatenate([q_enc, pad], axis=1)[:, rev].reshape(
+        b * (N_ROTATIONS + 1), BITS)
+    qm = jnp.concatenate([q_mask, pad], axis=1)[:, rev].reshape(
+        b * (N_ROTATIONS + 1), BITS)
     chunk = db_enc.shape[1]
 
     def step(carry, xs):
@@ -223,9 +230,16 @@ def _match_scan_packed(q_enc, q_mask, db_pat, db_msk, *, interpret=False, fused=
     b = q_enc.shape[0]
     chunk = db_pat.shape[1]
     if fused:
+        from mpc_iris_tpu.ops.select_pallas import ROT_BITREV
+
+        # bit-reversed rotation order (earliest-rotation ties; see
+        # select_pallas.ROT_BITREV)
+        rev = jnp.asarray(ROT_BITREV)
         pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
-        qe = jnp.concatenate([q_enc, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
-        qm = jnp.concatenate([q_mask, pad], axis=1).reshape(b * (N_ROTATIONS + 1), BITS)
+        qe = jnp.concatenate([q_enc, pad], axis=1)[:, rev].reshape(
+            b * (N_ROTATIONS + 1), BITS)
+        qm = jnp.concatenate([q_mask, pad], axis=1)[:, rev].reshape(
+            b * (N_ROTATIONS + 1), BITS)
     else:
         qe = q_enc.reshape(b * N_ROTATIONS, BITS)
         qm = q_mask.reshape(b * N_ROTATIONS, BITS)
@@ -377,6 +391,51 @@ def _fractions_under_compact_packed(q_enc, q_mask, db_pat, db_msk, t_hi, k):
     return _compact_under_device(
         _fractions_scan_packed(q_enc, q_mask, db_pat, db_msk), t_hi, k
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _fractions_under_compact_packed_smallb(q_enc, q_mask, db_pat, db_msk,
+                                           t_hi, k, *, interpret=False):
+    from mpc_iris_tpu.ops.packed_match import fractions_packed_small_b
+
+    return _compact_under_device(
+        fractions_packed_small_b(q_enc, q_mask, db_pat, db_msk,
+                                 interpret=interpret),
+        t_hi, k,
+    )
+
+
+def fractions_scan_packed_auto(q_enc, q_mask, db_pat, db_msk):
+    """Audit-spectrum dispatch for packed storage: B 1..8 -> the small-batch
+    kernel (in-VMEM bit-plane unpack — the audit shape IS small-B, and the
+    scan's materialized planes dominate it; see ops/packed_match.py), else
+    the scan. Identical uint16 [2, B, N_padded] values either way."""
+    from mpc_iris_tpu.ops.packed_match import (
+        fractions_packed_small_b,
+        small_b_ok,
+    )
+
+    b, chunk = q_enc.shape[0], db_pat.shape[1]
+    if small_b_ok(b, chunk):
+        return fractions_packed_small_b(
+            q_enc, q_mask, db_pat, db_msk,
+            interpret=jax.default_backend() != "tpu")
+    return _fractions_scan_packed(q_enc, q_mask, db_pat, db_msk)
+
+
+def fractions_under_compact_packed_auto(q_enc, q_mask, db_pat, db_msk,
+                                        t_hi, k):
+    """Fused spectrum+compaction dispatch (same policy as
+    :func:`fractions_scan_packed_auto`); one device dispatch either way."""
+    from mpc_iris_tpu.ops.packed_match import small_b_ok
+
+    b, chunk = q_enc.shape[0], db_pat.shape[1]
+    if small_b_ok(b, chunk):
+        return _fractions_under_compact_packed_smallb(
+            q_enc, q_mask, db_pat, db_msk, t_hi, k,
+            interpret=jax.default_backend() != "tpu")
+    return _fractions_under_compact_packed(
+        q_enc, q_mask, db_pat, db_msk, t_hi, k)
 
 
 @jax.jit
@@ -786,7 +845,8 @@ class PlaintextEngine:
         )
         self._guard_spectrum(q_enc.shape[0])
         if self.storage == "packed":
-            out = _fractions_scan_packed(q_enc, q_mask, self.db_pat, self.db_msk)
+            out = fractions_scan_packed_auto(
+                q_enc, q_mask, self.db_pat, self.db_msk)
         else:
             out = _fractions_scan(q_enc, q_mask, self.db_enc, self.db_mask)
         return np.asarray(out)[:, :, : self.count]
@@ -832,7 +892,7 @@ class PlaintextEngine:
 
         def compact_fn(t_hi, k):
             if self.storage == "packed":
-                return _fractions_under_compact_packed(
+                return fractions_under_compact_packed_auto(
                     q_enc, q_mask, self.db_pat, self.db_msk, t_hi, k)
             return _fractions_under_compact(
                 q_enc, q_mask, self.db_enc, self.db_mask, t_hi, k)

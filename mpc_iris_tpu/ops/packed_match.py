@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mpc_iris_tpu.constants import BITS, BITS_BYTES, N_ROTATIONS
 from mpc_iris_tpu.ops.select_pallas import (
     _LANES,
+    ROT_BITREV,
     _column_min_to_lanes,
     _keep_first_select,
     _lane_argmin,
@@ -153,7 +154,7 @@ def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
 
     Args:
       q_enc, q_mask: int8 [B, 31, K] prepared query planes (natural K order,
-        engines.prepare_query_planes), 1 <= B <= 7.
+        engines.prepare_query_planes), 1 <= B <= SMALL_B_MAX.
       db_pat, db_msk: uint8 [C, c, 1600] packed chunks (c % tile_n == 0;
         padded entries must be all-zero: mask 0 -> den 0 -> invalid).
 
@@ -166,13 +167,16 @@ def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     pat = db_pat.reshape(n_rows, PLANE)
     msk = db_msk.reshape(n_rows, PLANE)
 
-    # Pad each query's 31 rotation rows to 32 (dummy row: mask 0 = invalid)
-    # and permute K to bit-plane-major.
+    # Pad each query's 31 rotation rows to 32 (dummy row: mask 0 = invalid),
+    # bit-reverse the rotation order (earliest-rotation ties in the kernel's
+    # halving tree; select_pallas.ROT_BITREV), and permute K to
+    # bit-plane-major.
     perm = jnp.asarray(_bitplane_perm())
+    rev = jnp.asarray(ROT_BITREV)
     pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
-    qe = jnp.concatenate([q_enc, pad], axis=1)[:, :, perm].reshape(
+    qe = jnp.concatenate([q_enc, pad], axis=1)[:, rev][:, :, perm].reshape(
         b * N_ROT_PAD, BITS)
-    qm = jnp.concatenate([q_mask, pad], axis=1)[:, :, perm].reshape(
+    qm = jnp.concatenate([q_mask, pad], axis=1)[:, rev][:, :, perm].reshape(
         b * N_ROT_PAD, BITS)
 
     rows = b * N_ROT_PAD
@@ -199,3 +203,68 @@ def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     )(qe, qm, pat, msk)
     return jnp.stack(
         [packed[:, 0], packed[:, _LANES], packed[:, 2 * _LANES]])
+
+
+def _pk_fractions_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref, *,
+                         b, tile_n):
+    """Per-entry min-over-rotations fractions, same in-VMEM unpack + slab
+    dots as the argmin kernel; out int32 [B, tile_n] = n | (d << 16)
+    (both <= 12,800, so the pack is lossless and sign-free)."""
+    acc_dot, acc_den = _acc_dots(
+        qe_ref, qm_ref, pat_ref[...], msk_ref[...], b * N_ROT_PAD, tile_n)
+    num3 = ((acc_den - acc_dot) >> 1).reshape(b, N_ROT_PAD, tile_n)
+    den3 = acc_den.reshape(b, N_ROT_PAD, tile_n)
+    n, d = _rotation_min(num3, den3)  # padded rotation row: den 0 = invalid
+    out_ref[...] = n | (d << 16)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fractions_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
+                             tile_n=SMALL_B_TILE_N, interpret=False):
+    """Small-batch audit spectrum over a bit-packed DB, one fused dispatch.
+
+    The audit sibling of :func:`match_packed_small_b` (same measured floor:
+    at small B the scan's materialized int8 planes dominate): returns the
+    per-entry min-over-31-rotations exact (numerator, denominator) pairs as
+    uint16 [2, B, N_padded] — identical values to
+    `engines._fractions_scan_packed` (padded DB rows report d == 0; callers
+    trim to the true count). Feeds the same device compaction
+    (`engines._compact_under_device`) as the scan path.
+    """
+    b = q_enc.shape[0]
+    n_rows = db_pat.shape[0] * db_pat.shape[1]
+    pat = db_pat.reshape(n_rows, PLANE)
+    msk = db_msk.reshape(n_rows, PLANE)
+
+    perm = jnp.asarray(_bitplane_perm())
+    rev = jnp.asarray(ROT_BITREV)
+    pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
+    qe = jnp.concatenate([q_enc, pad], axis=1)[:, rev][:, :, perm].reshape(
+        b * N_ROT_PAD, BITS)
+    qm = jnp.concatenate([q_mask, pad], axis=1)[:, rev][:, :, perm].reshape(
+        b * N_ROT_PAD, BITS)
+
+    rows = b * N_ROT_PAD
+    out = pl.pallas_call(
+        functools.partial(_pk_fractions_kernel, b=b, tile_n=tile_n),
+        grid=(n_rows // tile_n,),
+        in_specs=[
+            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_n), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024),
+        interpret=interpret,
+    )(qe, qm, pat, msk)
+    n = (out & 0xFFFF).astype(jnp.uint16)
+    d = jax.lax.shift_right_logical(out, 16).astype(jnp.uint16)
+    return jnp.stack([n, d])

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,12 +36,38 @@ from mpc_iris_tpu.ops.decode import _frac_select
 N_ROT_PAD = 32
 
 
+def _bitrev5(x):
+    x = np.asarray(x)
+    out = np.zeros_like(x)
+    for i in range(5):
+        out |= ((x >> i) & 1) << (4 - i)
+    return out
+
+
+# Rotation rows are fed to the kernels in BIT-REVERSED order: position p
+# holds rotation bitrev5(p). Under that order the tree's (i, i+half)
+# keep-first pairing is exactly the contiguous adjacent tournament on the
+# ORIGINAL rotation indices (FFT decimation-in-time duality), whose
+# keep-first ties provably keep the earliest rotation — matching the XLA
+# path's index-aware tree (decode.fraction_min_rotations). Natural order
+# does NOT have that property: ties between equal fractions at rotations
+# {1, 2} of 4 would keep 2 — same value, different (n, d) representation
+# (caught round 5 by the fractions-kernel parity test). A strided in-kernel
+# slice was rejected by Mosaic ("Only 2D gather is supported"), so the
+# reorder happens on the tiny query side, once per batch, in XLA.
+# bitrev5(31) == 31, so the all-zero dummy pad row stays the last row.
+ROT_BITREV = _bitrev5(np.arange(N_ROT_PAD))
+
+
 def _keep_first_select(n1, d1, n2, d2, *extras):
     """Select the smaller fraction, ties keep the FIRST operand.
 
-    In a halving tree the first half always carries the lower original index, so
-    keep-first ties are exactly the lower-index/earlier-rotation semantics of
-    decode._frac_select without materializing index planes. ``extras`` are
+    Keep-first equals lower-index tie-breaking ONLY where the first
+    operand's covered indices are ALL lower than the second's: the
+    bit-reversed rotation tree (see ROT_BITREV), and the cross-tile scratch
+    fold (tile j's scratch covers tiles 0..j-1, all lower columns). The
+    column-congruence reduce is NOT such a case and uses the index-aware
+    `_frac_select` instead (see `_column_min_to_lanes`). ``extras`` are
     (a1, b1, ...) pairs selected alongside.
     """
     v1 = d1 > 0
@@ -61,7 +88,12 @@ _LANES = 128
 
 def _rotation_min(num, den):
     """[tb, 32, tn] -> (n, d) [tb, tn]: exact min fraction over the (padded)
-    rotation axis, ties to the earlier rotation."""
+    rotation axis, ties to the earlier ORIGINAL rotation.
+
+    REQUIRES the rotation axis in bit-reversed order (see ROT_BITREV): the
+    contiguous-half (i, i+half) pairing below — the only slicing Mosaic
+    lowers without a gather — is then the adjacent tournament on original
+    indices, whose keep-first ties keep the earliest rotation."""
     k = num.shape[1]
     while k > 1:
         half = k // 2
@@ -76,17 +108,33 @@ def _column_min_to_lanes(n, d, col):
     """[tb, tn] halving tree -> (n, d, idx) [tb, 128].
 
     Stops at the VPU lane width: lane l keeps the best among columns == l
-    (mod 128) — keep-first ties stay index-correct because earlier halves carry
-    lower column indices. The final cross-lane reduce happens once per query
-    tile (see `_lane_argmin`), not per grid step.
+    (mod 128). The compare is the INDEX-AWARE `_frac_select` on the carried
+    column plane, not keep-first: under (i, i+half) pairing a slot covers a
+    NON-contiguous congruence class, where keep-first can retain the higher
+    index on exact-fraction ties (duplicates at columns 129 and 257 of a
+    512 tile kept 257 — caught round 5 by the adversarial congruent-
+    duplicate test; latent since round 1). The extra index compare is a few
+    VPU ops per level on data already in registers. The final cross-lane
+    reduce happens once per query tile (see `_lane_argmin`), not per grid
+    step.
     """
     tn = n.shape[1]
+    first_level = True
     while tn > _LANES:
         half = tn // 2
-        n, d, col = _keep_first_select(
-            n[:, :half], d[:, :half], n[:, half:], d[:, half:],
-            col[:, :half], col[:, half:],
-        )
+        if first_level:
+            # level 1 is the one level where keep-first IS lowest-index:
+            # operand 1's column (i) is strictly below operand 2's (i+half)
+            n, d, col = _keep_first_select(
+                n[:, :half], d[:, :half], n[:, half:], d[:, half:],
+                col[:, :half], col[:, half:],
+            )
+            first_level = False
+        else:
+            n, d, col = _frac_select(
+                n[:, :half], d[:, :half], col[:, :half],
+                n[:, half:], d[:, half:], col[:, half:],
+            )
         tn = half
     return n, d, col
 

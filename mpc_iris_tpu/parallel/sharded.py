@@ -264,12 +264,14 @@ class ShardedPlaintextEngine(_ShardedBase):
             # layout's global order ((j*D + i)*c + p — see module docstring).
             from mpc_iris_tpu.models.engines import (
                 _fractions_scan,
-                _fractions_scan_packed,
+                fractions_scan_packed_auto,
             )
 
             local_a = db_a.reshape(db_a.shape[0], c, db_a.shape[-1])
             local_b = db_b.reshape(db_b.shape[0], c, db_b.shape[-1])
-            scan = _fractions_scan_packed if packed else _fractions_scan
+            # packed dispatch includes the small-B audit kernel (the audit
+            # serving shape; same policy as the single-chip engine)
+            scan = fractions_scan_packed_auto if packed else _fractions_scan
             nd = scan(q_enc, q_mask, local_a, local_b)  # [2, B, C_local*c]
             b = nd.shape[1]
             return nd.reshape(2, b, db_a.shape[0], 1, c)

@@ -190,3 +190,76 @@ class TestPackedSmallB:
         assert not small_b_ok(16, 512)      # batched fused path instead
         assert not small_b_ok(1, 500)       # tile must divide the chunk
         assert not small_b_ok(0, 512)
+
+    @pytest.mark.parametrize("b", [1, 8])
+    def test_fractions_kernel_matches_scan(self, rng, b):
+        """The audit-spectrum variant (fractions_packed_small_b) must equal
+        _fractions_scan_packed element for element, including the d == 0
+        invalid entry and padded tail rows, and the fused compaction over it
+        must produce identical find_under results."""
+        from mpc_iris_tpu.models.engines import (
+            PlaintextEngine,
+            _fractions_scan_packed,
+            _pad_chunks,
+            prepare_query_planes,
+        )
+        from mpc_iris_tpu.ops.packed_match import fractions_packed_small_b
+
+        n, chunk = 1500, 1024  # padded tail
+        pat, msk = self._world(rng, n)
+        qpat = pat[rng.integers(0, n, b)].copy()
+        qmsk = msk[rng.integers(0, n, b)].copy()
+        q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+        pat_c, _ = _pad_chunks(pat, chunk)
+        msk_c, _ = _pad_chunks(msk, chunk)
+        db_pat, db_msk = jnp.asarray(pat_c), jnp.asarray(msk_c)
+        want = np.asarray(_fractions_scan_packed(
+            q_enc, q_mask, db_pat, db_msk))
+        got = np.asarray(fractions_packed_small_b(
+            q_enc, q_mask, db_pat, db_msk, interpret=True))
+        assert np.array_equal(got, want)
+
+        # end-to-end: find_under through the engine dispatch (small-B
+        # compaction jit) vs the big-batch scan path at the same threshold
+        eng = PlaintextEngine(pat, msk, chunk=chunk, storage="packed")
+        t = 0.47
+        fast = eng.find_under(qpat, qmsk, t, compact_k=256)
+        full = eng.find_under(qpat, qmsk, t)
+        as_t = lambda rows: [
+            [(m.index, m.distance, m.numerator, m.denominator) for m in r]
+            for r in rows]
+        assert as_t(fast) == as_t(full)
+        assert sum(len(r) for r in full) > 0  # non-vacuous threshold
+
+
+def test_congruent_duplicate_index_tie(rng):
+    """Exact duplicates at columns congruent mod 128 WITHIN one selection
+    tile (129 and 257 of a 512/2048 tile) must tie to the LOWER index.
+    Round-5 regression: the (i, i+half) keep-first column tree covered a
+    non-contiguous congruence class and kept 257 — latent since round 1;
+    the column reduce now uses the index-aware compare."""
+    from mpc_iris_tpu.models.engines import (
+        _match_scan,
+        _match_scan_fused,
+        prepare_query_planes,
+    )
+    from mpc_iris_tpu.ops.encode import encode_grid_i8, unpack_bits
+
+    n, b = 2048, 8
+    dpat = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    for lo, hi in ((129, 257), (1, 1025), (640, 1920)):
+        dpat[hi], dmsk[hi] = dpat[lo], dmsk[lo]
+    p = unpack_bits(jnp.asarray(dpat)).astype(jnp.int8)
+    m = unpack_bits(jnp.asarray(dmsk)).astype(jnp.int8)
+    enc = encode_grid_i8(p, m).reshape(1, n, -1)
+    mask = m.reshape(1, n, -1)
+    for lo in (129, 1, 640):
+        qpat = dpat[[lo] * b].copy()
+        qmsk = dmsk[[lo] * b].copy()
+        q_enc, q_mask = prepare_query_planes(qpat, qmsk)
+        want = np.asarray(_match_scan(q_enc, q_mask, enc, mask))
+        got = np.asarray(_match_scan_fused(q_enc, q_mask, enc, mask,
+                                           interpret=True))
+        assert np.array_equal(got, want)
+        assert (got[2] == lo).all(), (lo, got[2])
