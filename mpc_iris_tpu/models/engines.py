@@ -208,7 +208,7 @@ def match_scan_packed_auto(q_enc, q_mask, db_pat, db_msk):
 
     b, chunk = q_enc.shape[0], db_pat.shape[1]
     interpret = jax.default_backend() != "tpu"
-    if small_b_ok(b, chunk):
+    if small_b_ok(b, chunk, db_pat.shape[0] * chunk):
         return match_packed_small_b(q_enc, q_mask, db_pat, db_msk,
                                     interpret=interpret)
     fused = _fused_ok(b, chunk)
@@ -341,6 +341,19 @@ def _compact_under_device(nd, t_hi, k):
     d == 0 is excluded for free (n < t_hi*0 is false). The EXACT strict-<
     decision happens on host over the compacted candidates.
 
+    TWO-LEVEL compaction (round 5): XLA's scatter on TPU is effectively
+    serial per element, and one flat ``at[tgt].set`` over [B, Np] measured
+    ~330 ms at B=8, Np=1M — 4x the spectrum compute it postprocesses. So:
+    first compact the indices of 128-lane BLOCKS containing any candidate
+    (a scatter over Np/128 elements), gather those blocks, then
+    fine-compact within the gathered [B, kb*128] slab — both scatters are
+    orders of magnitude smaller than Np. Blocks are compacted in ascending
+    order and lanes are ascending within a block, so candidate indices come
+    out globally ascending, exactly like the flat scatter. If candidates
+    spread over more than kb blocks, the reported count is forced past k so
+    the caller takes the identical-results full-fetch fallback (same
+    contract as count overflow).
+
     Returns (meta int32 [B, k+1], nd_out uint16 [2, B, k]) — TWO arrays to
     bound the remote-fetch round trips: meta[:, 0] = candidate count (may
     exceed k: caller must then fall back to the full fetch), meta[:, 1:] =
@@ -349,24 +362,58 @@ def _compact_under_device(nd, t_hi, k):
     d = nd[1].astype(jnp.float32)
     mask = n < t_hi * d  # [B, Np] conservative superset
     counts = mask.sum(axis=1).astype(jnp.int32)
-    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    tgt = jnp.where(mask, pos, k)  # k = out of bounds -> dropped
-    src_idx = jnp.broadcast_to(
-        jnp.arange(mask.shape[1], dtype=jnp.int32), mask.shape
-    )
+    b, np_ = mask.shape
 
     def scatter(fill, t, s):
         return fill.at[t].set(s, mode="drop")
 
+    lb = 128
+    nb = -(-np_ // lb)
+    pad = nb * lb - np_
+    n_u = nd[0]
+    d_u = nd[1]
+    if pad:
+        # padded lanes: d == 0 -> never a candidate
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        n_u = jnp.pad(n_u, ((0, 0), (0, pad)))
+        d_u = jnp.pad(d_u, ((0, 0), (0, pad)))
+    mask3 = mask.reshape(b, nb, lb)
+    blk_hit = mask3.any(axis=2)  # [B, nb]
+    blk_count = blk_hit.sum(axis=1).astype(jnp.int32)
+    # block capacity: enough for 2k candidates even if 128x spread out;
+    # small Np degenerates to "all blocks" (capacity == everything)
+    kb = min(nb, max(256, -(-2 * k // lb)))
+
+    bpos = jnp.cumsum(blk_hit.astype(jnp.int32), axis=1) - 1
+    btgt = jnp.where(blk_hit, bpos, kb)  # kb = out of bounds -> dropped
+    bsrc = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (b, nb))
+    blk_idx = jax.vmap(scatter)(
+        jnp.full((b, kb), nb, jnp.int32), btgt, bsrc
+    )
+    take = blk_idx.clip(0, nb - 1)[:, :, None]  # sentinel -> dup last block
+    g_n = jnp.take_along_axis(n_u.reshape(b, nb, lb), take, axis=1)
+    g_d = jnp.take_along_axis(d_u.reshape(b, nb, lb), take, axis=1)
+    g_idx = (take * lb + jnp.arange(lb, dtype=jnp.int32)).reshape(b, kb * lb)
+    g_n = g_n.reshape(b, kb * lb)
+    g_d = g_d.reshape(b, kb * lb)
+    # valid = real (non-sentinel) block AND candidate lane
+    slot_ok = (
+        jnp.arange(kb, dtype=jnp.int32)[None, :] < blk_count[:, None]
+    )
+    g_mask = (
+        jnp.repeat(slot_ok, lb, axis=1)
+        & (g_n.astype(jnp.float32) < t_hi * g_d.astype(jnp.float32))
+    )
+
+    pos = jnp.cumsum(g_mask.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(g_mask, pos, k)
     idx_out = jax.vmap(scatter)(
-        jnp.full((mask.shape[0], k), -1, jnp.int32), tgt, src_idx
+        jnp.full((b, k), -1, jnp.int32), tgt, g_idx
     )
-    n_out = jax.vmap(scatter)(
-        jnp.zeros((mask.shape[0], k), jnp.uint16), tgt, nd[0]
-    )
-    d_out = jax.vmap(scatter)(
-        jnp.zeros((mask.shape[0], k), jnp.uint16), tgt, nd[1]
-    )
+    n_out = jax.vmap(scatter)(jnp.zeros((b, k), jnp.uint16), tgt, g_n)
+    d_out = jax.vmap(scatter)(jnp.zeros((b, k), jnp.uint16), tgt, g_d)
+    # block-capacity overflow forces the caller's full-fetch fallback
+    counts = jnp.where(blk_count > kb, jnp.maximum(counts, k + 1), counts)
     meta = jnp.concatenate([counts[:, None], idx_out], axis=1)
     return meta, jnp.stack([n_out, d_out])
 
@@ -416,7 +463,7 @@ def fractions_scan_packed_auto(q_enc, q_mask, db_pat, db_msk):
     )
 
     b, chunk = q_enc.shape[0], db_pat.shape[1]
-    if small_b_ok(b, chunk):
+    if small_b_ok(b, chunk, db_pat.shape[0] * chunk):
         return fractions_packed_small_b(
             q_enc, q_mask, db_pat, db_msk,
             interpret=jax.default_backend() != "tpu")
@@ -430,7 +477,7 @@ def fractions_under_compact_packed_auto(q_enc, q_mask, db_pat, db_msk,
     from mpc_iris_tpu.ops.packed_match import small_b_ok
 
     b, chunk = q_enc.shape[0], db_pat.shape[1]
-    if small_b_ok(b, chunk):
+    if small_b_ok(b, chunk, db_pat.shape[0] * chunk):
         return _fractions_under_compact_packed_smallb(
             q_enc, q_mask, db_pat, db_msk, t_hi, k,
             interpret=jax.default_backend() != "tpu")

@@ -113,9 +113,15 @@ def _acc_dots(qe_ref, qm_ref, pat_t, msk_t, rows, tile_n):
 
 def _pk_select_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref,
                       ns, ds, idxs, *, b, tile_n):
-    j = pl.program_id(0)
+    # 2D grid (chunk, tile-within-chunk): the DB stays in its original
+    # [C, c, 1600] layout — flattening it on the XLA side forced a full
+    # HBM copy of both operands into the custom call (measured 2x4.9 GB at
+    # 3M entries, an OOM). j = flat tile counter in ascending column order
+    # (row-major grid iteration).
+    tiles_per_chunk = pl.num_programs(1)
+    j = pl.program_id(0) * tiles_per_chunk + pl.program_id(1)
     acc_dot, acc_den = _acc_dots(
-        qe_ref, qm_ref, pat_ref[...], msk_ref[...], b * N_ROT_PAD, tile_n)
+        qe_ref, qm_ref, pat_ref[0], msk_ref[0], b * N_ROT_PAD, tile_n)
     num3 = ((acc_den - acc_dot) >> 1).reshape(b, N_ROT_PAD, tile_n)
     den3 = acc_den.reshape(b, N_ROT_PAD, tile_n)
     n, d = _rotation_min(num3, den3)
@@ -133,17 +139,31 @@ def _pk_select_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref,
         ns[...], ds[...], idxs[...] = _keep_first_select(
             ns[...], ds[...], n, d, idxs[...], idx)
 
-    @pl.when(j == pl.num_programs(0) - 1)
+    @pl.when(j == pl.num_programs(0) * tiles_per_chunk - 1)
     def _():
         n1, d1, i1 = _lane_argmin(ns[...], ds[...], idxs[...])
         out_ref[...] = jnp.concatenate(
             [jnp.broadcast_to(v, (b, _LANES)) for v in (n1, d1, i1)], axis=1)
 
 
-def small_b_ok(b: int, chunk: int) -> bool:
+# XLA stages both packed operands into DENSE copies for the Pallas custom
+# call (the [.., 1600] lane dim is not 128-aligned, so the resident arrays
+# carry ~4% tile padding the call must strip — 2 x 4.9 GB temps at 3M
+# entries, an HBM OOM next to the 9.6 GB residents). The copies fit
+# comfortably through ~2M entries (1M: 2 x 1.6 GB, ~5 ms each at HBM
+# bandwidth); past the cap the scan path — which reads the padded layout in
+# place — takes over.
+SMALL_B_MAX_ROWS = 2_097_152
+
+
+def small_b_ok(b: int, chunk: int, total_rows: int | None = None) -> bool:
     """True when the packed small-batch kernel applies: 1..SMALL_B_MAX
-    queries and a chunk the tile divides (the flat DB is chunk-padded, so
-    chunk divisibility implies total divisibility)."""
+    queries, a chunk the tile divides (the flat DB is chunk-padded, so
+    chunk divisibility implies total divisibility), and a DB small enough
+    that the custom call's dense operand copies fit HBM (see
+    SMALL_B_MAX_ROWS; None skips the size check)."""
+    if total_rows is not None and total_rows > SMALL_B_MAX_ROWS:
+        return False
     return 1 <= b <= SMALL_B_MAX and chunk % SMALL_B_TILE_N == 0
 
 
@@ -163,9 +183,8 @@ def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     and bit-identical results to `_match_scan_packed`.
     """
     b = q_enc.shape[0]
-    n_rows = db_pat.shape[0] * db_pat.shape[1]
-    pat = db_pat.reshape(n_rows, PLANE)
-    msk = db_msk.reshape(n_rows, PLANE)
+    n_chunks, chunk = db_pat.shape[0], db_pat.shape[1]
+    tiles = chunk // tile_n
 
     # Pad each query's 31 rotation rows to 32 (dummy row: mask 0 = invalid),
     # bit-reverse the rotation order (earliest-rotation ties in the kernel's
@@ -182,25 +201,25 @@ def match_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     rows = b * N_ROT_PAD
     packed = pl.pallas_call(
         functools.partial(_pk_select_kernel, b=b, tile_n=tile_n),
-        grid=(n_rows // tile_n,),
+        grid=(n_chunks, tiles),
         in_specs=[
-            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+            pl.BlockSpec((rows, BITS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+            pl.BlockSpec((rows, BITS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+            pl.BlockSpec((1, tile_n, PLANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+            pl.BlockSpec((1, tile_n, PLANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, 3 * _LANES), lambda j: (0, 0),
+        out_specs=pl.BlockSpec((b, 3 * _LANES), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3 * _LANES), jnp.int32),
         scratch_shapes=[pltpu.VMEM((b, _LANES), jnp.int32)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024),
         interpret=interpret,
-    )(qe, qm, pat, msk)
+    )(qe, qm, db_pat, db_msk)
     return jnp.stack(
         [packed[:, 0], packed[:, _LANES], packed[:, 2 * _LANES]])
 
@@ -209,9 +228,10 @@ def _pk_fractions_kernel(qe_ref, qm_ref, pat_ref, msk_ref, out_ref, *,
                          b, tile_n):
     """Per-entry min-over-rotations fractions, same in-VMEM unpack + slab
     dots as the argmin kernel; out int32 [B, tile_n] = n | (d << 16)
-    (both <= 12,800, so the pack is lossless and sign-free)."""
+    (both <= 12,800, so the pack is lossless and sign-free). 2D grid over
+    the original [C, c, 1600] layout (see _pk_select_kernel)."""
     acc_dot, acc_den = _acc_dots(
-        qe_ref, qm_ref, pat_ref[...], msk_ref[...], b * N_ROT_PAD, tile_n)
+        qe_ref, qm_ref, pat_ref[0], msk_ref[0], b * N_ROT_PAD, tile_n)
     num3 = ((acc_den - acc_dot) >> 1).reshape(b, N_ROT_PAD, tile_n)
     den3 = acc_den.reshape(b, N_ROT_PAD, tile_n)
     n, d = _rotation_min(num3, den3)  # padded rotation row: den 0 = invalid
@@ -232,9 +252,9 @@ def fractions_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     (`engines._compact_under_device`) as the scan path.
     """
     b = q_enc.shape[0]
-    n_rows = db_pat.shape[0] * db_pat.shape[1]
-    pat = db_pat.reshape(n_rows, PLANE)
-    msk = db_msk.reshape(n_rows, PLANE)
+    n_chunks, chunk = db_pat.shape[0], db_pat.shape[1]
+    tiles = chunk // tile_n
+    n_rows = n_chunks * chunk
 
     perm = jnp.asarray(_bitplane_perm())
     rev = jnp.asarray(ROT_BITREV)
@@ -247,24 +267,27 @@ def fractions_packed_small_b(q_enc, q_mask, db_pat, db_msk, *,
     rows = b * N_ROT_PAD
     out = pl.pallas_call(
         functools.partial(_pk_fractions_kernel, b=b, tile_n=tile_n),
-        grid=(n_rows // tile_n,),
+        grid=(n_chunks, tiles),
         in_specs=[
-            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+            pl.BlockSpec((rows, BITS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, BITS), lambda j: (0, 0),
+            pl.BlockSpec((rows, BITS), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+            pl.BlockSpec((1, tile_n, PLANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, PLANE), lambda j: (j, 0),
+            pl.BlockSpec((1, tile_n, PLANE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, tile_n), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (b, tile_n),
+            lambda i, j, _tiles=tiles: (0, i * _tiles + j),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, n_rows), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024),
         interpret=interpret,
-    )(qe, qm, pat, msk)
+    )(qe, qm, db_pat, db_msk)
     n = (out & 0xFFFF).astype(jnp.uint16)
     d = jax.lax.shift_right_logical(out, 16).astype(jnp.uint16)
     return jnp.stack([n, d])

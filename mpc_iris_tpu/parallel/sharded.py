@@ -223,7 +223,7 @@ class ShardedPlaintextEngine(_ShardedBase):
                 )
 
                 b_local = q_enc.shape[0]  # per-shard batch (shard_map local)
-                if small_b_ok(b_local, c):
+                if small_b_ok(b_local, c, db_a.shape[0] * c):
                     # serving-latency kernel (in-VMEM bit-plane unpack; see
                     # ops/packed_match.py) — same dispatch policy as the
                     # single-chip engine's match_scan_packed_auto

@@ -190,6 +190,8 @@ class TestPackedSmallB:
         assert not small_b_ok(16, 512)      # batched fused path instead
         assert not small_b_ok(1, 500)       # tile must divide the chunk
         assert not small_b_ok(0, 512)
+        assert small_b_ok(1, 512, 1_048_576)       # 1M: copies fit
+        assert not small_b_ok(1, 512, 3_145_728)   # 3M: dense copies OOM
 
     @pytest.mark.parametrize("b", [1, 8])
     def test_fractions_kernel_matches_scan(self, rng, b):
