@@ -293,9 +293,10 @@ def main():
         )
         db_pat = jax.block_until_ready(genp(kdb))
         db_msk = jax.block_until_ready(genp(kq))
-        # Dispatch: B 1..7 -> packed small-batch kernel (in-VMEM bit-plane
-        # unpack, the B=1 serving-latency path); B % 8 == 0 -> fused
-        # selection scan; else plain XLA scan (engines.match_scan_packed_auto).
+        # Dispatch: B 1..8 -> packed small-batch kernel (in-VMEM bit-plane
+        # unpack, the serving-latency path; DB-size capped); B % 8 == 0 past
+        # 8 -> fused selection scan; else plain XLA scan
+        # (engines.match_scan_packed_auto).
         from mpc_iris_tpu.models.engines import match_scan_packed_auto
 
         run = lambda: np.asarray(

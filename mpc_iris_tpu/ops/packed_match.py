@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mpc_iris_tpu.constants import BITS, BITS_BYTES, N_ROTATIONS
 from mpc_iris_tpu.ops.select_pallas import (
     _LANES,
+    N_ROT_PAD,
     ROT_BITREV,
     _column_min_to_lanes,
     _keep_first_select,
@@ -54,7 +55,6 @@ from mpc_iris_tpu.ops.select_pallas import (
 )
 
 DIMS = (((1,), (1,)), ((), ()))
-N_ROT_PAD = 32
 PLANE = BITS_BYTES  # 1600 packed bytes per entry = one bit-plane's K slab
 
 # Production config, validated on metal (see module docstring sweep).

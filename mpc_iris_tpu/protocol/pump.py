@@ -23,17 +23,23 @@ def put_blocking(queue: asyncio.Queue, item, loop, stop: threading.Event) -> boo
     except RuntimeError:  # loop already closed
         coro.close()  # retire the un-awaited coroutine quietly
         return False
+    idle_polls = 0
     while True:
         try:
             fut.result(timeout=0.25)
             return True
         except concurrent.futures.TimeoutError:
-            if loop.is_closed():
-                # The loop died between submit and the call_soon_threadsafe
-                # callback running: that callback will never execute, so the
-                # queue.put coroutine would be GC'd un-awaited (a
-                # RuntimeWarning at collection time) and fut would never
-                # resolve (this worker would spin until process exit).
+            # A dead loop leaves fut unresolved forever: closed() is the
+            # clean signal; a loop that simply STOPPED running (thread
+            # returned without close()) gets a patience window — transient
+            # not-running gaps between run_until_complete calls must not
+            # trip it, but after ~10 s the loop is not coming back in this
+            # architecture (serving loops run until process exit).
+            idle_polls = 0 if loop.is_running() else idle_polls + 1
+            if loop.is_closed() or idle_polls >= 40:
+                # The callback scheduled by run_coroutine_threadsafe will
+                # never execute: retire the queue.put coroutine (else it is
+                # GC'd un-awaited — a RuntimeWarning) and stop spinning.
                 fut.cancel()
                 try:
                     coro.close()

@@ -204,11 +204,14 @@ def prep_query(qpat, qmsk):
     """Packed query -> bit-plane-major padded [32, K] int8 LHS pair."""
     from mpc_iris_tpu.models.engines import prepare_query_planes
 
+    from mpc_iris_tpu.ops.select_pallas import ROT_BITREV
+
     q_enc, q_mask = prepare_query_planes(qpat, qmsk)  # [1, 31, K] natural
     perm = jnp.asarray(bitplane_perm())
+    rev = jnp.asarray(ROT_BITREV)  # _rotation_min requires bitrev order
     pad = jnp.zeros((1, 1, BITS), q_enc.dtype)
-    qe = jnp.concatenate([q_enc, pad], axis=1)[0][:, perm]
-    qm = jnp.concatenate([q_mask, pad], axis=1)[0][:, perm]
+    qe = jnp.concatenate([q_enc, pad], axis=1)[0][rev][:, perm]
+    qm = jnp.concatenate([q_mask, pad], axis=1)[0][rev][:, perm]
     return qe, qm
 
 

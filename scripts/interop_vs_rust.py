@@ -241,7 +241,7 @@ def main():
         try:
             fn(args.rust_bin, work)
             results.append({"name": name, "ok": True})
-        except BaseException as e:  # SystemExit carries the failure detail
+        except (Exception, SystemExit) as e:  # SystemExit carries the detail
             results.append({"name": name, "ok": False, "error": str(e)})
             failed = name
             break

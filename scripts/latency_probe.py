@@ -43,11 +43,13 @@ def _match_scan_packed_fused_tb(q_enc, q_mask, db_pat, db_msk, *,
                                 tile_b, tile_n=2048, interpret=False):
     """_match_scan_packed's fused branch with a parametric selection tile."""
     from mpc_iris_tpu.ops.decode import running_min
+    from mpc_iris_tpu.ops.select_pallas import ROT_BITREV
 
     b = q_enc.shape[0]
+    rev = jnp.asarray(ROT_BITREV)  # _rotation_min requires bitrev order
     pad = jnp.zeros((b, 1, BITS), q_enc.dtype)
-    qe = jnp.concatenate([q_enc, pad], axis=1).reshape(b * 32, BITS)
-    qm = jnp.concatenate([q_mask, pad], axis=1).reshape(b * 32, BITS)
+    qe = jnp.concatenate([q_enc, pad], axis=1)[:, rev].reshape(b * 32, BITS)
+    qm = jnp.concatenate([q_mask, pad], axis=1)[:, rev].reshape(b * 32, BITS)
 
     def step(carry, xs):
         pat_c, msk_c, offset = xs
