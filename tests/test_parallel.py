@@ -248,3 +248,26 @@ def test_sharded_packed_small_b_kernel(data):
         assert (a.index, a.numerator, a.denominator, a.distance) == (
             b.index, b.numerator, b.denominator, b.distance)
         assert a.index == want and a.distance == 0.0
+
+
+def test_sharded_cross_shard_duplicate_tie(data):
+    """Exact duplicates living on DIFFERENT shards must tie to the lower
+    GLOBAL index. Adversarial under the strided-by-chunk layout: shard rank
+    order is NOT index order, so the cross-shard fold must compare carried
+    indices (fraction_allmin), not gather slots — entry 5 (shard 1) must
+    beat its duplicate at entry 16 (shard 0)."""
+    rng = np.random.default_rng(11)
+    n, chunk, d_shards = 32, 4, 4
+    dpat = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    dmsk = rng.integers(0, 256, (n, 1600), dtype=np.uint8)
+    # global chunk of entry e = e // 4; shard of chunk g = g % 4 (strided):
+    # 5 -> chunk 1 -> shard 1;  16 -> chunk 4 -> shard 0
+    dpat[16], dmsk[16] = dpat[5], dmsk[5]
+    qpat, qmsk = dpat[5:6].copy(), dmsk[5:6].copy()
+    mesh = make_mesh(db=d_shards, batch=1)
+    sharded = ShardedPlaintextEngine(dpat, dmsk, mesh, chunk=chunk,
+                                     storage="dense")
+    single = PlaintextEngine(dpat, dmsk, chunk=8)
+    rs = sharded.match(qpat, qmsk)[0]
+    r1 = single.match(qpat, qmsk)[0]
+    assert (rs.index, rs.distance) == (r1.index, r1.distance) == (5, 0.0)
