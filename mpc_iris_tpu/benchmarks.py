@@ -141,6 +141,33 @@ def run_device_benches(sizes=REFERENCE_SIZES, batch=128, emit=print):
         _net_row(f"match_step/b{b}/{n_chunks * chunk}", st, cmps,
                  macs=2 * cmps * BITS)
 
+    # Packed small-batch kernel (round 5, ops/packed_match.py): the B=1
+    # serving-latency step — in-VMEM bit-plane unpack + slab dots + fused
+    # exact selection over a bit-packed DB, one dispatch.
+    from mpc_iris_tpu.models.engines import prepare_query_planes
+    from mpc_iris_tpu.ops.packed_match import match_packed_small_b
+
+    rng_np = np.random.default_rng(0)
+    pk_pat = jax.device_put(jnp.asarray(
+        rng_np.integers(0, 256, (n_chunks, chunk, BITS // 8), dtype=np.uint8)))
+    pk_msk = jax.device_put(jnp.asarray(
+        rng_np.integers(0, 256, (n_chunks, chunk, BITS // 8), dtype=np.uint8)))
+    interp = jax.default_backend() != "tpu"
+    if interp:
+        emit("note: match_packed_small_b rows skipped off-TPU (Pallas "
+             "interpret mode at 131k entries is minutes-slow; the CPU suite "
+             "covers its correctness)")
+    for b in () if interp else (1, 8):
+        qp = rng_np.integers(0, 256, (b, BITS // 8), dtype=np.uint8)
+        qm_ = rng_np.integers(0, 256, (b, BITS // 8), dtype=np.uint8)
+        qe_, qme_ = prepare_query_planes(qp, qm_)
+        st = _timeit_stats(lambda: np.asarray(match_packed_small_b(
+            qe_, qme_, pk_pat, pk_msk, interpret=interp)))
+        cmps = b * n_chunks * chunk * N_ROTATIONS
+        _net_row(f"match_packed_small_b/b{b}/{n_chunks * chunk}", st, cmps,
+                 macs=2 * cmps * BITS)
+    del pk_pat, pk_msk
+
     # Keyed-share regeneration: on-device ChaCha20 rows/s (the KeyedShareEngine
     # hot path; pairs here = regenerated share u16 lanes, not dot pairs).
     from mpc_iris_tpu.ops.chacha import share_rows
