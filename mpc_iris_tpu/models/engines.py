@@ -49,8 +49,12 @@ DEFAULT_CHUNK = 8192
 
 # Fused Pallas selection requires aligned shapes; anything else falls back to the
 # pure-XLA `_match_scan` (identical semantics, slower epilogue).
+# tile_n re-tuned r05: the index-aware column levels cost ~9 ms/pass each at
+# the headline shape, and 1024 has one fewer than 2048 — measured 4.845 s vs
+# 4.885 s per headline pass (recovering nearly all of the tie-correctness
+# fix's cost; 1.030e10 cmp/s).
 _FUSED_TILE_B = 8
-_FUSED_TILE_N = 2048
+_FUSED_TILE_N = 1024
 
 
 def _fused_ok(b: int, chunk: int) -> bool:
