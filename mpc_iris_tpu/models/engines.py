@@ -49,12 +49,15 @@ DEFAULT_CHUNK = 8192
 
 # Fused Pallas selection requires aligned shapes; anything else falls back to the
 # pure-XLA `_match_scan` (identical semantics, slower epilogue).
-# tile_n re-tuned r05: the index-aware column levels cost ~9 ms/pass each at
-# the headline shape, and 1024 has one fewer than 2048 — measured 4.845 s vs
-# 4.885 s per headline pass (recovering nearly all of the tie-correctness
-# fix's cost; 1.030e10 cmp/s).
+# tile_n re-tuned r05 after the index-aware tie fix (headline pass, 1M/B1536,
+# post-fix kernel): 2048 -> 4.885 s, 1024 -> 4.845, 512 -> 4.794,
+# **256 -> 4.728 s (1.056e10 cmp/s, +2.3% over the r04 best)**, 128 -> 4.852.
+# Smaller tiles shed index-aware column levels (256 has ONE, keep-first) and
+# pipeline better; 128 swings back up (per-tile fixed work dominates). The
+# r01-era 2048 choice had never been revisited after int16 outputs + the
+# current fusion structure.
 _FUSED_TILE_B = 8
-_FUSED_TILE_N = 1024
+_FUSED_TILE_N = 256
 
 
 def _fused_ok(b: int, chunk: int) -> bool:
