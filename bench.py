@@ -220,11 +220,19 @@ def main():
     if args.chunk is None:
         # Latency: at B=1 the per-chunk fixed work (scan step, unpack/regen)
         # dominates, so fewer, larger chunks win (measured sweep in
-        # docs/RESULTS.md latency section).
+        # docs/RESULTS.md latency section). Packed throughput: the r05
+        # re-sweep after the selection-tile change found chunk 8192 the
+        # optimum (32768/16384/8192/4096 -> 4.728/4.623/4.374/4.436 s at
+        # B=1536) — smaller chunks pipeline the unpack+matmul+select scan
+        # steps better until per-step fixed work dominates.
         if args.latency:
             args.chunk = 65536
+        elif args.mode == "share-keyed":
+            args.chunk = 65536
+        elif args.mode == "packed":
+            args.chunk = 8192
         else:
-            args.chunk = 65536 if args.mode == "share-keyed" else 32768
+            args.chunk = 32768
     if args.iters is None:
         args.iters = 15 if args.latency else 3
     if args.latency:
@@ -236,14 +244,15 @@ def main():
         # (identical rows, identical winners); the report counts one query.
         args.batch = args.latency_pad
     if args.batch is None:
-        # Measured batch-sweep optima (docs/RESULTS.md): the packed path keeps
-        # climbing to B=1536 (B=2048 forces a smaller chunk and regresses);
-        # the keyed share path peaks at 1024 (1536 forces a 3-chunk resident
-        # head and gains nothing; 4 resident chunks at B=1536 OOM);
+        # Measured batch-sweep optima (docs/RESULTS.md): at the r05 chunk
+        # 8192 the packed path peaks at B=2048 (1024/1536/2048/3072 ->
+        # 1.172/1.142/1.191/1.155 e10; the r02-era B=1536 was tuned at
+        # chunk 32768 where 2048 OOM'd); the keyed share path peaks at 1024
+        # (1536 forces a 3-chunk resident head and gains nothing);
         # dense/plaintext and the streamed share path gain nothing past 256.
         # audit: the compacted fetch scales with B*matches and the serving
         # audit shape is few queries at a time — B=8 matches audit_probe.
-        args.batch = {"packed": 1536, "share-keyed": 1024,
+        args.batch = {"packed": 2048, "share-keyed": 1024,
                       "audit": 8}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
