@@ -228,7 +228,8 @@ def main():
         if args.latency:
             args.chunk = 65536
         elif args.mode == "share-keyed":
-            args.chunk = 65536
+            args.chunk = 32768  # r05 re-sweep: 6.859e9 at b1536/c32768 vs
+            # 6.82e9 at the old b1024/c65536
         elif args.mode == "packed":
             args.chunk = 8192
         else:
@@ -252,7 +253,11 @@ def main():
         # dense/plaintext and the streamed share path gain nothing past 256.
         # audit: the compacted fetch scales with B*matches and the serving
         # audit shape is few queries at a time — B=8 matches audit_probe.
-        args.batch = {"packed": 2048, "share-keyed": 1024,
+        # share mode stays at 256: larger batches win at the default 262k
+        # (b2048 -> 7.21e9, +6.9%) but their int16 output blocks OOM at the
+        # 524k max-residency DB, and the default must be safe at every
+        # --db (the 262k sweep is documented in RESULTS.md).
+        args.batch = {"packed": 2048, "share-keyed": 1536,
                       "audit": 8}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
