@@ -230,8 +230,8 @@ def main():
         elif args.mode == "share-keyed":
             args.chunk = 32768  # r05 re-sweep: 6.859e9 at b1536/c32768 vs
             # 6.82e9 at the old b1024/c65536
-        elif args.mode == "packed":
-            args.chunk = 8192
+        elif args.mode in ("packed", "plaintext"):
+            args.chunk = 8192  # r05 re-sweep (RESULTS.md)
         else:
             args.chunk = 32768
     if args.iters is None:
@@ -258,7 +258,7 @@ def main():
         # 524k max-residency DB, and the default must be safe at every
         # --db (the 262k sweep is documented in RESULTS.md).
         args.batch = {"packed": 2048, "share-keyed": 1536,
-                      "audit": 8}.get(args.mode, 256)
+                      "plaintext": 1024, "audit": 8}.get(args.mode, 256)
     share_resident = args.db * 2 * BITS <= default_hbm_budget()
     if args.mode == "plaintext" and args.db > 500_000:
         log(f"warning: {args.db} entries in dense storage likely exceeds "

@@ -36,8 +36,8 @@ def main() -> int:
     p.add_argument("--skip-headline", action="store_true")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--db", type=int, default=1_048_576)
-    p.add_argument("--batch", type=int, default=1536)
-    p.add_argument("--chunk", type=int, default=32_768)
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--chunk", type=int, default=8192)
     args = p.parse_args()
 
     import jax
