@@ -493,6 +493,16 @@ def fractions_under_compact_packed_auto(q_enc, q_mask, db_pat, db_msk,
 
 
 @jax.jit
+def _unpack_encode_chunk(pat_c, msk_c):
+    """Packed uint8 [c, 1600] plane pair -> (enc, mask) int8 [c, 12800]
+    (the per-chunk on-device unpack the packed scans fuse inline; exposed
+    for utilities like distances() that need the dense chunk directly)."""
+    p = unpack_bits(pat_c).astype(jnp.int8)
+    m = unpack_bits(msk_c).astype(jnp.int8)
+    return encode_grid_i8(p, m), m
+
+
+@jax.jit
 def _plaintext_chunk_fractions(q_enc, q_mask, enc_c, mask_c):
     """Per-entry per-rotation (num, den) for one chunk: int32 [B, c, 31] each."""
     b = q_enc.shape[0]
@@ -797,16 +807,19 @@ class PlaintextEngine:
         """Args:
         patterns_packed, masks_packed: uint8 [N, 1600] packed planes (host).
         chunk: DB chunk size for the scan (entries per matmul).
-        storage: "dense" keeps int8 encodings in HBM (25.6 KB/entry, fastest);
-          "packed" keeps the raw bit planes (3.2 KB/entry, up to 4M entries per
-          16 GB chip) and unpacks per chunk on device; "auto" picks packed for
-          DBs past ~400k entries.
+        storage: "packed" (the "auto" choice at every size, r05) keeps the
+          raw bit planes (3.2 KB/entry, up to 4M entries per 16 GB chip) and
+          unpacks per chunk on device — measured FASTER than dense at every
+          shape once the chunk-8192 re-sweep landed (262k/B1024: packed
+          1.128e10 vs dense 1.105e10 cmp/s; docs/RESULTS.md) on top of the
+          8x capacity; "dense" (int8 encodings in HBM, 25.6 KB/entry)
+          remains for explicit use.
         """
         kernel_self_test()
         n = patterns_packed.shape[0]
         chunk = min(chunk, max(128, n))
         if storage == "auto":
-            storage = "packed" if n > 400_000 else "dense"
+            storage = "packed"  # faster than dense at every measured shape (r05)
         self.storage = storage
         put = functools.partial(jax.device_put, device=device)
         if storage == "packed":
@@ -852,16 +865,20 @@ class PlaintextEngine:
         the scalar oracle Template.distance per pair."""
         from mpc_iris_tpu.ops.decode import decode_distance_batch_np
 
-        if self.storage == "packed":
-            raise ValueError("distances() requires storage='dense'")
-
         q_enc, q_mask = prepare_query_planes(
             jnp.asarray(patterns_packed), jnp.asarray(masks_packed)
         )
+        packed = self.storage == "packed"
+        n_chunks = (self.db_pat if packed else self.db_enc).shape[0]
         out = []
-        for c in range(self.db_enc.shape[0]):
+        for c in range(n_chunks):
+            if packed:
+                enc_c, mask_c = _unpack_encode_chunk(
+                    self.db_pat[c], self.db_msk[c])
+            else:
+                enc_c, mask_c = self.db_enc[c], self.db_mask[c]
             num, den = _plaintext_chunk_fractions(
-                q_enc, q_mask, self.db_enc[c], self.db_mask[c]
+                q_enc, q_mask, enc_c, mask_c
             )
             num, den = np.asarray(num), np.asarray(den)
             b = num.shape[0]
